@@ -1,0 +1,225 @@
+package graft.pipeline
+
+import graft.kernel.{DocExtract, Extractor, ProbeConfig}
+import graft.model.{DocResult, LineageRow, Page, PageStat}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Counters harvested from accumulators after a run (A11 / north rule). */
+final case class ExtractStats(
+    docs: Long,
+    pages: Long,
+    ocrNeeded: Long,
+    emptyExtractions: Long,
+    bytesIn: Long,
+    bytesOut: Long)
+
+/** Job parameters. `buckets` is the output-table bucketing (pmod of url
+  * hash) — the unit of lineage/resume; `saltFactor` splits one hot bucket
+  * across up to that many tasks (explicit skew salting per the north rule —
+  * AQE skew handling doesn't apply because the hot path has no join).
+  * `tasks` = 0 lets the job size the shuffle at 2× default parallelism. */
+final case class JobConfig(
+    probe: ProbeConfig = ProbeConfig(),
+    buckets: Int = 64,
+    saltFactor: Int = 4,
+    tasks: Int = 0,
+    resume: Boolean = false,
+    langFilter: Option[String] = None,
+    runId: String = "run-0")
+
+/** Typed spine row after the relational prologue: `text` is dropped (the
+  * kernel never reads it — shuffling it would move dead bytes) and `bucket`
+  * is precomputed so the kernel and the write agree on partitioning. */
+final case class KeyedPage(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    lang: String,
+    bucket: Int)
+
+/** The extraction pipeline (SURVEY.md §3.1 Spark lifecycle):
+  *
+  * scan → Column-level pruning/filters (resume anti-join J1, lang filter —
+  * kept BEFORE the typed boundary so Catalyst pushes them into the parquet
+  * scan) → one explicit repartition on (bucket, salt) → `mapPartitions`
+  * kernel (X1–X4, F1–F10, C1–C4, P1 per row; pages never leave their row,
+  * so A1/A2 are row-local — zero aggregation shuffle) → bucketed partitioned
+  * parquet write + per-bucket lineage rows (A11).
+  *
+  * Exactly ONE shuffle on the hot path: the explicit repartition. Lineage is
+  * computed by re-reading cheap scalar columns of the freshly written output
+  * (columnar scan; never re-reads html), so a "done" lineage row implies the
+  * bucket's data is durable — that ordering is what makes resume safe.
+  */
+object ExtractJob {
+
+  def run(spark: SparkSession, input: DataFrame, outDir: String, cfg: JobConfig): ExtractStats = {
+    import spark.implicits._
+
+    val docsAcc = spark.sparkContext.longAccumulator("graft.docs")
+    val pagesAcc = spark.sparkContext.longAccumulator("graft.pages")
+    val ocrAcc = spark.sparkContext.longAccumulator("graft.ocr_needed")
+    val emptyAcc = spark.sparkContext.longAccumulator("graft.empty_extractions")
+    val bytesInAcc = spark.sparkContext.longAccumulator("graft.bytes_in")
+    val bytesOutAcc = spark.sparkContext.longAccumulator("graft.bytes_out")
+
+    // -- relational prologue (Column exprs only → pushdown-friendly) --------
+    var pages = input
+      .select($"url", $"warc_ts", $"html", $"lang")
+      .filter($"url".isNotNull)
+    cfg.langFilter.foreach(l => pages = pages.filter($"lang" === l))
+    val keyed = pages.withColumn(
+      "bucket", pmod(xxhash64($"url"), lit(cfg.buckets)).cast("int"))
+
+    // J1 — checkpoint resume: left-anti against done buckets (broadcast —
+    // lineage has ≤ `buckets` rows).
+    val todo =
+      if (cfg.resume) {
+        val done = doneBuckets(spark, outDir)
+        if (done.isEmpty) keyed
+        else keyed.filter(!$"bucket".isin(done: _*))
+      } else keyed
+
+    // -- the one explicit shuffle: bucket + salt (D3/D4 analog) -------------
+    val nTasks =
+      if (cfg.tasks > 0) cfg.tasks
+      else math.max(cfg.buckets, spark.sparkContext.defaultParallelism * 2)
+    val repart = todo
+      .repartition(nTasks, $"bucket", pmod(xxhash64($"url", lit(7)), lit(cfg.saltFactor)))
+      .as[KeyedPage]
+
+    // -- the kernel (one Extractor instance per partition, D6 analog) -------
+    val probeCfg = cfg.probe
+    val results: Dataset[DocResult] = repart.mapPartitions { it =>
+      val extractor = new Extractor(probeCfg)
+      it.map { kp =>
+        val bytesIn = if (kp.html == null) 0L else kp.html.length.toLong
+        val ex = extractor.extract(kp.html)
+        val row = toDocResult(kp, ex, bytesIn)
+        docsAcc.add(1)
+        pagesAcc.add(row.total_pages)
+        ocrAcc.add(row.ocr_page_count)
+        if (row.extracted_text.isEmpty) emptyAcc.add(1)
+        bytesInAcc.add(bytesIn)
+        bytesOutAcc.add(row.bytes_out)
+        row
+      }
+    }
+
+    // -- sink: partitioned (bucketed-by-url-hash) parquet -------------------
+    val mode = if (cfg.resume) "append" else "overwrite"
+    results.write.mode(mode).partitionBy("bucket").parquet(s"$outDir/docs")
+
+    // -- lineage AFTER data commit (resume-safety ordering) -----------------
+    writeLineage(spark, outDir, cfg, mode)
+
+    ExtractStats(docsAcc.value, pagesAcc.value, ocrAcc.value, emptyAcc.value,
+      bytesInAcc.value, bytesOutAcc.value)
+  }
+
+  def readDocs(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/docs")
+
+  def readLineage(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/lineage")
+
+  /** Exploded per-page stats table — the input of the §3.2 summary/reporting
+    * layer; reads only scalar columns of the output, never `html`. */
+  def pageStats(spark: SparkSession, outDir: String): DataFrame = {
+    val docs = readDocs(spark, outDir)
+    docs.select(col("url"), col("bucket"), explode(col("page_stats")).as("p"))
+      .select(col("url"), col("bucket"), col("p.*"))
+  }
+
+  private def doneBuckets(spark: SparkSession, outDir: String): Seq[Int] = {
+    try {
+      readLineage(spark, outDir)
+        .filter(col("status") === "done")
+        .select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+    } catch {
+      case _: Exception => Seq.empty // no lineage yet → nothing done
+    }
+  }
+
+  private def writeLineage(
+      spark: SparkSession, outDir: String, cfg: JobConfig, mode: String): Unit = {
+    import spark.implicits._
+    val prevDone: Set[Int] =
+      if (mode == "append") doneBuckets(spark, outDir).toSet else Set.empty
+    val allDocs = readDocs(spark, outDir)
+    val newDocs =
+      if (prevDone.isEmpty) allDocs
+      else allDocs.filter(!$"bucket".isin(prevDone.toSeq: _*))
+    val lineage = newDocs
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum($"total_pages").cast("long").as("pages"),
+        sum($"ocr_page_count").cast("long").as("ocr_needed"),
+        sum(when(length($"extracted_text") === 0, 1L).otherwise(0L)).as("empty_extractions"),
+        sum($"bytes_in").as("bytes_in"),
+        sum($"bytes_out").as("bytes_out"))
+      .select($"bucket", lit("done").as("status"), $"docs", $"pages",
+        $"ocr_needed", $"empty_extractions", $"bytes_in", $"bytes_out",
+        lit(cfg.runId).as("run_id"))
+      .as[LineageRow]
+    lineage.write.mode(mode).parquet(s"$outDir/lineage")
+  }
+
+  private[pipeline] def toDocResult(kp: KeyedPage, ex: DocExtract, bytesIn: Long): DocResult = {
+    val stats = ex.pageResults.map { r =>
+      PageStat(
+        page_number = r.pageNumber + 1,
+        page_type = r.pageType,
+        confidence = r.confidence,
+        text_ratio = r.textRatio,
+        image_ratio = r.imageRatio,
+        text_length = r.textLength,
+        image_count = r.imageCount,
+        ocr_quality_score = r.ocrQualityScore,
+        text_density = r.textDensity,
+        formatting_consistency = r.formattingConsistency,
+        has_text_quality = r.hasTextQuality,
+        extraction_method = r.extractionMethod,
+        analysis_mode = r.analysisMode,
+        needs_ocr = ex.pages.contains(r.pageNumber + 1),
+        error = r.error.getOrElse(""))
+    }.toArray
+    DocResult(
+      url = kp.url,
+      warc_ts = kp.warc_ts,
+      lang = kp.lang,
+      bucket = kp.bucket,
+      doc_kind = ex.docKind,
+      status = ex.status,
+      pages = ex.pages.toArray,
+      total_pages = ex.totalPages,
+      ocr_page_count = ex.pages.length,
+      extracted_text = ex.extractedText,
+      spans = ex.spans.toArray,
+      title = ex.title,
+      bytes_in = bytesIn,
+      bytes_out = utf8Length(ex.extractedText),
+      error = ex.error.getOrElse(""),
+      page_stats = stats,
+      page_images = ex.pageImages)
+  }
+
+  /** UTF-8 byte length without materializing the byte array. */
+  private def utf8Length(s: String): Long = {
+    var bytes = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x80) bytes += 1
+      else if (c < 0x800) bytes += 2
+      else if (Character.isHighSurrogate(c)) { bytes += 4; i += 1 }
+      else bytes += 3
+      i += 1
+    }
+    bytes
+  }
+}

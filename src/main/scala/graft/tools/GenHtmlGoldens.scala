@@ -1,0 +1,68 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.SplittableRandom
+
+import graft.kernel.{Html, Synth}
+
+/** Generates the frozen HTML-extraction goldens under
+  * src/test/resources/golden/html/ (FIXTURES.md §2). Run ONCE per intended
+  * behavior change via `sbt "runMain graft.tools.GenHtmlGoldens"`, then
+  * commit: HtmlGoldenSpec compares byte-for-byte against these files, which
+  * is the byte-identity gate for extracted text per url.
+  *
+  * Golden file format: line 1 = title, line 2 = comma-joined "start:end"
+  * spans, line 3 = "---", then the extracted text verbatim.
+  */
+object GenHtmlGoldens {
+
+  def fixtures: Seq[(String, String)] = {
+    def art(seed: Long, idx: Long, paras: Int) =
+      Synth.htmlArticle(new SplittableRandom(seed), idx, paras)
+    Seq(
+      "article_small" -> art(101, 1, 3),
+      "article_large" -> art(102, 2, 10),
+      "article_with_inline_link" -> art(4, 3, 6),
+      "linkfarm" -> Synth.htmlLinkFarm(new SplittableRandom(103), 4),
+      "empty_page" -> "<html><head><title>Empty</title></head><body></body></html>",
+      "table_content" -> ("<html><body><table><tr><td>The court heard the case and the " +
+        "law was applied to the appeal of the plaintiff today</td></tr><tr><td>The " +
+        "defendant should appeal the order because we have some new evidence for " +
+        "this case now</td></tr></table></body></html>"),
+      "unicode_multibyte" -> ("<html><body><nav><a href='/'>Start</a></nav><main><p>" +
+        "Das Straßencafé überraschte die Besucher mit großzügigen Portionen und " +
+        "einem ruhigen Blick über die Altstadt am Fluss entlang der alten Mauer." +
+        "</p><p>日本語のテキストもここに含まれていて、抽出された本文のオフセットが" +
+        "マルチバイト文字で正しく計算されることを確認するための十分に長い段落です。" +
+        "</p></main></body></html>"),
+      "entities" -> ("<html><body><p>Tom &amp; Jerry &lt;quoted&gt; &quot;the&quot; " +
+        "court case &#65;ppeal today was heard by the judges of the appellate " +
+        "court in the morning session</p></body></html>"),
+      "malformed" -> ("<html><body><p>Paragraph one has plenty of words to be " +
+        "considered content by the classifier even though <b>tags <i>never close " +
+        "and the document just ends mid"),
+      "comments_scripts" -> ("<html><head><script>var x='<p>no</p>';</script>" +
+        "<style>.a{color:red}</style></head><body><!-- hidden -->" +
+        "<p>The visible paragraph talks about the appeal and the petition at " +
+        "length so that it counts as main content for the extraction engine" +
+        "</p><!-- more hidden --></body></html>")
+    )
+  }
+
+  def goldenBytes(html: String): Array[Byte] = {
+    val ex = Html.extract(html)
+    val spans = ex.spans.map(s => s"${s.start}:${s.end}").mkString(",")
+    (ex.title + "\n" + spans + "\n---\n" + ex.text).getBytes(StandardCharsets.UTF_8)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = Paths.get("src/test/resources/golden/html")
+    Files.createDirectories(dir)
+    fixtures.foreach { case (name, html) =>
+      Files.write(dir.resolve(s"$name.html"), html.getBytes(StandardCharsets.UTF_8))
+      Files.write(dir.resolve(s"$name.golden"), goldenBytes(html))
+      println(s"wrote $name")
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.kernel
+
+import java.util.SplittableRandom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X1–X4 + S6 + golden classification cells mirroring the reference's own
+  * test corpus (tests/test_ocr_scenarios.py:13-16,32-41,55-63,84-91):
+  * a fully-scanned doc → status "true", pages [1..n]; a native-text doc →
+  * "false" at threshold 0.5, "partial" at 0.9, "false" at 0.1; threshold
+  * monotonicity. Payloads are deterministic synthetic (FIXTURES.md §3). */
+class PdfProbeSpec extends AnyFunSuite {
+
+  private def detect(doc: PdfDoc, threshold: Double): DocExtract = {
+    val ex = new Extractor(ProbeConfig(confidenceThreshold = threshold))
+    ex.extract(PdfPayload.serialize(doc))
+  }
+
+  test("payload codec roundtrip") {
+    val doc = Synth.pdfMixed(new SplittableRandom(1), 7)
+    val back = PdfPayload.deserialize(PdfPayload.serialize(doc))
+    assert(back == doc.copy(pages = doc.pages.map(p =>
+      p.copy(images = p.images.map(i => i.copy(data = i.data))))) ||
+      back.pages.map(_.textLayer) == doc.pages.map(_.textLayer))
+    assert(back.pages.length == doc.pages.length)
+    assert(back.pages.zip(doc.pages).forall { case (a, b) =>
+      a.width == b.width && a.textLayer == b.textLayer &&
+        a.images.length == b.images.length &&
+        a.images.zip(b.images).forall { case (x, y) =>
+          x.rects == y.rects && java.util.Arrays.equals(x.data, y.data) }
+    })
+  }
+
+  test("golden cell: scanned-9 → status true, pages [1..9]") {
+    val doc = Synth.pdfScanned(new SplittableRandom(7), 9)
+    val r = detect(doc, 0.5)
+    assert(r.status == "true")
+    assert(r.pages == (1 to 9).toVector)
+    assert(r.totalPages == 9)
+    assert(r.pageResults.forall(_.pageType == PageType.Scanned))
+  }
+
+  test("golden cell: text-24 → false @0.5, partial @0.9, false @0.1") {
+    val doc = Synth.pdfText(new SplittableRandom(11), 24)
+    val at05 = detect(doc, 0.5)
+    assert(at05.status == "false", s"pages=${at05.pages} types=${at05.pageResults.map(r => (r.pageType, r.confidence, r.textLength, r.ocrQualityScore))}")
+    assert(at05.pages.isEmpty)
+    val at09 = detect(doc, 0.9)
+    assert(at09.status == "partial", s"pages=${at09.pages.length}/24")
+    val at01 = detect(doc, 0.1)
+    assert(at01.status == "false")
+  }
+
+  test("threshold monotonicity: higher threshold ⇒ superset of pages") {
+    val rng = new SplittableRandom(23)
+    for (mk <- Seq(Synth.pdfText(rng, 12), Synth.pdfMixed(rng, 9), Synth.pdfScanned(rng, 5))) {
+      val p1 = detect(mk, 0.1).pages.toSet
+      val p5 = detect(mk, 0.5).pages.toSet
+      val p9 = detect(mk, 0.9).pages.toSet
+      assert(p1.subsetOf(p5) && p5.subsetOf(p9))
+    }
+  }
+
+  test("pages are ascending 1-indexed") {
+    val r = detect(Synth.pdfMixed(new SplittableRandom(3), 9), 0.5)
+    assert(r.pages == r.pages.sorted)
+    assert(r.pages.forall(p => p >= 1 && p <= 9))
+  }
+
+  test("X1 extraction strategies: fitz / pdfplumber / both / auto") {
+    val page = PdfPage(612, 792, " short ", Some(" a much longer alternate text layer here "), Vector.empty)
+    assert(new PdfProbe(ProbeConfig()).extractText(page) == (("short", "fitz"))) // fast mode = fitz only
+    val auto = new PdfProbe(ProbeConfig(accuracyMode = true)) // auto → both, pick longer
+    assert(auto.extractText(page) == (("a much longer alternate text layer here", "pdfplumber")))
+    val longFitz = page.copy(textLayer = "fitz text that is definitely above the twenty char low-yield bar")
+    assert(auto.extractText(longFitz)._2 == "fitz")
+  }
+
+  test("X2 background detection: coverage>0.8 or near-page dims") {
+    val probe = new PdfProbe(ProbeConfig())
+    val full = PdfImage(1000, 1000, Vector(PdfRect(0, 0, 612, 792)), Array.empty)
+    val small = PdfImage(100, 100, Vector(PdfRect(0, 0, 100, 100)), Array.empty)
+    val ia = probe.analyzeImages(PdfPage(612, 792, "", None, Vector(full, small)))
+    assert(ia.contentImageCount == 1)
+    assert(ia.backgroundArea == 612.0 * 792.0)
+    assert(ia.meaningfulImageArea == 100.0 * 100.0)
+    assert(ia.backgroundCoverageRatio == 1.0)
+  }
+
+  test("S6 smart image reuse: embedded image with >0.6 coverage and >200px dims") {
+    val data = "JPEGDATA".getBytes("US-ASCII")
+    val img = PdfImage(1700, 2200, Vector(PdfRect(0, 0, 612, 700)), data)
+    val page = PdfPage(612, 792, "", None, Vector(img))
+    val probe = new PdfProbe(ProbeConfig(includeImages = true))
+    val b64 = probe.getPageImageSmart(0, page, PageType.Scanned)
+    assert(b64 == java.util.Base64.getEncoder.encodeToString(data))
+    // small pixel dims → render placeholder instead
+    val smallImg = img.copy(pixelWidth = 150)
+    val b64r = probe.getPageImageSmart(0, page.copy(images = Vector(smallImg)), PageType.Scanned)
+    assert(new String(java.util.Base64.getDecoder.decode(b64r), "UTF-8").startsWith("RENDER:"))
+    // text pages always render
+    val b64t = probe.getPageImageSmart(0, page, PageType.Text)
+    assert(new String(java.util.Base64.getDecoder.decode(b64t), "UTF-8").startsWith("RENDER:"))
+  }
+
+  test("page_images only for OCR-needed pages when includeImages (simple.py:101-103)") {
+    val doc = Synth.pdfScanned(new SplittableRandom(5), 6)
+    val ex = new Extractor(ProbeConfig(includeImages = true))
+    val r = ex.extract(PdfPayload.serialize(doc))
+    assert(r.pageImages.keySet == r.pages.toSet)
+    val exOff = new Extractor(ProbeConfig(includeImages = false))
+    assert(exOff.extract(PdfPayload.serialize(doc)).pageImages.isEmpty)
+  }
+
+  test("X3 work budget → conservative EMPTY/0.1 timeout row") {
+    val big = PdfPage(612, 792, "x" * 100, None, Vector.empty)
+    val probe = new PdfProbe(ProbeConfig(maxTextChars = 50))
+    val r = probe.analyzePage(0, big, includeImage = false)
+    assert(r.pageType == PageType.Empty && r.confidence == 0.1)
+    assert(r.error.contains("Analysis timed out"))
+    assert(r.qualityForNeedsOcr == 1.0) // no text_quality block on error rows
+  }
+
+  test("X4 corrupt payload → error doc, never an exception") {
+    val ex = new Extractor(ProbeConfig())
+    val good = PdfPayload.serialize(Synth.pdfScanned(new SplittableRandom(1), 3))
+    val truncated = good.take(good.length / 2)
+    val r = ex.extract(truncated)
+    assert(r.docKind == "error")
+    assert(r.status == "true") // conservative: error docs need OCR
+    assert(r.error.isDefined)
+    assert(ex.extract(null).docKind == "error")
+    assert(ex.extract(Array.empty[Byte]).docKind == "error")
+  }
+
+  test("C4 adaptive escalation: low fast confidence triggers full analysis") {
+    // 300 chars, no images → fast path lands in the uncertain 0.5 branch →
+    // escalates to full analysis which yields TEXT with a quality block.
+    val prose = Synth.wrappedProse(new SplittableRandom(9), 8).take(300)
+    val page = PdfPage(612, 792, prose, None, Vector.empty)
+    val probe = new PdfProbe(ProbeConfig())
+    val r = probe.analyzePage(0, page, includeImage = false)
+    assert(r.analysisMode == "full")
+    assert(r.hasTextQuality)
+    // >500 chars → fast TEXT 0.8 accepted without quality block
+    val longProse = Synth.wrappedProse(new SplittableRandom(9), 30)
+    val r2 = probe.analyzePage(0, page.copy(textLayer = longProse), includeImage = false)
+    assert(r2.analysisMode == "fast" && !r2.hasTextQuality && r2.confidence == 0.8)
+  }
+}
