@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.kernel.{Extractor, ProbeConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end pipeline tests (SURVEY.md §5.2 items 4–5): synthetic Page
+  * table → ExtractJob → read back → statuses, spans, counters, lineage,
+  * parallel ≡ sequential equivalence, and checkpoint resume (J1). */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_test_").toString
+
+  private val N = 300L
+
+  test("end-to-end: statuses, spans, counters, lineage") {
+    val out = tmp()
+    val input = SynthSource.pages(spark, N, seed = 42L).toDF()
+    val stats = ExtractJob.run(spark, input, out, JobConfig(buckets = 16))
+
+    assert(stats.docs == N)
+    assert(stats.pages >= N) // pdf docs contribute >1 page
+    assert(stats.bytesIn > 0 && stats.bytesOut > 0)
+
+    val docs = ExtractJob.readDocs(spark, out).cache()
+    assert(docs.count() == N)
+
+    val kinds = docs.select("doc_kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("html", "pdf", "error"))
+
+    val statuses = docs.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("true", "false", "partial")) && statuses.size == 3)
+
+    // A1 invariant: pages ascending 1-indexed, count matches ocr_page_count
+    val bad = docs.filter(
+      size(col("pages")) =!= col("ocr_page_count") ||
+      exists(col("pages"), p => p < 1 || p > col("total_pages")) ||
+      // ascending check: sorted array equals itself
+      sort_array(col("pages")) =!= col("pages")).count()
+    assert(bad == 0)
+
+    // error rows: conservative status true, counted as empty extractions
+    val errs = docs.filter(col("doc_kind") === "error")
+    assert(errs.count() > 0)
+    assert(errs.filter(col("status") =!= "true").count() == 0)
+
+    // lineage: one row per bucket present in output; counters add up
+    val lineage = ExtractJob.readLineage(spark, out)
+    val outBuckets = docs.select("bucket").distinct().count()
+    assert(lineage.count() == outBuckets)
+    val lDocs = lineage.agg(sum("docs")).collect()(0).getLong(0)
+    assert(lDocs == N)
+    val lOcr = lineage.agg(sum("ocr_needed")).collect()(0).getLong(0)
+    assert(lOcr == stats.ocrNeeded)
+    assert(lineage.filter(col("status") =!= "done").count() == 0)
+
+    // html spans index into source html (byte-identity sanity through Spark)
+    val pageStats = ExtractJob.pageStats(spark, out)
+    assert(pageStats.count() == stats.pages)
+    docs.unpersist()
+  }
+
+  test("byte identity through Spark: extracted_text equals direct kernel call") {
+    val out = tmp()
+    val input = SynthSource.pages(spark, N, seed = 7L).toDF()
+    ExtractJob.run(spark, input, out, JobConfig(buckets = 8))
+    val docs = ExtractJob.readDocs(spark, out)
+      .select("url", "extracted_text", "status")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+
+    val extractor = new Extractor(ProbeConfig())
+    val rows = SynthSource.pages(spark, N, seed = 7L).collect()
+    assert(rows.length == N)
+    rows.foreach { p =>
+      val ex = extractor.extract(p.html)
+      val (gotText, gotStatus) = docs(p.url)
+      assert(gotText == ex.extractedText, s"text mismatch for ${p.url}")
+      assert(gotStatus == ex.status, s"status mismatch for ${p.url}")
+    }
+  }
+
+  test("parallel ≡ sequential: 1 task vs 8 tasks yield identical results") {
+    val input = SynthSource.pages(spark, N, seed = 11L).toDF()
+    val out1 = tmp(); val out8 = tmp()
+    ExtractJob.run(spark, input, out1, JobConfig(buckets = 4, tasks = 1))
+    ExtractJob.run(spark, input, out8, JobConfig(buckets = 4, tasks = 8, saltFactor = 8))
+
+    val a = ExtractJob.readDocs(spark, out1)
+      .select("url", "status", "extracted_text", "total_pages")
+    val b = ExtractJob.readDocs(spark, out8)
+      .select("url", "status", "extracted_text", "total_pages")
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
+  test("J1 checkpoint resume: only missing buckets recompute") {
+    val buckets = 8
+    val input = SynthSource.pages(spark, N, seed = 23L).toDF()
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+
+    val out = tmp()
+    // simulate a job that died after committing buckets 0..3
+    val firstHalf = input.filter(col("bucket") < 4).drop("bucket")
+    val stats1 = ExtractJob.run(spark, firstHalf, out, JobConfig(buckets = buckets))
+    val doneDocs = stats1.docs
+    assert(doneDocs > 0 && doneDocs < N)
+
+    // resume over the FULL input: buckets 0..3 must be skipped
+    val stats2 = ExtractJob.run(spark, input.drop("bucket"), out,
+      JobConfig(buckets = buckets, resume = true))
+    assert(stats2.docs == N - doneDocs, s"resume recomputed ${stats2.docs} docs")
+
+    val docs = ExtractJob.readDocs(spark, out)
+    assert(docs.count() == N)
+    assert(docs.select("url").distinct().count() == N)
+    val lineage = ExtractJob.readLineage(spark, out)
+    assert(lineage.count() == buckets)
+    assert(lineage.agg(sum("docs")).collect()(0).getLong(0) == N)
+
+    // resuming again is a no-op
+    val stats3 = ExtractJob.run(spark, input.drop("bucket"), out,
+      JobConfig(buckets = buckets, resume = true))
+    assert(stats3.docs == 0)
+    assert(ExtractJob.readDocs(spark, out).count() == N)
+  }
+
+  test("corpus summary and problematic pages run off the output table") {
+    val out = tmp()
+    ExtractJob.run(spark, SynthSource.pages(spark, N, seed = 5L).toDF(), out,
+      JobConfig(buckets = 8))
+    val ps = ExtractJob.pageStats(spark, out)
+    val summary = Summary.corpusSummary(ps).collect()(0)
+    assert(summary.getAs[Long]("total_pages") > 0)
+    val action = summary.getAs[String]("recommended_action")
+    assert(Set("NO OCR NEEDED", "OCR REQUIRED", "OCR RECOMMENDED").contains(action))
+    val prob = Summary.problematicPages(ps)
+    assert(prob.count() > 0)
+    val s = prob.select("summary").limit(5).collect().map(_.getString(0))
+    assert(s.forall(_.nonEmpty))
+  }
+}
