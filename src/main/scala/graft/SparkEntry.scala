@@ -1,13 +1,825 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{ExtractJob, JobConfig, Summary, SynthSource}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data operator suite), each with an ANSI-SQL
+  * DuckDB oracle where the computation is SQL-expressible with engine-exact
+  * value parity. Queries whose results depend on engine-specific hashing
+  * (minhash/simhash/LSH buckets) or on kernel-only semantics have no oracle
+  * → driver records the weaker rows-only check.
+  *
+  * Cross-engine float discipline: every aggregated double is either built
+  * from exactly-representable scaled integers (sum of cents / deci-
+  * confidences) or is a single correctly-rounded division of such integers,
+  * so Spark and DuckDB produce bit-identical values regardless of their
+  * summation order. Raw double sums are never compared unrounded.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------------ shared
+  // Derived page-features over `documents` — the testdata stand-in for the
+  // reference's per-page features (text_length, image_count, quality,
+  // confidence), with the C3 fast-classifier CASE tree
+  // (_detector.py:471-487) and the P1 needs-OCR predicate (simple.py:121-158)
+  // at confidence_threshold = 0.5. Mirrored exactly by `featSql`.
+  private val PageArea = 612.0 * 792.0
+
+  private def pageFeatures(docs: DataFrame): DataFrame = {
+    val imageCount = (col("doc_id") % 4).cast("int")
+    val quality = (col("doc_id") % 100).cast("double") / lit(100.0)
+    val estIr = when(imageCount > 0, least(lit(0.8), imageCount.cast("double") * 0.2))
+      .otherwise(0.0)
+    val estTr = least(lit(1.0), col("n_chars").cast("double") * 100.0 / lit(PageArea))
+    val f = docs
+      .withColumn("text_length", col("n_chars"))
+      .withColumn("image_count", imageCount)
+      .withColumn("quality", quality)
+      .withColumn("est_ir", estIr)
+      .withColumn("est_tr", estTr)
+    val cls = f
+      .withColumn("page_type",
+        when(col("text_length") < 10 && col("image_count") === 0, "empty")
+          .when(col("text_length") > 500 && col("est_tr") > 0.1, "text")
+          .when(col("text_length") < 50 && col("image_count") > 0, "scanned")
+          .when(col("text_length") > 50 && col("image_count") > 0, "mixed")
+          .when(col("text_length") > col("est_ir") * 1000, "text")
+          .otherwise("scanned"))
+      .withColumn("confidence",
+        when(col("text_length") < 10 && col("image_count") === 0, 0.9)
+          .when(col("text_length") > 500 && col("est_tr") > 0.1, 0.8)
+          .when(col("text_length") < 50 && col("image_count") > 0, 0.8)
+          .when(col("text_length") > 50 && col("image_count") > 0, 0.7)
+          .otherwise(0.5))
+    cls.withColumn("needs_ocr",
+      when(col("page_type") === "scanned", true)
+        .when(col("page_type") === "empty", true)
+        .when(col("page_type") === "text",
+          col("text_length") < 50 || col("quality") < 0.4 || col("confidence") < 0.5)
+        .when(col("page_type") === "mixed",
+          col("text_length") < 100 || col("quality") < 0.5 || col("confidence") < 0.5)
+        .otherwise(false))
+  }
+
+  private val featSql: String =
+    """WITH feat AS (
+      |  SELECT doc_id, lang, source, text, n_chars AS text_length,
+      |    CAST(doc_id % 4 AS INT) AS image_count,
+      |    CAST(doc_id % 100 AS DOUBLE) / 100.0 AS quality,
+      |    CASE WHEN doc_id % 4 > 0
+      |         THEN least(0.8, CAST(doc_id % 4 AS DOUBLE) * 0.2) ELSE 0.0 END AS est_ir,
+      |    least(1.0, CAST(n_chars AS DOUBLE) * 100.0 / 484704.0) AS est_tr
+      |  FROM documents
+      |), cls AS (
+      |  SELECT *,
+      |    CASE WHEN text_length < 10 AND image_count = 0 THEN 'empty'
+      |         WHEN text_length > 500 AND est_tr > 0.1 THEN 'text'
+      |         WHEN text_length < 50 AND image_count > 0 THEN 'scanned'
+      |         WHEN text_length > 50 AND image_count > 0 THEN 'mixed'
+      |         WHEN text_length > est_ir * 1000 THEN 'text'
+      |         ELSE 'scanned' END AS page_type,
+      |    CASE WHEN text_length < 10 AND image_count = 0 THEN 0.9
+      |         WHEN text_length > 500 AND est_tr > 0.1 THEN 0.8
+      |         WHEN text_length < 50 AND image_count > 0 THEN 0.8
+      |         WHEN text_length > 50 AND image_count > 0 THEN 0.7
+      |         ELSE 0.5 END AS confidence
+      |  FROM feat
+      |), p AS (
+      |  SELECT *,
+      |    CASE WHEN page_type = 'scanned' THEN TRUE
+      |         WHEN page_type = 'empty' THEN TRUE
+      |         WHEN page_type = 'text'
+      |           THEN (text_length < 50 OR quality < 0.4 OR confidence < 0.5)
+      |         WHEN page_type = 'mixed'
+      |           THEN (text_length < 100 OR quality < 0.5 OR confidence < 0.5)
+      |         ELSE FALSE END AS needs_ocr
+      |  FROM cls
+      |)""".stripMargin
+
+  /** P5 formatted list (Summary.formatPageList) of a sorted long array. */
+  private def fmtList(pagesCol: Column): Column = Summary.formatPageList(pagesCol)
+
+  // -------------------------------------------------------------- flagship
+
+  /** Flagship: the full extraction pipeline (scan → salted repartition →
+    * mapPartitions kernel → doc results) over a deterministic synthetic
+    * Page corpus. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val input = SynthSource.pages(spark, 500L, seed = 42L).toDF()
+    ExtractJob.transform(spark, input, JobConfig(buckets = 16))
+      .select(col("url"), col("doc_kind"), col("status"), col("total_pages"),
+        col("ocr_page_count"), length(col("extracted_text")).as("text_len"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C3 + P1 — classification and needs-OCR predicate as when-chains
+    "q01_classify_needs_ocr" -> ((s, dir) => {
+      pageFeatures(t(s, dir, "documents"))
+        .select(col("doc_id"), col("page_type"), col("confidence"), col("needs_ocr"))
+    }),
+
+    // P2 — OCR-pages projection
+    "q02_ocr_pages_projection" -> ((s, dir) => {
+      pageFeatures(t(s, dir, "documents"))
+        .filter(col("needs_ocr"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // P3 — preview projection: first 200 chars + "..." when longer
+    "q03_preview" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        when(length(col("text")) > 200,
+          concat(substring(col("text"), 1, 200), lit("...")))
+          .otherwise(col("text")).as("preview"))
+    }),
+
+    // P4/T3 — head truncation: first 5 doc ids per lang
+    "q04_slice_head" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(array_join(transform(
+          slice(sort_array(collect_list(col("doc_id"))), 1, 5),
+          _.cast("string")), ",").as("first5"))
+    }),
+
+    // P5 — page-list display format over OCR-needing docs per lang
+    "q05_format_page_list" -> ((s, dir) => {
+      pageFeatures(t(s, dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(sort_array(collect_list(when(col("needs_ocr"), col("doc_id"))))
+          .as("ids"))
+        .select(col("lang"), fmtList(col("ids")).as("page_list"))
+    }),
+
+    // A1 + A2 — pages-needing-OCR accumulation + doc status per group
+    "q06_status" -> ((s, dir) => {
+      pageFeatures(t(s, dir, "documents"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("needs_ocr"), 1L).otherwise(0L)).as("needing"))
+        .select(col("lang"), col("source"), col("total"), col("needing"),
+          when(col("needing") === 0, "false")
+            .when(col("needing") === col("total"), "true")
+            .otherwise("partial").as("status"))
+    }),
+
+    // A3 — type counts + percentages
+    "q07_type_counts" -> ((s, dir) => {
+      val counts = pageFeatures(t(s, dir, "documents"))
+        .groupBy(col("page_type")).agg(count(lit(1)).as("cnt"))
+      counts.withColumn("pct",
+        col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()))
+    }),
+
+    // A4 — average confidence (scaled-integer sum → engine-exact double)
+    "q08_avg_confidence" -> ((s, dir) => {
+      pageFeatures(t(s, dir, "documents"))
+        .groupBy(col("source"))
+        .agg((sum(round(col("confidence") * 10).cast("long")) /
+          (lit(10.0) * count(lit(1)))).as("avg_confidence"))
+    }),
+
+    // A5 — conditional average quality over text_length > 50
+    "q09_conditional_avg_quality" -> ((s, dir) => {
+      pageFeatures(t(s, dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(coalesce(
+          sum(when(col("text_length") > 50,
+            round(col("quality") * 100).cast("long"))) /
+            (lit(100.0) * sum(when(col("text_length") > 50, 1L))),
+          lit(0.0)).as("avg_quality"))
+    }),
+
+    // A7 — enhanced recommendation decision chain per source
+    "q10_recommendation" -> ((s, dir) => {
+      val agg = pageFeatures(t(s, dir, "documents"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("page_type") === "text", 1L).otherwise(0L)).as("text_cnt"),
+          sum(when(col("page_type") === "scanned", 1L).otherwise(0L)).as("scanned_cnt"),
+          sum(when(col("page_type") === "mixed", 1L).otherwise(0L)).as("mixed_cnt"),
+          sum(when(col("text_length") > 200 && col("quality") > 0.6, 1L)
+            .otherwise(0L)).as("good_cnt"),
+          coalesce(sum(when(col("text_length") > 50,
+            round(col("quality") * 100).cast("long"))) /
+            (lit(100.0) * sum(when(col("text_length") > 50, 1L))), lit(0.0))
+            .as("avg_q"),
+          sum(col("text_length")).as("total_len"))
+      agg.select(col("source"),
+        when(
+          (col("good_cnt") * 100.0 / col("total") > 60 && col("avg_q") > 0.6) ||
+          (col("text_cnt") * 100.0 / col("total") > 70 && col("avg_q") > 0.5) ||
+          (col("good_cnt") * 100.0 / col("total") > 30 &&
+            col("total_len") * 1.0 / col("total") > 300),
+          "NO OCR NEEDED")
+        .when(
+          col("scanned_cnt") * 100.0 / col("total") > 70 ||
+          (col("mixed_cnt") * 100.0 / col("total") > 80 && col("avg_q") < 0.4) ||
+          (col("text_cnt") * 100.0 / col("total") < 10 &&
+            (col("scanned_cnt") + col("mixed_cnt")) * 100.0 / col("total") > 80),
+          "OCR REQUIRED")
+        .otherwise("OCR RECOMMENDED").as("recommended_action"))
+    }),
+
+    // A8 — legacy recommendation per lang
+    "q11_recommendation_legacy" -> ((s, dir) => {
+      pageFeatures(t(s, dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("page_type") === "text", 1L).otherwise(0L)).as("text_cnt"),
+          sum(when(col("page_type").isin("scanned", "mixed"), 1L).otherwise(0L))
+            .as("ocr_cnt"))
+        .select(col("lang"),
+          when(col("ocr_cnt") * 100.0 / col("total") > 50, "OCR REQUIRED")
+            .when(col("text_cnt") > 0 && col("ocr_cnt") * 100.0 / col("total") < 25,
+              "NO OCR NEEDED")
+            .otherwise("OCR RECOMMENDED").as("recommended_action"))
+    }),
+
+    // A9 — problematic-page partition: category counts
+    "q12_problematic_categories" -> ((s, dir) => {
+      pageFeatures(t(s, dir, "documents"))
+        .withColumn("category",
+          when(col("page_type") === "empty", "empty_pages")
+            .when(col("page_type") === "scanned", "scanned_pages")
+            .when(col("page_type") === "mixed" &&
+              (col("text_length") < 100 || col("quality") < 0.4 ||
+                col("confidence") < 0.7), "mixed_pages_needing_ocr")
+            .when(col("page_type") === "text" &&
+              (col("text_length") < 50 || col("quality") < 0.3 ||
+                col("confidence") < 0.6), "low_quality_text_pages"))
+        .filter(col("category").isNotNull)
+        .groupBy(col("category")).agg(count(lit(1)).as("cnt"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
+    // A10 — human summary string per lang (fixed category order, P5 format)
+    "q13_summary_string" -> ((s, dir) => {
+      val docs = pageFeatures(t(s, dir, "documents"))
+        .withColumn("category",
+          when(col("page_type") === "empty", "empty_pages")
+            .when(col("page_type") === "scanned", "scanned_pages")
+            .when(col("page_type") === "mixed" &&
+              (col("text_length") < 100 || col("quality") < 0.4 ||
+                col("confidence") < 0.7), "mixed_pages_needing_ocr")
+            .when(col("page_type") === "text" &&
+              (col("text_length") < 50 || col("quality") < 0.3 ||
+                col("confidence") < 0.6), "low_quality_text_pages"))
+      val prefix = when(col("category") === "scanned_pages",
+          "Scanned pages needing OCR: ")
+        .when(col("category") === "mixed_pages_needing_ocr",
+          "Mixed content pages that would benefit from OCR: ")
+        .when(col("category") === "low_quality_text_pages",
+          "Pages with poor text extraction quality: ")
+        .otherwise("Empty pages (no processing needed): ")
+      val ord = when(col("category") === "scanned_pages", 1)
+        .when(col("category") === "mixed_pages_needing_ocr", 2)
+        .when(col("category") === "low_quality_text_pages", 3).otherwise(4)
+      val parts = docs.filter(col("category").isNotNull)
+        .groupBy(col("lang"), col("category"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"), first(ord).as("ord"))
+        .select(col("lang"), col("ord"), concat(prefix.as("p"), fmtList(col("ids"))).as("s"))
+        .groupBy(col("lang"))
+        .agg(array_join(transform(sort_array(collect_list(struct(col("ord"), col("s")))),
+          x => x.getField("s")), " | ").as("summary"))
+      docs.select(col("lang")).distinct()
+        .join(parts, Seq("lang"), "left")
+        .select(col("lang"), coalesce(col("summary"),
+          lit("All pages have good text extraction quality.")).as("summary"))
+    }),
+
+    // J1 — resume anti-join: pending work = all orders minus the broadcast
+    // "done" set (finished orders), the exact shape of checkpoint resume
+    "q14_resume_antijoin" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val done = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("done_key"))
+      o.join(broadcast(done), o("o_orderkey") === done("done_key"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    // J2 — golden verification: full-outer compare of two derived tables
+    "q15_fullouter_verify" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_linenumber") % 2 === 0).groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty_a"))
+      val b = li.filter(col("l_linenumber") % 2 === 1).groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty_b"))
+      a.join(b, Seq("l_orderkey"), "full_outer")
+        .select(col("l_orderkey"), col("qty_a"), col("qty_b"),
+          (col("qty_a") <=> col("qty_b")).as("matches"))
+    }),
+
+    // T1/T4 — deterministic ordered top-k
+    "q16_sorted_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // T2 — argmax: per user the event_type of the highest (value, event_id)
+    "q17_argmax" -> ((s, dir) => {
+      val score = round(col("value") * 100).cast("long") * 1000000L + col("event_id")
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), score).as("top_event_type"))
+    }),
+
+    // Window — running sum per user (exact integer cents)
+    "q18_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        sum(round(col("value") * 100).cast("long")).over(w).as("running_cents"))
+    }),
+
+    // Distinct aggregate per event type
+    "q19_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("events"),
+          sum(round(col("value") * 100).cast("long")).as("total_cents"))
+    }),
+
+    // Dedup (exact): duplicate groups by md5 of props
+    "q20_dedup_exact_groups" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "events"), "event_id", "props")
+    }),
+
+    // Dedup (exact, apply): keep min event_id per identical props
+    "q21_dedup_exact_apply" -> ((s, dir) => {
+      Dedup.dropExactDuplicates(t(s, dir, "events"), "event_id", "props")
+        .select(col("event_id"))
+    }),
+
+    // Dedup (n-gram Jaccard) within (lang, source) blocks
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // Dedup (MinHash+LSH) — engine-specific hashing → rows-only check
+    "q23_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // Dedup (SimHash) — kernel hashing → rows-only check
+    "q24_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // Embedding-cosine near-duplicates within label blocks
+    "q25_embedding_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", threshold = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ANN brute-force top-3 for query vectors vec_id < 10
+    "q26_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ANN LSH-bucketed top-3 — plane hashing engine-side → rows-only check
+    "q27_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        k = 3, numPlanes = 10, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // Language-ID heuristic (portable whole-word marker counts)
+    "q28_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.langIdGuess(col("text")).as("lang_guess"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex tokens
+    "q29_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+    }),
+
+    // Quality scoring (portable proxy: stopword/length/digit bands)
+    "q30_quality_proxy" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.qualityProxy(col("text")).as("quality_proxy"))
+    }),
+
+    // Kernel word metrics (F2 semantics; SQL-portable on this corpus)
+    "q31_word_metrics" -> ((s, dir) => {
+      TextOps.kernelQuality(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("char_count"), col("word_count"),
+          col("avg_word_length"))
+    }),
+
+    // Kernel full quality metrics (F1–F7) — kernel-only → rows-only check
+    "q32_kernel_quality" -> ((s, dir) => {
+      TextOps.kernelQuality(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Document fingerprinting (rolling hash + simhash) — rows-only check
+    "q33_fingerprints" -> ((s, dir) => {
+      TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Multimodal: stub decode + frame sampling + resize plans — rows-only
+    "q34_multimodal_decode" -> ((s, _) => {
+      val media = Multimodal.synthMedia(s, 300L).toDF()
+      val decoded = Multimodal.decode(media)
+      val frames = Multimodal.frameSamplePlan(decoded, stride = 30)
+        .select(col("id"), col("sample_count"))
+      val resize = Multimodal.resizePlan(decoded, maxSide = 256)
+        .select(col("id"), col("target_width"), col("target_height"))
+      decoded.select(col("id"), col("kind"), col("byte_len"), col("width"),
+        col("height"), col("frames"))
+        .join(frames, Seq("id"), "left")
+        .join(resize, Seq("id"), "left")
+    }),
+
+    // Classic relational aggregate (map-side combine; exact integer cents)
+    "q35_lineitem_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // S2 — input validation error channel: rows whose declared length
+    // disagrees with the payload (none expected; schema contract check)
+    "q36_validation_errors" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(col("text")) =!= col("n_chars")).as("length_mismatch"),
+          col("text").isNull.as("null_text"))
+        .filter(col("length_mismatch") || col("null_text"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    m += "q01_classify_needs_ocr" ->
+      s"""$featSql SELECT doc_id, page_type, confidence, needs_ocr FROM p"""
+
+    m += "q02_ocr_pages_projection" ->
+      s"""$featSql SELECT doc_id, lang FROM p WHERE needs_ocr"""
+
+    m += "q03_preview" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
+        |       ELSE text END AS preview
+        |FROM documents""".stripMargin
+
+    m += "q04_slice_head" ->
+      """SELECT lang,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS first5
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn
+        |  FROM documents) WHERE rn <= 5 GROUP BY lang""".stripMargin
+
+    m += "q05_format_page_list" ->
+      s"""$featSql, sel AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn,
+        |    count(*) OVER (PARTITION BY lang) n
+        |  FROM p WHERE needs_ocr
+        |), agg AS (
+        |  SELECT lang, max(n) n,
+        |    string_agg(CASE WHEN n <= 5 THEN CAST(doc_id AS VARCHAR) END,
+        |               ', ' ORDER BY doc_id) AS allp,
+        |    string_agg(CASE WHEN rn <= 3 THEN CAST(doc_id AS VARCHAR) END,
+        |               ', ' ORDER BY doc_id) AS first3
+        |  FROM sel GROUP BY lang)
+        |SELECT l.lang,
+        |  coalesce(
+        |    CASE WHEN agg.n <= 5 THEN agg.allp
+        |         ELSE agg.first3 || ', ... and ' || CAST(agg.n - 3 AS VARCHAR)
+        |              || ' more' END,
+        |    'None') AS page_list
+        |FROM (SELECT DISTINCT lang FROM documents) l
+        |LEFT JOIN agg USING (lang)""".stripMargin
+
+    m += "q06_status" ->
+      s"""$featSql SELECT lang, source, count(*) AS total,
+        |  sum(CASE WHEN needs_ocr THEN 1 ELSE 0 END) AS needing,
+        |  CASE WHEN sum(CASE WHEN needs_ocr THEN 1 ELSE 0 END) = 0 THEN 'false'
+        |       WHEN sum(CASE WHEN needs_ocr THEN 1 ELSE 0 END) = count(*) THEN 'true'
+        |       ELSE 'partial' END AS status
+        |FROM p GROUP BY lang, source""".stripMargin
+
+    m += "q07_type_counts" ->
+      s"""$featSql SELECT page_type, count(*) AS cnt,
+        |  count(*) * 100.0 / sum(count(*)) OVER () AS pct
+        |FROM p GROUP BY page_type""".stripMargin
+
+    m += "q08_avg_confidence" ->
+      s"""$featSql SELECT source,
+        |  sum(CAST(round(confidence * 10) AS BIGINT)) / (10.0 * count(*))
+        |    AS avg_confidence
+        |FROM p GROUP BY source""".stripMargin
+
+    m += "q09_conditional_avg_quality" ->
+      s"""$featSql SELECT lang,
+        |  coalesce(
+        |    sum(CASE WHEN text_length > 50
+        |             THEN CAST(round(quality * 100) AS BIGINT) END) /
+        |    (100.0 * sum(CASE WHEN text_length > 50 THEN 1 END)), 0.0)
+        |    AS avg_quality
+        |FROM p GROUP BY lang""".stripMargin
+
+    m += "q10_recommendation" ->
+      s"""$featSql, agg AS (
+        |  SELECT source, count(*) AS total,
+        |    sum(CASE WHEN page_type = 'text' THEN 1 ELSE 0 END) AS text_cnt,
+        |    sum(CASE WHEN page_type = 'scanned' THEN 1 ELSE 0 END) AS scanned_cnt,
+        |    sum(CASE WHEN page_type = 'mixed' THEN 1 ELSE 0 END) AS mixed_cnt,
+        |    sum(CASE WHEN text_length > 200 AND quality > 0.6 THEN 1 ELSE 0 END)
+        |      AS good_cnt,
+        |    coalesce(sum(CASE WHEN text_length > 50
+        |                 THEN CAST(round(quality * 100) AS BIGINT) END) /
+        |      (100.0 * sum(CASE WHEN text_length > 50 THEN 1 END)), 0.0) AS avg_q,
+        |    sum(text_length) AS total_len
+        |  FROM p GROUP BY source)
+        |SELECT source,
+        |  CASE WHEN (good_cnt * 100.0 / total > 60 AND avg_q > 0.6)
+        |         OR (text_cnt * 100.0 / total > 70 AND avg_q > 0.5)
+        |         OR (good_cnt * 100.0 / total > 30 AND total_len * 1.0 / total > 300)
+        |       THEN 'NO OCR NEEDED'
+        |       WHEN scanned_cnt * 100.0 / total > 70
+        |         OR (mixed_cnt * 100.0 / total > 80 AND avg_q < 0.4)
+        |         OR (text_cnt * 100.0 / total < 10
+        |             AND (scanned_cnt + mixed_cnt) * 100.0 / total > 80)
+        |       THEN 'OCR REQUIRED'
+        |       ELSE 'OCR RECOMMENDED' END AS recommended_action
+        |FROM agg""".stripMargin
+
+    m += "q11_recommendation_legacy" ->
+      s"""$featSql, agg AS (
+        |  SELECT lang, count(*) AS total,
+        |    sum(CASE WHEN page_type = 'text' THEN 1 ELSE 0 END) AS text_cnt,
+        |    sum(CASE WHEN page_type IN ('scanned','mixed') THEN 1 ELSE 0 END)
+        |      AS ocr_cnt
+        |  FROM p GROUP BY lang)
+        |SELECT lang,
+        |  CASE WHEN ocr_cnt * 100.0 / total > 50 THEN 'OCR REQUIRED'
+        |       WHEN text_cnt > 0 AND ocr_cnt * 100.0 / total < 25
+        |       THEN 'NO OCR NEEDED'
+        |       ELSE 'OCR RECOMMENDED' END AS recommended_action
+        |FROM agg""".stripMargin
+
+    val categorySql =
+      """CASE WHEN page_type = 'empty' THEN 'empty_pages'
+        |     WHEN page_type = 'scanned' THEN 'scanned_pages'
+        |     WHEN page_type = 'mixed' AND (text_length < 100 OR quality < 0.4
+        |          OR confidence < 0.7) THEN 'mixed_pages_needing_ocr'
+        |     WHEN page_type = 'text' AND (text_length < 50 OR quality < 0.3
+        |          OR confidence < 0.6) THEN 'low_quality_text_pages'
+        |     END""".stripMargin
+
+    m += "q12_problematic_categories" ->
+      s"""$featSql, cat AS (SELECT *, $categorySql AS category FROM p)
+        |SELECT category, count(*) AS cnt, min(doc_id) AS first_doc
+        |FROM cat WHERE category IS NOT NULL GROUP BY category""".stripMargin
+
+    m += "q13_summary_string" ->
+      s"""$featSql, cat AS (
+        |  SELECT lang, doc_id, $categorySql AS category FROM p
+        |), sel AS (
+        |  SELECT lang, category, doc_id,
+        |    row_number() OVER (PARTITION BY lang, category ORDER BY doc_id) rn,
+        |    count(*) OVER (PARTITION BY lang, category) n
+        |  FROM cat WHERE category IS NOT NULL
+        |), fmt AS (
+        |  SELECT lang, category, max(n) n,
+        |    string_agg(CASE WHEN n <= 5 THEN CAST(doc_id AS VARCHAR) END,
+        |               ', ' ORDER BY doc_id) AS allp,
+        |    string_agg(CASE WHEN rn <= 3 THEN CAST(doc_id AS VARCHAR) END,
+        |               ', ' ORDER BY doc_id) AS first3
+        |  FROM sel GROUP BY lang, category
+        |), part AS (
+        |  SELECT lang,
+        |    CASE category
+        |      WHEN 'scanned_pages' THEN 'Scanned pages needing OCR: '
+        |      WHEN 'mixed_pages_needing_ocr'
+        |        THEN 'Mixed content pages that would benefit from OCR: '
+        |      WHEN 'low_quality_text_pages'
+        |        THEN 'Pages with poor text extraction quality: '
+        |      ELSE 'Empty pages (no processing needed): ' END ||
+        |    CASE WHEN n <= 5 THEN allp
+        |         ELSE first3 || ', ... and ' || CAST(n - 3 AS VARCHAR) || ' more'
+        |         END AS s,
+        |    CASE category WHEN 'scanned_pages' THEN 1
+        |      WHEN 'mixed_pages_needing_ocr' THEN 2
+        |      WHEN 'low_quality_text_pages' THEN 3 ELSE 4 END AS ord
+        |  FROM fmt)
+        |SELECT l.lang,
+        |  coalesce(agg.summary, 'All pages have good text extraction quality.')
+        |    AS summary
+        |FROM (SELECT DISTINCT lang FROM documents) l
+        |LEFT JOIN (SELECT lang, string_agg(s, ' | ' ORDER BY ord) AS summary
+        |           FROM part GROUP BY lang) agg USING (lang)""".stripMargin
+
+    m += "q14_resume_antijoin" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM orders d
+        |                  WHERE d.o_orderstatus = 'F'
+        |                    AND d.o_orderkey = o.o_orderkey)""".stripMargin
+
+    m += "q15_fullouter_verify" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS qty_a
+        |  FROM lineitem WHERE l_linenumber % 2 = 0 GROUP BY l_orderkey),
+        |b AS (
+        |  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS qty_b
+        |  FROM lineitem WHERE l_linenumber % 2 = 1 GROUP BY l_orderkey)
+        |SELECT coalesce(a.l_orderkey, b.l_orderkey) AS l_orderkey, qty_a, qty_b,
+        |  (qty_a IS NOT DISTINCT FROM qty_b) AS matches
+        |FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey""".stripMargin
+
+    m += "q16_sorted_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+    m += "q17_argmax" ->
+      """SELECT user_id,
+        |  arg_max(event_type,
+        |    CAST(round(value * 100) AS BIGINT) * 1000000 + event_id)
+        |    AS top_event_type
+        |FROM events GROUP BY user_id""".stripMargin
+
+    m += "q18_window_running" ->
+      """SELECT event_id, user_id,
+        |  sum(CAST(round(value * 100) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY event_id) AS running_cents
+        |FROM events""".stripMargin
+
+    m += "q19_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users,
+        |  count(*) AS events,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |FROM events GROUP BY event_type""".stripMargin
+
+    m += "q20_dedup_exact_groups" ->
+      """SELECT md5(props) AS key_md5, min(event_id) AS representative,
+        |  count(*) AS dup_count
+        |FROM events GROUP BY md5(props) HAVING count(*) > 1""".stripMargin
+
+    m += "q21_dedup_exact_apply" ->
+      """SELECT event_id FROM events
+        |WHERE event_id IN (SELECT min(event_id) FROM events GROUP BY md5(props))"""
+        .stripMargin
+
+    m += "q22_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |  FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5"""
+        .stripMargin
+
+    m += "q25_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        |    6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |  >= 0.35""".stripMargin
+
+    m += "q26_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 3""".stripMargin
+
+    // q28 langid: generated marker-count SQL (same padded-replace trick)
+    def occSql(word: String): String = {
+      val needle = s" $word "
+      s"(length(pad) - length(replace(pad, '$needle', ''))) / ${needle.length}"
+    }
+    val enExpr = Seq("the", "and", "of", "is").map(occSql).mkString(" + ")
+    val deExpr = Seq("der", "und", "die", "ist").map(occSql).mkString(" + ")
+    val frExpr = Seq("le", "et", "les", "est").map(occSql).mkString(" + ")
+    m += "q28_langid" ->
+      s"""WITH padded AS (
+        |  SELECT doc_id, lang, ' ' || replace(text, ' ', '  ') || ' ' AS pad
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang,
+        |    CAST($enExpr AS BIGINT) AS en,
+        |    CAST($deExpr AS BIGINT) AS de,
+        |    CAST($frExpr AS BIGINT) AS fr
+        |  FROM padded)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+        |       WHEN en >= de AND en >= fr THEN 'en'
+        |       WHEN de >= fr THEN 'de'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM scores""".stripMargin
+
+    m += "q29_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE len(string_split(text, ' ')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
+        |    AS bpeish_tokens
+        |FROM documents""".stripMargin
+
+    val stopExpr = Seq("the", "and", "of", "is", "a", "to").map(occSql).mkString(" + ")
+    m += "q30_quality_proxy" ->
+      s"""WITH padded AS (
+        |  SELECT doc_id, text, ' ' || replace(text, ' ', '  ') || ' ' AS pad
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    CAST($stopExpr AS BIGINT) AS stop_hits,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS words,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS digits
+        |  FROM padded)
+        |SELECT doc_id,
+        |  least(
+        |    least(CASE WHEN words = 0 THEN 0.0
+        |               ELSE stop_hits * 1.0 / words END, 0.5) +
+        |    (CASE WHEN length(text) >= 200 AND length(text) <= 5000
+        |          THEN 0.3 ELSE 0.0 END) +
+        |    (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+        |                     ELSE digits * 1.0 / length(text) END) < 0.3
+        |          THEN 0.2 ELSE 0.0 END),
+        |    1.0) AS quality_proxy
+        |FROM f""".stripMargin
+
+    m += "q31_word_metrics" ->
+      """SELECT doc_id, length(text) AS char_count,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE len(string_split(text, ' ')) END AS word_count,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE length(replace(text, ' ', '')) * 1.0 /
+        |            len(string_split(text, ' ')) END AS avg_word_length
+        |FROM documents""".stripMargin
+
+    m += "q35_lineitem_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+    m += "q36_validation_errors" ->
+      """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,
+        |  (text IS NULL) AS null_text
+        |FROM documents
+        |WHERE length(text) <> n_chars OR text IS NULL""".stripMargin
+
+    m.toMap
+  }
 }

@@ -1,0 +1,71 @@
+package graft.kernel
+
+/** Deterministic 64-bit hashing for dedup/fingerprinting — self-contained
+  * (engine-independent: results don't depend on Spark or any SQL engine's
+  * hash, so signatures are stable across versions and portable to tests).
+  * FNV-1a with a 64-bit avalanche finisher (splitmix64's mixer). */
+object Hashing {
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  def fnv1a(s: String, seed: Long = 0L): Long = {
+    var h = FnvOffset ^ seed
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= FnvPrime
+      i += 1
+    }
+    mix(h)
+  }
+
+  /** splitmix64 finisher — avalanches FNV's weak low bits. */
+  def mix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31
+    x
+  }
+
+  /** SimHash-64 over whitespace tokens: per token a 64-bit hash votes ±1 on
+    * each bit position; the sign of each position's tally forms the
+    * fingerprint. Near-duplicate texts land within small Hamming distance. */
+  def simhash64(text: String): Long = {
+    val tally = new Array[Int](64)
+    val toks = Py.splitWs(text)
+    var t = 0
+    while (t < toks.length) {
+      val h = fnv1a(toks(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (tally(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Polynomial rolling-hash document fingerprint over chars (order
+    * sensitive — permuted text gets a different fingerprint, unlike a bag
+    * hash). */
+  def rollingFingerprint(text: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      h = h * 1315423911L + text.charAt(i)
+      i += 1
+    }
+    mix(h)
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.kernel.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All-column-expression implementations (codegen'd, shuffle only where a
+  * groupBy/join is semantically required); the LSH band bucket IS the
+  * shuffle key, so candidate generation scales as O(docs × bands) rows
+  * instead of O(docs²) pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on md5 of the key column. Returns one row per
+    * duplicate group: representative (min id), count, and the key hash.
+    * One shuffle (partial+final hash agg — map-side combine keeps it
+    * narrow at 10^12 scale because identical payloads collapse early). */
+  def exactGroups(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(md5(col(keyCol).cast("binary")).as("key_md5"))
+      .agg(
+        min(col(idCol)).as("representative"),
+        count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Keep-one-per-group projection (the apply side of exact dedup):
+    * rows whose id is the min within their key group. Expressed as an
+    * aggregate + semi-join rather than a window so the map-side combine
+    * applies. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val reps = df
+      .groupBy(md5(col(keyCol).cast("binary")).as("key_md5"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(reps, Seq(idCol), "left_semi")
+  }
+
+  /** k-word shingles of a token array (empty when fewer than k tokens). */
+  def wordShingles(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - k),
+        i => array_join(slice(tokens, i + 1, lit(k)), " ")))
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the shingle set. Null-safe: empty shingles → nulls. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingles, x => xxhash64(x, s))))
+
+  /** LSH band keys: the signature is cut into `numBands` bands of
+    * `bandSize`; each band hashes to one bucket key. Docs sharing any band
+    * bucket become candidate pairs. */
+  def bandKeys(sig: Column, numBands: Int, bandSize: Int): Column =
+    transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * bandSize + 1, lit(bandSize)), _.cast("string"))))
+          .as("bucket")))
+
+  /** Word-set Jaccard similarity of two token arrays (dedups multiplicity,
+    * like classic shingle-set Jaccard). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_union(a, b))
+    when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact Jaccard
+    * verification.
+    *
+    * Plan shape (scale-critical): tokenize → shingle → minhash (all
+    * row-local HOFs, no shuffle) → explode band keys → self-join on
+    * (band, bucket) [THE shuffle — LSH buckets are the join key, so cost is
+    * O(candidates), not O(n²)] → distinct pairs → verify Jaccard from the
+    * carried token arrays → filter ≥ threshold. */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val bandSize = numHashes / numBands
+    val toks = split(col(textCol), " ")
+    val withSig = df
+      .select(col(idCol).as("id"), wordShingles(toks, shingleK).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("bk", explode(bandKeys(col("sig"), numBands, bandSize)))
+      .select(col("id"), col("shingles"), col("bk.band"), col("bk.bucket"))
+
+    val l = withSig.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val r = withSig.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** SimHash near-duplicates: 64-bit fingerprints (kernel hash — engine
+    * independent), candidates via the pigeonhole trick (Hamming ≤ 3 over 64
+    * bits ⇒ at least one of the 4 16-bit blocks is equal), verified with
+    * exact Hamming distance. Shuffles on the 16-bit block keys. */
+  def simhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sims = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, Hashing.simhash64(if (text == null) "" else text)) }
+      .toDF("id", "simhash")
+
+    val blocked = sims.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+        .as("b"))
+      .select(col("id"), col("simhash"), col("b.blk"), col("b.key"))
+
+    val l = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("simhash").as("sim_a"))
+    val r = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("blk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Pairwise n-gram Jaccard within explicit candidate groups (a group
+    * column bounds the self-join — the caller chooses the blocking key). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      shingleK: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = df.select(
+      (groupCols.map(col) :+ col(idCol).as("id") :+
+        wordShingles(toks, shingleK).as("sh")): _*)
+    val l = base.select(groupCols.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
+    val r = base.select(groupCols.map(col) :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
+    l.join(r, groupCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.kernel.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata structs. The Spark side — schema, partitioning,
+  * per-partition batch shape — is real and tested; the decoder itself is a
+  * clearly-marked deterministic STUB (no image/audio libs ship in this
+  * container): it derives "decoded" metadata and features purely from the
+  * payload bytes, so tests are reproducible and swapping in a real codec
+  * only changes `decodeStub`. */
+object Multimodal {
+
+  final case class MediaRow(id: Long, kind: String, media: Array[Byte])
+  final case class DecodedMeta(
+      id: Long, kind: String, byte_len: Long, width: Int, height: Int,
+      frames: Int, feature: Array[Float])
+
+  /** STUB decoder — deterministic fake of an image/audio decode. A real
+    * implementation would parse the container format here; everything
+    * around it (batching, schema, null handling) is production shape. */
+  def decodeStub(id: Long, kind: String, media: Array[Byte]): DecodedMeta = {
+    if (media == null || media.isEmpty)
+      return DecodedMeta(id, kind, 0L, 0, 0, 0, Array.empty)
+    val h = Hashing.fnv1a(kind) ^ Hashing.mix(media.length.toLong * 31 + media(0))
+    val width = 64 + (math.abs(h) % 1024).toInt
+    val height = 64 + (math.abs(h >>> 16) % 1024).toInt
+    val frames = if (kind == "video") 1 + (math.abs(h >>> 32) % 300).toInt else 1
+    // fake 8-dim feature vector derived from byte content
+    val feature = Array.tabulate(8) { i =>
+      val hv = Hashing.mix(h + i)
+      ((hv & 0xFFFF).toFloat / 65535.0f) * 2.0f - 1.0f
+    }
+    DecodedMeta(id, kind, media.length.toLong, width, height, frames, feature)
+  }
+
+  /** Decode a media table: one decoder pass per partition over the binary
+    * column (the Scala analog of `mapInPandas` batches — rows stream through
+    * the partition iterator without materializing the partition). */
+  def decode(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("kind"), col("media"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r => decodeStub(r.id, r.kind, r.media)))
+      .toDF()
+  }
+
+  /** Frame sampling plan for video rows: every `stride`-th frame index —
+    * pure column math over decoded metadata (no decode round-trip). */
+  def frameSamplePlan(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.filter(col("kind") === "video" && col("frames") > 0)
+      .select(col("id"), col("frames"),
+        sequence(lit(0), col("frames") - 1, lit(stride)).as("sampled_frames"))
+      .withColumn("sample_count", size(col("sampled_frames")))
+
+  /** Resize plan: target boxes preserving aspect ratio (column math only —
+    * the actual pixel resize happens in the stubbed decode stage). */
+  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide.toDouble) / greatest(col("width"), lit(1)).cast("double"),
+      lit(maxSide.toDouble) / greatest(col("height"), lit(1)).cast("double"),
+      lit(1.0))
+    decoded.select(col("id"), col("width"), col("height"),
+      ceil(col("width") * scale).cast("int").as("target_width"),
+      ceil(col("height") * scale).cast("int").as("target_height"))
+  }
+
+  /** Deterministic synthetic media table (for tests/benches): binary
+    * payloads derived from ids. */
+  def synthMedia(spark: org.apache.spark.sql.SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val kind = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val len = 32 + (Hashing.mix(i) & 0x3FF).toInt
+      val bytes = Array.tabulate(len)(j => (Hashing.mix(i * 1000003L + j) & 0xFF).toByte)
+      MediaRow(i, kind, bytes)
+    }
+  }
+}

@@ -55,15 +55,28 @@ final case class KeyedPage(
   */
 object ExtractJob {
 
-  def run(spark: SparkSession, input: DataFrame, outDir: String, cfg: JobConfig): ExtractStats = {
-    import spark.implicits._
+  /** A11 counter accumulators. */
+  final case class Accums(
+      docs: LongAccumulator, pages: LongAccumulator, ocr: LongAccumulator,
+      empty: LongAccumulator, bytesIn: LongAccumulator, bytesOut: LongAccumulator)
 
-    val docsAcc = spark.sparkContext.longAccumulator("graft.docs")
-    val pagesAcc = spark.sparkContext.longAccumulator("graft.pages")
-    val ocrAcc = spark.sparkContext.longAccumulator("graft.ocr_needed")
-    val emptyAcc = spark.sparkContext.longAccumulator("graft.empty_extractions")
-    val bytesInAcc = spark.sparkContext.longAccumulator("graft.bytes_in")
-    val bytesOutAcc = spark.sparkContext.longAccumulator("graft.bytes_out")
+  def newAccums(spark: SparkSession): Accums = Accums(
+    spark.sparkContext.longAccumulator("graft.docs"),
+    spark.sparkContext.longAccumulator("graft.pages"),
+    spark.sparkContext.longAccumulator("graft.ocr_needed"),
+    spark.sparkContext.longAccumulator("graft.empty_extractions"),
+    spark.sparkContext.longAccumulator("graft.bytes_in"),
+    spark.sparkContext.longAccumulator("graft.bytes_out"))
+
+  /** The sink-free pipeline: relational prologue → salted repartition →
+    * kernel. Used directly by the flagship entry and the bench (no write). */
+  def transform(
+      spark: SparkSession,
+      input: DataFrame,
+      cfg: JobConfig,
+      accums: Option[Accums] = None,
+      doneBucketList: Seq[Int] = Seq.empty): Dataset[DocResult] = {
+    import spark.implicits._
 
     // -- relational prologue (Column exprs only → pushdown-friendly) --------
     var pages = input
@@ -73,14 +86,12 @@ object ExtractJob {
     val keyed = pages.withColumn(
       "bucket", pmod(xxhash64($"url"), lit(cfg.buckets)).cast("int"))
 
-    // J1 — checkpoint resume: left-anti against done buckets (broadcast —
-    // lineage has ≤ `buckets` rows).
+    // J1 — checkpoint resume: prune done buckets (a literal NOT IN — pushed
+    // into the parquet scan, strictly cheaper than an anti-join at ≤buckets
+    // values).
     val todo =
-      if (cfg.resume) {
-        val done = doneBuckets(spark, outDir)
-        if (done.isEmpty) keyed
-        else keyed.filter(!$"bucket".isin(done: _*))
-      } else keyed
+      if (doneBucketList.isEmpty) keyed
+      else keyed.filter(!$"bucket".isin(doneBucketList: _*))
 
     // -- the one explicit shuffle: bucket + salt (D3/D4 analog) -------------
     val nTasks =
@@ -92,21 +103,29 @@ object ExtractJob {
 
     // -- the kernel (one Extractor instance per partition, D6 analog) -------
     val probeCfg = cfg.probe
-    val results: Dataset[DocResult] = repart.mapPartitions { it =>
+    repart.mapPartitions { it =>
       val extractor = new Extractor(probeCfg)
       it.map { kp =>
         val bytesIn = if (kp.html == null) 0L else kp.html.length.toLong
         val ex = extractor.extract(kp.html)
         val row = toDocResult(kp, ex, bytesIn)
-        docsAcc.add(1)
-        pagesAcc.add(row.total_pages)
-        ocrAcc.add(row.ocr_page_count)
-        if (row.extracted_text.isEmpty) emptyAcc.add(1)
-        bytesInAcc.add(bytesIn)
-        bytesOutAcc.add(row.bytes_out)
+        accums.foreach { a =>
+          a.docs.add(1)
+          a.pages.add(row.total_pages)
+          a.ocr.add(row.ocr_page_count)
+          if (row.extracted_text.isEmpty) a.empty.add(1)
+          a.bytesIn.add(bytesIn)
+          a.bytesOut.add(row.bytes_out)
+        }
         row
       }
     }
+  }
+
+  def run(spark: SparkSession, input: DataFrame, outDir: String, cfg: JobConfig): ExtractStats = {
+    val acc = newAccums(spark)
+    val done = if (cfg.resume) doneBuckets(spark, outDir) else Seq.empty
+    val results = transform(spark, input, cfg, Some(acc), done)
 
     // -- sink: partitioned (bucketed-by-url-hash) parquet -------------------
     val mode = if (cfg.resume) "append" else "overwrite"
@@ -115,8 +134,8 @@ object ExtractJob {
     // -- lineage AFTER data commit (resume-safety ordering) -----------------
     writeLineage(spark, outDir, cfg, mode)
 
-    ExtractStats(docsAcc.value, pagesAcc.value, ocrAcc.value, emptyAcc.value,
-      bytesInAcc.value, bytesOutAcc.value)
+    ExtractStats(acc.docs.value, acc.pages.value, acc.ocr.value,
+      acc.empty.value, acc.bytesIn.value, acc.bytesOut.value)
   }
 
   def readDocs(spark: SparkSession, outDir: String): DataFrame =
