@@ -1,24 +1,55 @@
 package graft
+
+import graft.pipeline.{ExtractJob, JobConfig, SynthSource}
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR plus the flagship extraction pipeline's throughput,
+  * and prints exactly ONE JSON line. */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: JIT + codegen caches on a cheap query
+    try SparkEntry.queries("q35_lineitem_pricing")(spark, sfDir).count()
+    catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // flagship extraction throughput (docs/sec): synth corpus → kernel,
+    // sized with the sf dir so the bench scales with the driver's tier
+    val extractDocs: Long =
+      if (sfDir.contains("sf0.1")) 40000L
+      else if (sfDir.contains("sf0.01")) 8000L else 2000L
+    SynthSource.pages(spark, 500L, seed = 1L).toDF().count() // generator warmup
+    val input = SynthSource.pages(spark, extractDocs, seed = 42L).toDF()
+    val t0 = System.nanoTime()
+    val cnt = ExtractJob.transform(spark, input, JobConfig(buckets = 64)).count()
+    val extractSecs = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = cnt / extractSecs
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + extractSecs
+    println(
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
+      f""""extract_docs":$cnt,"extract_secs":$extractSecs%.4f,""" +
+      f""""extract_docs_per_sec":$docsPerSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

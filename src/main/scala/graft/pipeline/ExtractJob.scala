@@ -68,8 +68,15 @@ object ExtractJob {
     spark.sparkContext.longAccumulator("graft.bytes_in"),
     spark.sparkContext.longAccumulator("graft.bytes_out"))
 
-  /** The sink-free pipeline: relational prologue → salted repartition →
-    * kernel. Used directly by the flagship entry and the bench (no write). */
+  /** The sink-free pipeline: relational prologue → kernel, NARROW end to
+    * end — extraction is per-row, so no byte of raw `html` ever crosses a
+    * shuffle. Task sizing comes from the scan split
+    * (spark.sql.files.maxPartitionBytes bounds html bytes per task). The
+    * explicit bucket+salt repartition happens in `run`, AFTER the kernel,
+    * where the payload is the (smaller) extracted output — at 100 TB that
+    * ordering is the difference between shuffling 100 TB of html and
+    * shuffling ~30 TB of text. Used directly by the flagship entry and the
+    * bench (no write). */
   def transform(
       spark: SparkSession,
       input: DataFrame,
@@ -93,17 +100,9 @@ object ExtractJob {
       if (doneBucketList.isEmpty) keyed
       else keyed.filter(!$"bucket".isin(doneBucketList: _*))
 
-    // -- the one explicit shuffle: bucket + salt (D3/D4 analog) -------------
-    val nTasks =
-      if (cfg.tasks > 0) cfg.tasks
-      else math.max(cfg.buckets, spark.sparkContext.defaultParallelism * 2)
-    val repart = todo
-      .repartition(nTasks, $"bucket", pmod(xxhash64($"url", lit(7)), lit(cfg.saltFactor)))
-      .as[KeyedPage]
-
     // -- the kernel (one Extractor instance per partition, D6 analog) -------
     val probeCfg = cfg.probe
-    repart.mapPartitions { it =>
+    todo.as[KeyedPage].mapPartitions { it =>
       val extractor = new Extractor(probeCfg)
       it.map { kp =>
         val bytesIn = if (kp.html == null) 0L else kp.html.length.toLong
@@ -123,13 +122,24 @@ object ExtractJob {
   }
 
   def run(spark: SparkSession, input: DataFrame, outDir: String, cfg: JobConfig): ExtractStats = {
+    import spark.implicits._
     val acc = newAccums(spark)
     val done = if (cfg.resume) doneBuckets(spark, outDir) else Seq.empty
     val results = transform(spark, input, cfg, Some(acc), done)
 
+    // -- the one explicit shuffle: bucket + salt, post-kernel (D3/D4) -------
+    // Aligns writer tasks with output buckets (bounded file counts) and
+    // splits a hot bucket across saltFactor writers; the shuffle payload is
+    // extracted output, never raw html.
+    val nTasks =
+      if (cfg.tasks > 0) cfg.tasks
+      else math.max(cfg.buckets, spark.sparkContext.defaultParallelism * 2)
+    val placed = results.repartition(nTasks, $"bucket",
+      pmod(xxhash64($"url", lit(7)), lit(cfg.saltFactor)))
+
     // -- sink: partitioned (bucketed-by-url-hash) parquet -------------------
     val mode = if (cfg.resume) "append" else "overwrite"
-    results.write.mode(mode).partitionBy("bucket").parquet(s"$outDir/docs")
+    placed.write.mode(mode).partitionBy("bucket").parquet(s"$outDir/docs")
 
     // -- lineage AFTER data commit (resume-safety ordering) -----------------
     writeLineage(spark, outDir, cfg, mode)

@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.kernel.Hashing
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data operator tests: dedup family, similarity search, text
+  * analysis, multimodal plumbing — over small deterministic frames. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog near the shore", "a"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer rules here", "a"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river", "b"), // exact dup of 1
+    (5L, "tiny", "b"),
+    (6L, "another unrelated document mentioning parquet files and shuffles again", "b")
+  ).toDF("id", "text", "grp")
+
+  test("exact dedup: groups and keep-one") {
+    val groups = Dedup.exactGroups(docs, "id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("representative") == 1L)
+    assert(groups(0).getAs[Long]("dup_count") == 2L)
+
+    val kept = Dedup.dropExactDuplicates(docs, "id", "text")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L, 6L)) // 4 dropped (dup of 1)
+  }
+
+  test("minhash LSH finds the near-duplicate pair and nothing else") {
+    val pairs = Dedup.minhashNearDups(docs, "id", "text",
+      shingleK = 3, numHashes = 32, numBands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always survives
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup found
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash near-dups: hamming small for near-dups, large for unrelated") {
+    val a = Hashing.simhash64("the quick brown fox jumps over the lazy dog near the river")
+    val b = Hashing.simhash64("the quick brown fox jumps over the lazy dog near the shore")
+    val c = Hashing.simhash64("completely different text about spark catalyst optimizer rules")
+    assert(Hashing.hamming(a, b) < Hashing.hamming(a, c))
+    assert(Hashing.hamming(a, a) == 0)
+
+    val pairs = Dedup.simhashNearDups(docs, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical text → hamming 0
+  }
+
+  test("ngram jaccard within groups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", Seq("grp"),
+      shingleK = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.5))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosine similarity HOF: exact on known vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(2.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosineNearDups(df, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 3L, 1.0))) // parallel vectors, cosine exactly 1
+  }
+
+  test("brute-force top-k: correct neighbors and ranks") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1), "vec_id",
+      "embedding", k = 2)
+      .orderBy("rank").collect().map(r => r.getAs[Long]("neighbor_id"))
+    assert(top.toSeq == Seq(4L, 2L)) // 4 is closest to 1, then 2
+  }
+
+  test("LSH top-k: same-bucket neighbors found, recall ≤ brute force") {
+    val e = spark.range(200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * 0.7 + i.cast("double")).cast("float")).as("embedding"))
+    val brute = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 3)
+    val lsh = Similarity.lshTopK(e, e.filter($"vec_id" < 5), "vec_id", "embedding", 3,
+      numPlanes = 8, dim = 64)
+    assert(lsh.count() <= brute.count())
+    assert(lsh.count() > 0)
+  }
+
+  test("langid guess on marker-bearing texts") {
+    val df = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "der hund und die katze ist hier"),
+      (3L, "le chat et les chiens est ici"),
+      (4L, "xyz qqq www")).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.langIdGuess(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("wordOccurrences counts whole words incl. adjacent runs") {
+    val df = Seq((1L, "a a a b aa ba a")).toDF("id", "text")
+    val n = df.select(TextOps.wordOccurrences(col("text"), "a")).collect()(0).getLong(0)
+    assert(n == 4) // 'aa' and 'ba' must not count
+  }
+
+  test("token counts") {
+    val df = Seq((1L, "hello, world! 42 foo_bar")).toDF("id", "text")
+    val r = df.select(
+      TextOps.tokenCount(col("text")).as("ws"),
+      TextOps.bpeishTokenCount(col("text")).as("bpe")).collect()(0)
+    assert(r.getLong(0) == 4)
+    assert(r.getLong(1) == 6) // hello , world ! 42 foo_bar
+  }
+
+  test("fingerprints: deterministic, order-sensitive") {
+    assert(Hashing.rollingFingerprint("abc") == Hashing.rollingFingerprint("abc"))
+    assert(Hashing.rollingFingerprint("abc") != Hashing.rollingFingerprint("acb"))
+    val fp = TextOps.fingerprints(docs, "id", "text")
+    assert(fp.count() == 6)
+    val vals = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals(1L) == vals(4L)) // identical text → identical fingerprint
+  }
+
+  test("multimodal: stub decode schema, frame sampling, resize plans") {
+    val media = Multimodal.synthMedia(spark, 30L).toDF()
+    val decoded = Multimodal.decode(media)
+    assert(decoded.count() == 30)
+    assert(decoded.columns.toSet ==
+      Set("id", "kind", "byte_len", "width", "height", "frames", "feature"))
+    val d = decoded.collect()
+    assert(d.forall(_.getAs[Int]("width") >= 64))
+    assert(d.forall(_.getAs[Seq[Float]]("feature").length == 8))
+    // determinism across runs
+    val again = Multimodal.decode(media).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4))).toSet
+    assert(again == d.map(r => (r.getLong(0), r.getInt(3), r.getInt(4))).toSet)
+
+    val frames = Multimodal.frameSamplePlan(decoded, stride = 30)
+    assert(frames.filter(col("sample_count") < 1).count() == 0)
+    val resize = Multimodal.resizePlan(decoded, maxSide = 256).collect()
+    assert(resize.forall(r => r.getAs[Int]("target_width") <= 256 &&
+      r.getAs[Int]("target_height") <= 256))
+  }
+}
