@@ -463,6 +463,39 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // F9 — suggest_processing_method rule map (_analyzer.py:149-205):
+    // page_type/confidence → method, with the special-chars override
+    "q37_processing_method" -> ((s, dir) => {
+      val special = (col("doc_id") % 7).cast("double") / lit(20.0)
+      val base = pageFeatures(t(s, dir, "documents"))
+        .withColumn("special_ratio", special)
+        // jitter ±0.1 so the data reaches all six rule branches
+        .withColumn("conf", col("confidence") +
+          (col("doc_id") % 3).cast("double") / 10.0 - 0.1)
+      val method =
+        when(col("page_type") === "text" && col("conf") > 0.8, "direct_extraction")
+          .when(col("page_type") === "scanned" && col("conf") > 0.7, "ocr_required")
+          .when(col("page_type") === "mixed", "hybrid_processing")
+          .when(col("conf") < 0.5, "manual_review")
+          .otherwise("unknown")
+      base.select(col("doc_id"), col("special_ratio"),
+        when(method === "direct_extraction" && col("special_ratio") > 0.1,
+          "verify_with_ocr").otherwise(method).as("method"))
+    }),
+
+    // F8 — detect_ocr_artifacts via the kernel (Python-re lookarounds are
+    // not RE2-expressible, so no DuckDB oracle → rows-only check)
+    "q38_ocr_artifacts" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val a = graft.kernel.TextQuality.detectOcrArtifacts(text)
+          (id, a.artifactsFound.map(_.count).sum, a.confidence, a.errorRate)
+        }
+        .toDF("doc_id", "artifact_count", "artifact_confidence", "error_rate")
+    }),
+
     // S2 — input validation error channel: rows whose declared length
     // disagrees with the payload (none expected; schema contract check)
     "q36_validation_errors" -> ((s, dir) => {
@@ -813,6 +846,26 @@ object SparkEntry {
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+    m += "q37_processing_method" ->
+      s"""$featSql, j AS (
+        |  SELECT *, confidence + CAST(doc_id % 3 AS DOUBLE) / 10.0 - 0.1 AS conf
+        |  FROM p
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 7 AS DOUBLE) / 20.0 AS special_ratio,
+        |    CASE WHEN page_type = 'text' AND conf > 0.8
+        |           THEN 'direct_extraction'
+        |         WHEN page_type = 'scanned' AND conf > 0.7
+        |           THEN 'ocr_required'
+        |         WHEN page_type = 'mixed' THEN 'hybrid_processing'
+        |         WHEN conf < 0.5 THEN 'manual_review'
+        |         ELSE 'unknown' END AS m
+        |  FROM j)
+        |SELECT doc_id, special_ratio,
+        |  CASE WHEN m = 'direct_extraction' AND special_ratio > 0.1
+        |       THEN 'verify_with_ocr' ELSE m END AS method
+        |FROM f""".stripMargin
 
     m += "q36_validation_errors" ->
       """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,

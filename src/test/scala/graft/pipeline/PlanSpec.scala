@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4.2/§4.3): filters are pushed into
+  * the parquet scan, reporting queries never read the heavy columns, the
+  * relational prologue sits before the opaque typed kernel node, and the
+  * operators broadcast/shuffle where intended. These lock the 100 TB plan
+  * shape at test time, not just the row values. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val corpus: String = {
+    val dir = Files.createTempDirectory("graft_plan_corpus_").toString
+    SynthSource.writeCorpus(spark, 500L, 42L, dir)
+    dir
+  }
+
+  private lazy val outDir: String = {
+    val dir = Files.createTempDirectory("graft_plan_out_").toString
+    ExtractJob.run(spark, spark.read.parquet(corpus), dir, JobConfig(buckets = 8))
+    dir
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("lang filter and url non-null are pushed into the parquet scan") {
+    val df = ExtractJob.transform(spark, spark.read.parquet(corpus),
+      JobConfig(langFilter = Some("en")))
+    val p = plan(df.toDF())
+    assert(p.contains("PushedFilters"), p.take(800))
+    assert(p.contains("IsNotNull(url)"), "url non-null not pushed:\n" + p.take(1200))
+    assert(p.contains("EqualTo(lang,en)"), "lang filter not pushed:\n" + p.take(1200))
+  }
+
+  test("extraction hot path is narrow: no shuffle before the kernel") {
+    val df = ExtractJob.transform(spark, spark.read.parquet(corpus), JobConfig())
+    val p = plan(df.toDF())
+    val exchangeIdx = p.indexOf("Exchange")
+    val kernelIdx = p.indexOf("MapPartitions")
+    assert(kernelIdx >= 0, "kernel node missing")
+    // either no exchange at all, or only above (after) the kernel in the tree
+    assert(exchangeIdx < 0, s"unexpected shuffle in transform plan:\n${p.take(1500)}")
+  }
+
+  test("resume bucket pruning happens before the typed kernel boundary") {
+    val df = ExtractJob.transform(spark, spark.read.parquet(corpus), JobConfig(),
+      doneBucketList = Seq(1, 2, 3))
+    val p = plan(df.toDF())
+    val filterIdx = p.indexOf(" IN (1,2,3)")
+    val kernelIdx = p.indexOf("MapPartitions")
+    assert(filterIdx >= 0, "resume NOT-IN filter missing:\n" + p.takeRight(1500))
+    // plan prints top-down: the kernel (later stage) appears BEFORE the
+    // filter (earlier stage) in the string, so filter index > kernel index
+    assert(filterIdx > kernelIdx,
+      "resume filter is not below the kernel in the plan:\n" + p.take(1500))
+  }
+
+  test("reporting queries read only the cheap columns (column pruning)") {
+    val ps = ExtractJob.pageStats(spark, outDir)
+    val p = plan(Summary.corpusSummary(ps))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("extracted_text"),
+      s"summary scan reads extracted_text: $readSchema")
+    assert(!readSchema.contains("spans"), s"summary scan reads spans: $readSchema")
+    assert(readSchema.contains("page_stats"), readSchema)
+  }
+
+  test("bucket partition pruning on the output table") {
+    val docs = ExtractJob.readDocs(spark, outDir).filter(col("bucket") === 3)
+    val p = plan(docs)
+    // partition filters appear as PartitionFilters in the scan
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s+", " ").contains("(bucket"), p.take(1200))
+    assert(docs.count() > 0)
+  }
+
+  test("small dimension side of ANN brute-force is broadcast") {
+    val e = spark.read.parquet(s"/root/testdata/sf0.001/embeddings.parquet")
+    val top = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+      "embedding", 3)
+    assert(plan(top).contains("BroadcastNestedLoopJoin") ||
+      plan(top).contains("BroadcastHashJoin"), plan(top).take(1200))
+  }
+
+  test("exact dedup aggregates with a partial (map-side) phase") {
+    val ev = spark.read.parquet(s"/root/testdata/sf0.001/events.parquet")
+    val p = plan(Dedup.exactGroups(ev, "event_id", "props"))
+    // partial_min/partial_count markers indicate map-side combine
+    assert(p.contains("partial_"), p.take(1200))
+  }
+
+  test("minhash candidate join shuffles on the band bucket key") {
+    val docs = spark.read.parquet(s"/root/testdata/sf0.001/documents.parquet")
+    val p = plan(Dedup.minhashNearDups(docs, "doc_id", "text"))
+    // join keys must be the LSH band buckets (the whole point of the
+    // candidate-generation design); strategy may be broadcast at tiny scale
+    // or sort-merge at real scale — both acceptable, keys are not.
+    val joinLine = p.linesIterator.find(_.contains("Join [band#")).getOrElse("")
+    assert(joinLine.nonEmpty, "no join keyed on band buckets:\n" +
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(joinLine.contains("bucket#"), joinLine)
+  }
+
+  test("whole-stage codegen covers the relational operators") {
+    // codegen'd stages print with the "*(n)" marker in executedPlan
+    val fq = graft.SparkEntry.queries("q01_classify_needs_ocr")(
+      spark, "/root/testdata/sf0.001")
+    assert(plan(fq).startsWith("*("), plan(fq).take(400))
+  }
+}
