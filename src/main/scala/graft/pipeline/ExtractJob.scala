@@ -198,6 +198,10 @@ object ExtractJob {
     lineage.write.mode(mode).parquet(s"$outDir/lineage")
   }
 
+  /** Public alias for the streaming module (same row mapping). */
+  def toDocResultPublic(kp: KeyedPage, ex: DocExtract, bytesIn: Long): DocResult =
+    toDocResult(kp, ex, bytesIn)
+
   private[pipeline] def toDocResult(kp: KeyedPage, ex: DocExtract, bytesIn: Long): DocResult = {
     val stats = ex.pageResults.map { r =>
       PageStat(

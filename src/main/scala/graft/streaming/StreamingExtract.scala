@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.kernel.Extractor
+import graft.model.DocResult
+import graft.pipeline.{ExtractJob, JobConfig, KeyedPage}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Continuous extraction over an append-only Page-table directory —
+  * Structured Streaming around the SAME kernel the batch job runs.
+  *
+  * The reference is strictly batch (SURVEY.md §2.12) and the north rule's
+  * resumability is batch-with-lineage; this module is the engine-side
+  * extension for pipelines that land new WARC partitions continuously:
+  * `readStream` file source → narrow kernel `mapPartitions` → partitioned
+  * parquet sink with exactly-once file-source checkpointing (the streaming
+  * analog of the lineage resume — already-seen files are never reprocessed).
+  */
+object StreamingExtract {
+
+  /** The Page-table schema (BASELINE.json input_hint). */
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Streaming variant of ExtractJob.transform: same prologue + kernel. */
+  def transform(spark: SparkSession, pages: DataFrame, cfg: JobConfig): Dataset[DocResult] = {
+    import spark.implicits._
+    var in = pages.select($"url", $"warc_ts", $"html", $"lang")
+      .filter($"url".isNotNull)
+    cfg.langFilter.foreach(l => in = in.filter($"lang" === l))
+    val keyed = in.withColumn(
+      "bucket", pmod(xxhash64($"url"), lit(cfg.buckets)).cast("int"))
+    val probeCfg = cfg.probe
+    keyed.as[KeyedPage].mapPartitions { it =>
+      val extractor = new Extractor(probeCfg)
+      it.map { kp =>
+        val bytesIn = if (kp.html == null) 0L else kp.html.length.toLong
+        ExtractJob.toDocResultPublic(kp, extractor.extract(kp.html), bytesIn)
+      }
+    }
+  }
+
+  /** Start the continuous extraction query: new parquet files appearing
+    * under `inputDir` are extracted exactly once (file-source checkpoint)
+    * into bucket-partitioned parquet under `outDir`. */
+  def start(spark: SparkSession, inputDir: String, outDir: String,
+      checkpoint: String, cfg: JobConfig = JobConfig(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val pages = spark.readStream.schema(pageSchema).parquet(inputDir)
+    transform(spark, pages, cfg)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/docs")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("bucket")
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Watermarked, windowed status counts over event time (`warc_ts`):
+    * the classic streaming aggregation shape — watermark bounds state, the
+    * window tumbles per `window` duration. */
+  def windowedStatusCounts(docs: Dataset[DocResult], window: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs.toDF()
+      .withWatermark("warc_ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("warc_ts"), window),
+        col("status"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("ocr_page_count").cast("long")).as("ocr_pages"))
+
+  /** Per-host running extraction stats via mapGroupsWithState — the custom
+    * stateful-operator shape (KeyValueGroupedDataset.mapGroupsWithState):
+    * tracks cumulative docs / OCR pages / empty extractions per host across
+    * micro-batches. */
+  final case class HostStats(host: String, docs: Long, ocrPages: Long, empty: Long)
+
+  def hostStats(docs: Dataset[DocResult]): Dataset[HostStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(d => hostOf(d.url))
+      .mapGroupsWithState[HostStats, HostStats](GroupStateTimeout.NoTimeout()) {
+        (host: String, rows: Iterator[DocResult], state: GroupState[HostStats]) =>
+          val prev = state.getOption.getOrElse(HostStats(host, 0L, 0L, 0L))
+          var d = prev.docs; var o = prev.ocrPages; var e = prev.empty
+          rows.foreach { r =>
+            d += 1
+            o += r.ocr_page_count
+            if (r.extracted_text.isEmpty) e += 1
+          }
+          val next = HostStats(host, d, o, e)
+          state.update(next)
+          next
+      }
+  }
+
+  private[streaming] def hostOf(url: String): String = {
+    val noScheme = url.indexOf("://") match {
+      case -1 => url
+      case i => url.substring(i + 3)
+    }
+    val slash = noScheme.indexOf('/')
+    if (slash < 0) noScheme else noScheme.substring(0, slash)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.tools
+
+import java.util.SplittableRandom
+
+import graft.api.{GraftFunctions, OcrDetection}
+import graft.kernel.Synth
+import graft.pipeline.{JobConfig, SynthSource}
+import graft.streaming.StreamingExtract
+import org.apache.spark.sql.SparkSession
+
+/** Drives the public API surface end-to-end the way a library user would:
+  * per-document detect, expert summary, SQL functions, and the streaming
+  * extraction query. `sbt "runMain graft.tools.ApiDemo"`. */
+object ApiDemo {
+  def main(args: Array[String]): Unit = {
+    // --- per-document API (no Spark needed) -------------------------------
+    val scanned = OcrDetection.payloadOf(Synth.pdfScanned(new SplittableRandom(7), 9))
+    val r = OcrDetection.detectOcr(scanned, includeImages = true)
+    println(s"[api] detect_ocr(scanned-9): status=${r.status} pages=${r.pages} " +
+      s"images=${r.pageImages.size}")
+
+    val det = new OcrDetection()
+    val summary = det.summary(det.analyzeAllPages(scanned))
+    println(s"[api] summary: ${summary.recommendedAction}; " +
+      graft.kernel.DocSummary.pageSummary(summary.problematic))
+
+    // --- SQL functions + streaming (Spark) --------------------------------
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-api-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("The court heard the case and the law was applied to the appeal.")
+      .toDF("t").createOrReplaceTempView("texts")
+    println("[api] sql: " + spark.sql(
+      "SELECT graft_quality_score(t) q, graft_simhash(t) s FROM texts")
+      .collect()(0))
+
+    val in = java.nio.file.Files.createTempDirectory("api_demo_in_").toString
+    val out = java.nio.file.Files.createTempDirectory("api_demo_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("api_demo_ckpt_").toString
+    SynthSource.pages(spark, 100L).toDF().coalesce(1).write.mode("append").parquet(in)
+    StreamingExtract.start(spark, in, out, ckpt, JobConfig(buckets = 4))
+      .awaitTermination()
+    val n = spark.read.parquet(s"$out/docs").count()
+    println(s"[api] streaming extracted $n docs")
+    spark.stop()
+  }
+}

@@ -136,6 +136,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(ExtractJob.readDocs(spark, out).count() == N)
   }
 
+  test("includeImages and accuracy mode flow through the pipeline") {
+    import graft.kernel.ProbeConfig
+    val out = tmp()
+    val input = SynthSource.pages(spark, 100L, seed = 3L).toDF()
+    ExtractJob.run(spark, input, out,
+      JobConfig(probe = ProbeConfig(includeImages = true, accuracyMode = true),
+        buckets = 4))
+    val docs = ExtractJob.readDocs(spark, out).cache()
+    // image contract (test_base64_images.py:38-40): keys == pages for docs
+    // that need OCR; empty map otherwise
+    val rows = docs.select("pages", "page_images", "doc_kind").collect()
+    rows.foreach { r =>
+      val pages = r.getAs[Seq[Int]]("pages").toSet
+      val keys = r.getAs[Map[Int, String]]("page_images").keySet
+      if (r.getAs[String]("doc_kind") == "pdf") assert(keys == pages)
+      else assert(keys.isEmpty)
+    }
+    // accuracy mode: no fast-path rows (analyze_page always full)
+    val fast = ExtractJob.pageStats(spark, out)
+      .filter(col("analysis_mode") === "fast").count()
+    assert(fast == 0)
+    docs.unpersist()
+  }
+
   test("corpus summary and problematic pages run off the output table") {
     val out = tmp()
     ExtractJob.run(spark, SynthSource.pages(spark, N, seed = 5L).toDF(), out,

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.pipeline.{ExtractJob, JobConfig, SynthSource}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming extraction tests: exactly-once file-source processing with
+  * checkpoint resume across restarts, windowed aggregation with watermark,
+  * and the stateful per-host monitor. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_stream_").toString
+
+  test("continuous extraction: new files are processed exactly once across restarts") {
+    val inputDir = tmp(); val outDir = tmp(); val checkpoint = tmp()
+
+    // batch 1: 120 docs land
+    SynthSource.pages(spark, 120L, seed = 42L).toDF()
+      .coalesce(1).write.mode("append").parquet(inputDir)
+    val q1 = StreamingExtract.start(spark, inputDir, outDir, checkpoint,
+      JobConfig(buckets = 8))
+    q1.awaitTermination()
+    val afterFirst = spark.read.parquet(s"$outDir/docs").count()
+    assert(afterFirst == 120)
+
+    // batch 2: 80 more docs land (disjoint index slice → disjoint urls)
+    SynthSource.pagesRange(spark, 120L, 200L, seed = 42L).toDF()
+      .coalesce(1).write.mode("append").parquet(inputDir)
+    val q2 = StreamingExtract.start(spark, inputDir, outDir, checkpoint,
+      JobConfig(buckets = 8))
+    q2.awaitTermination()
+
+    val docs = spark.read.parquet(s"$outDir/docs")
+    assert(docs.count() == 200) // NOT 320: batch-1 files not reprocessed
+
+    // extraction results are identical to the batch pipeline's
+    val batch = ExtractJob.transform(spark,
+      SynthSource.pages(spark, 120L, seed = 42L).toDF(), JobConfig(buckets = 8))
+      .select("url", "status", "extracted_text")
+    val streamed = docs.select("url", "status", "extracted_text")
+      .join(batch.select(col("url").as("u")), col("url") === col("u"), "left_semi")
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("windowed status counts with watermark over event time") {
+    val docs = ExtractJob.transform(spark,
+      SynthSource.pages(spark, 200L, seed = 5L).toDF(), JobConfig(buckets = 8))
+    // batch execution of the same aggregation shape (windows over warc_ts)
+    val counts = StreamingExtract.windowedStatusCounts(docs, "1 minute")
+    val rows = counts.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("docs")).sum
+    assert(total == 200)
+    // warc_ts advances 1s per doc → 200s spread over ≥3 one-minute windows
+    assert(rows.map(_.getAs[org.apache.spark.sql.Row]("window")).distinct.length >= 3)
+  }
+
+  test("stateful per-host stats accumulate") {
+    val docs = ExtractJob.transform(spark,
+      SynthSource.pages(spark, 150L, seed = 9L).toDF(), JobConfig(buckets = 8))
+    val stats = StreamingExtract.hostStats(docs).collect()
+    assert(stats.map(_.docs).sum == 150)
+    // the skewed generator sends ~30% to hot-host-0
+    val hot = stats.find(_.host.startsWith("hot-host-0")).map(_.docs).getOrElse(0L)
+    assert(hot > 20, s"hot host only $hot docs")
+  }
+
+  test("hostOf parsing") {
+    assert(StreamingExtract.hostOf("https://a.example/x/y") == "a.example")
+    assert(StreamingExtract.hostOf("a.example/x") == "a.example")
+    assert(StreamingExtract.hostOf("https://a.example") == "a.example")
+  }
+}
