@@ -151,14 +151,26 @@ object Synth {
     PdfDoc(pages)
   }
 
-  /** Mixed doc: text pages + scanned pages + an empty page → "partial". */
+  /** Mixed doc: text, scanned, text+images (→ MIXED page type at full
+    * analysis) and empty pages → "partial" status and all four PageTypes. */
   def pdfMixed(rng: SplittableRandom, nPages: Int): PdfDoc = {
     val text = pdfText(rng, nPages)
     val scan = pdfScanned(rng, nPages)
     val pages = Vector.tabulate(nPages) { i =>
-      i % 3 match {
+      i % 4 match {
         case 0 => text.pages(i)
         case 1 => scan.pages(i)
+        case 2 => // 250–450 chars of quality prose + 3 content images → the
+          // fast path yields MIXED at 0.7, escalates, and full analysis
+          // lands in the >2-content-images MIXED branch. The medium page
+          // (odd index in pdfText) is required: a >500-char page would be
+          // fast-accepted as TEXT before the image check (_detector.py:475).
+          val imgs = Vector.tabulate(3) { k =>
+            PdfImage(400, 300,
+              Vector(PdfRect(50 + k * 150, 100, 150 + k * 150, 250)),
+              s"FIG-$k".getBytes("US-ASCII"))
+          }
+          text.pages(i - 1).copy(images = imgs)
         case _ => PdfPage(612, 792, "", None, Vector.empty) // empty page
       }
     }
