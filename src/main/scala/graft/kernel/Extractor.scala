@@ -86,24 +86,40 @@ final class Extractor(cfg: ProbeConfig) {
     val text = ex.text
     val textLength = text.length
 
-    // The html payload is one pseudo-page: classify the extracted main text
-    // with the same enhanced classifier (C1). Geometry-free: text_ratio and
-    // image_ratio have no meaning for html, so 0.0; <img> count plays the
+    // The html payload is one pseudo-page classified with the same two-tier
+    // scheme the reference applies to PDF pages (C4, _detector.py:512-546):
+    // in performance mode a cheap C3 pass runs first on the extracted text
+    // (nominal letter-page geometry for the ratio estimates) and is accepted
+    // at confidence ≥ 0.8 — no text-quality scoring; otherwise the full C1
+    // with metrics. Geometry-free: image_ratio 0.0; <img> count plays the
     // content-image role (image-only page detection per the north star).
-    val metrics = TextQuality.analyze(text)
-    val (pageType, confidence) = Classifier.classifyEnhanced(
-      0.0, 0.0, textLength, ex.imageCount, metrics, 0.0)
+    val nominalArea = 612.0 * 792.0
+    val (estTr, estIr) = Classifier.fastEstimates(textLength, nominalArea, ex.imageCount)
+    val fastResult =
+      if (cfg.performanceMode) Some(Classifier.classifyFast(textLength, ex.imageCount, estTr, estIr))
+      else None
 
     val preview =
       if (text.length > 200) text.substring(0, 200) + "..." else text
 
-    val pa = PageAnalysis(0, pageType, confidence, 0.0, 0.0, textLength,
-      ex.imageCount, text, "html", preview, metrics.ocrQualityScore,
-      metrics.textDensity, metrics.formattingConsistency,
-      hasTextQuality = true, analysisMode = "html", pageImage = None,
-      error = None)
+    val pa = fastResult match {
+      case Some((fastType, fastConf)) if fastConf >= 0.8 =>
+        PageAnalysis(0, fastType, fastConf, estTr, estIr, textLength,
+          ex.imageCount, text, "html", preview, 0.0, 0.0, 0.0,
+          hasTextQuality = false, analysisMode = "html_fast", pageImage = None,
+          error = None)
+      case _ =>
+        val metrics = TextQuality.analyzeForPipeline(text)
+        val (pageType, confidence) = Classifier.classifyEnhanced(
+          0.0, 0.0, textLength, ex.imageCount, metrics, 0.0)
+        PageAnalysis(0, pageType, confidence, 0.0, 0.0, textLength,
+          ex.imageCount, text, "html", preview, metrics.ocrQualityScore,
+          metrics.textDensity, metrics.formattingConsistency,
+          hasTextQuality = true, analysisMode = "html", pageImage = None,
+          error = None)
+    }
 
-    val needs = NeedsOcr(pageType, textLength, confidence,
+    val needs = NeedsOcr(pa.pageType, textLength, pa.confidence,
       pa.qualityForNeedsOcr, cfg.confidenceThreshold)
     val pages = if (needs) Vector(1) else Vector.empty[Int]
 

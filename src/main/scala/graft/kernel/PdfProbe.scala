@@ -135,7 +135,7 @@ final class PdfProbe(cfg: ProbeConfig) {
     val imageRatio = if (pageArea > 0) imageInfo.meaningfulImageArea / pageArea else 0.0
     val backgroundRatio = imageInfo.backgroundCoverageRatio
 
-    val metrics = TextQuality.analyze(extractedText)
+    val metrics = TextQuality.analyzeForPipeline(extractedText)
     val (pageType, confidence) = Classifier.classifyEnhanced(
       textRatio, imageRatio, textLength, imageInfo.contentImageCount,
       metrics, backgroundRatio)

@@ -76,7 +76,17 @@ object TextQuality {
     "plaintiff", "defendant")
 
   /** F1 — `analyze_text_quality` (_analyzer.py:31-67). */
-  def analyze(text: String): TextMetrics = {
+  def analyze(text: String): TextMetrics = analyzeImpl(text, full = true)
+
+  /** Pipeline-mode metrics: identical values for every field the pipeline
+    * consumes (ocr_quality_score, text_density, formatting_consistency,
+    * char/word counts), but skips the structured-content and
+    * language-indicator regex passes that no classifier or output column
+    * reads (C1 uses only quality + density; PageStat stores only the three
+    * scores). The full variant stays the API/SQL surface. */
+  def analyzeForPipeline(text: String): TextMetrics = analyzeImpl(text, full = false)
+
+  private def analyzeImpl(text: String, full: Boolean): TextMetrics = {
     if (text == null || text.isEmpty) return TextMetrics.empty
 
     val charCount = text.length
@@ -88,14 +98,26 @@ object TextQuality {
     val avgWordLength =
       if (words.nonEmpty) Py.meanInt(words.map(_.length)) else 0.0
 
-    val structured = detectStructuredContent(text)
-    val (english, numeric, specialChars) = analyzeLanguageIndicators(text)
+    val structured = full && detectStructuredContent(text)
+    val (english, numeric, specialChars) =
+      if (full) analyzeLanguageIndicators(text) else (0.0, 0.0, 0.0)
     val quality = calculateOcrQualityScore(text, words, lines)
-    val density = calculateTextDensity(text, lines)
+    // text density re-derives the same word count the reference recomputes
+    // via a second findall (_analyzer.py:317) — wordCount is that value
+    val density = textDensityFromCounts(wordCount, lines, text)
     val formatting = analyzeFormattingConsistency(text, lines)
 
     TextMetrics(charCount, wordCount, lineCount, avgWordLength, structured,
       english, numeric, specialChars, quality, density, formatting)
+  }
+
+  private def textDensityFromCounts(totalWords: Int, lines: Array[String], text: String): Double = {
+    if (text.isEmpty || lines.isEmpty) return 0.0
+    val nonEmptyLines = lines.count(l => Py.strip(l).nonEmpty)
+    if (nonEmptyLines == 0) return 0.0
+    val avgWordsPerLine = totalWords.toDouble / nonEmptyLines
+    if (avgWordsPerLine >= 5) math.min(avgWordsPerLine / 15, 1.0)
+    else avgWordsPerLine / 5
   }
 
   /** F3 — ≥2 of 6 structure regexes match (_analyzer.py:70-83). */
