@@ -496,6 +496,17 @@ object SparkEntry {
         .toDF("doc_id", "artifact_count", "artifact_confidence", "error_rate")
     }),
 
+    // Semi-structured: JSON field extraction from the props column +
+    // grouped integer aggregation (web-scale metadata columns are JSON)
+    "q39_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_count"),
+          max(col("k")).as("k_max"))
+    }),
+
     // S2 — input validation error channel: rows whose declared length
     // disagrees with the payload (none expected; schema contract check)
     "q36_validation_errors" -> ((s, dir) => {
@@ -866,6 +877,13 @@ object SparkEntry {
         |  CASE WHEN m = 'direct_extraction' AND special_ratio > 0.1
         |       THEN 'verify_with_ocr' ELSE m END AS method
         |FROM f""".stripMargin
+
+    m += "q39_json_extract" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  count(json_extract_string(props, '$.k')) AS k_count,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin
 
     m += "q36_validation_errors" ->
       """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,
