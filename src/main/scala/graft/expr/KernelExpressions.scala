@@ -1,0 +1,82 @@
+package graft.expr
+
+import graft.kernel.Hashing
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the kernel's hash functions.
+  *
+  * These are the custom-`Expression` tier of the extension ladder (compose
+  * built-ins → native Expression → custom plan): unlike a Scala UDF or a
+  * typed `Dataset.map`, they participate in whole-stage codegen — the
+  * generated Java calls the kernel's static method directly on the
+  * column's UTF8String, with no row deserialization, no closure dispatch
+  * and no typed-boundary `DeserializeToObject`/`SerializeFromObject` pair
+  * around them. Used by Dedup.simhashNearDups so the whole candidate
+  * pipeline stays inside codegen. (Scala objects emit static forwarders,
+  * so `graft.kernel.Hashing.simhash64(String)` is a valid Java call in
+  * generated code.)
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    Hashing.simhash64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.kernel.Hashing.simhash64($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint64"
+
+  override def nullSafeEval(input: Any): Any =
+    Hashing.rollingFingerprint(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.kernel.Hashing.rollingFingerprint($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
+    copy(child = newChild)
+}
+
+object KernelExpressions {
+
+  /** Idempotent registration in the session's function registry; the
+    * expressions are then usable from SQL and via the Column helpers. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64Expr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_fingerprint64",
+      exprs => RollingFingerprintExpr(exprs.head), "built-in")
+  }
+
+  /** Column helpers (register + refer by name — version-stable across the
+    * Spark 4 Column/ColumnNode split). */
+  def simhash64(spark: SparkSession, colName: String): Column = {
+    register(spark)
+    expr(s"graft_simhash64($colName)")
+  }
+
+  def fingerprint64(spark: SparkSession, colName: String): Column = {
+    register(spark)
+    expr(s"graft_fingerprint64($colName)")
+  }
+}

@@ -109,19 +109,21 @@ object Dedup {
   /** SimHash near-duplicates: 64-bit fingerprints (kernel hash — engine
     * independent), candidates via the pigeonhole trick (Hamming ≤ 3 over 64
     * bits ⇒ at least one of the 4 16-bit blocks is equal), verified with
-    * exact Hamming distance. Shuffles on the 16-bit block keys. */
+    * exact Hamming distance. Shuffles on the 16-bit block keys. The
+    * fingerprint is a native codegen'd Catalyst expression
+    * (graft.expr.SimHash64Expr), so the whole candidate pipeline stays
+    * inside whole-stage codegen — no typed boundary. */
   def simhashNearDups(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
+    graft.expr.KernelExpressions.register(spark)
     val sims = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, Hashing.simhash64(if (text == null) "" else text)) }
-      .toDF("id", "simhash")
+      .withColumn("simhash", expr("graft_simhash64(coalesce(text, ''))"))
+      .select(col("id"), col("simhash"))
 
     val blocked = sims.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>

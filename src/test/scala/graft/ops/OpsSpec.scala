@@ -124,6 +124,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 6) // hello , world ! 42 foo_bar
   }
 
+  test("native SimHash64 expression: codegen'd, value-identical to the kernel") {
+    graft.expr.KernelExpressions.register(spark)
+    val df = docs.select(col("id"), col("text"),
+      expr("graft_simhash64(text)").as("native"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == graft.kernel.Hashing.simhash64(r.getString(1)))
+    }
+    // over a file relation the projection runs inside whole-stage codegen —
+    // no typed boundary (a local Seq relation would be constant-folded)
+    val onParquet = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(expr("graft_simhash64(text)").as("native"))
+    val plan = onParquet.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan.take(500))
+    assert(plan.startsWith("*("), plan.take(200))
+    assert(onParquet.count() == 500)
+    // null-safety through SQL
+    val n = spark.sql("SELECT graft_simhash64(CAST(NULL AS STRING))").collect()(0)
+    assert(n.isNullAt(0))
+    // fingerprint expression too
+    val fp = docs.select(col("text"), expr("graft_fingerprint64(text)")).collect()
+    fp.foreach(r => assert(r.getLong(1) ==
+      graft.kernel.Hashing.rollingFingerprint(r.getString(0))))
+  }
+
   test("fingerprints: deterministic, order-sensitive") {
     assert(Hashing.rollingFingerprint("abc") == Hashing.rollingFingerprint("abc"))
     assert(Hashing.rollingFingerprint("abc") != Hashing.rollingFingerprint("acb"))
