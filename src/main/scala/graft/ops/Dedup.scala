@@ -152,9 +152,11 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.3): DataFrame = {
     val toks = split(col(textCol), " ")
+    // set semantics anyway (array_intersect/union dedup) — dedup once per
+    // row here instead of implicitly per candidate pair
     val base = df.select(
       (groupCols.map(col) :+ col(idCol).as("id") :+
-        wordShingles(toks, shingleK).as("sh")): _*)
+        array_distinct(wordShingles(toks, shingleK)).as("sh")): _*)
     val l = base.select(groupCols.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
     val r = base.select(groupCols.map(col) :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
     l.join(r, groupCols)
