@@ -496,6 +496,16 @@ object SparkEntry {
         .toDF("doc_id", "artifact_count", "artifact_confidence", "error_rate")
     }),
 
+    // Skew pattern: two-phase salted aggregation — identical results to a
+    // plain GROUP BY (the oracle), but the hot key spreads over 8 partial
+    // groups in phase 1
+    "q40_salted_agg" -> ((s, dir) => {
+      val withCents = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      graft.ops.ScalePatterns.saltedCounts(withCents, "event_type",
+        saltFactor = 8, sumCols = Seq("cents"))
+    }),
+
     // Semi-structured: JSON field extraction from the props column +
     // grouped integer aggregation (web-scale metadata columns are JSON)
     "q39_json_extract" -> ((s, dir) => {
@@ -877,6 +887,11 @@ object SparkEntry {
         |  CASE WHEN m = 'direct_extraction' AND special_ratio > 0.1
         |       THEN 'verify_with_ocr' ELSE m END AS method
         |FROM f""".stripMargin
+
+    m += "q40_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY event_type""".stripMargin
 
     m += "q39_json_extract" ->
       """SELECT event_type,

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns the 100 TB deployment leans on, packaged as reusable
+  * operators: bucketed co-located joins (no shuffle at join time) and
+  * two-phase salted aggregation for skewed keys. */
+object ScalePatterns {
+
+  /** Persist a DataFrame as a bucketed+sorted table: joins/aggregations on
+    * `keyCol` between tables bucketed the same way need NO shuffle — the
+    * bucketing is the shuffle, paid once at write time. This is the
+    * catalog-table analog of the pipeline's pmod-bucketed directory layout.
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — plan contains no
+    * Exchange on either side (asserted in ScalePatternsSpec). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      keyCol: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(keyCol))
+
+  /** Two-phase salted aggregation for skewed grouping keys (the hot-host
+    * case): phase 1 aggregates on (key, salt) — the hot key's rows spread
+    * over `saltFactor` reducers — phase 2 merges the partials per key.
+    * Generalizes to any algebraic aggregate; count/sum provided. */
+  def saltedCounts(df: DataFrame, keyCol: String, saltFactor: Int,
+      sumCols: Seq[String] = Seq.empty): DataFrame = {
+    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+    val partialAggs: Seq[Column] =
+      count(lit(1)).as("_cnt") +: sumCols.map(c => sum(col(c)).as(s"_sum_$c"))
+    val partial = df
+      .withColumn("_salt", salt)
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs: Seq[Column] =
+      sum(col("_cnt")).as("cnt") +: sumCols.map(c => sum(col(s"_sum_$c")).as(s"sum_$c"))
+    partial.groupBy(col(keyCol)).agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}
