@@ -46,7 +46,43 @@ object GenHtmlGoldens {
         "<style>.a{color:red}</style></head><body><!-- hidden -->" +
         "<p>The visible paragraph talks about the appeal and the petition at " +
         "length so that it counts as main content for the extraction engine" +
-        "</p><!-- more hidden --></body></html>")
+        "</p><!-- more hidden --></body></html>"),
+      "blockquote_pre" -> ("<html><body><main><p>The ruling of the appellate " +
+        "court was discussed at length in the commentary that follows below " +
+        "this paragraph of the introduction</p><blockquote>The court finds " +
+        "that the petition lacks standing and the appeal must therefore be " +
+        "dismissed with costs awarded to the defendant</blockquote><pre>" +
+        "verbatim   spacing    preserved\nin the source but normalized here" +
+        "</pre></main></body></html>"),
+      "definition_list" -> ("<html><body><dl><dt>Appeal procedure overview</dt>" +
+        "<dd>The process by which a case from the lower court is reviewed by " +
+        "the appellate court for errors of law committed during the trial" +
+        "</dd><dt>Petition</dt><dd>A formal written request submitted to the " +
+        "court asking it to exercise its authority in some specified manner " +
+        "on behalf of the petitioner</dd></dl></body></html>"),
+      "nested_lists_tables" -> ("<html><body><table><tr><td><ul><li>The first " +
+        "nested item describes the evidence submitted by the plaintiff during " +
+        "the initial hearing at the district court</li><li>The second nested " +
+        "item covers the objections raised by the defendant and the rulings " +
+        "made on each objection by the presiding judge</li></ul></td></tr>" +
+        "</table></body></html>"),
+      "rtl_and_emoji" -> ("<html><body><nav><a href='/'>الرئيسية</a></nav>" +
+        "<main><p>المحكمة استمعت إلى القضية وطبقت القانون على الاستئناف " +
+        "المقدم من المدعي في الجلسة الصباحية يوم الاثنين الماضي بحضور " +
+        "جميع الأطراف المعنية بالقضية</p><p>The follow-up paragraph 🎯 " +
+        "contains emoji 🚀 and the usual discussion of the court case and " +
+        "the appeal with enough words to be kept as content ✅ by the " +
+        "classifier</p></main></body></html>"),
+      "article_header_inside" -> ("<html><body><article><header><h1>The " +
+        "headline of the piece about the appeal</h1></header><p>The body of " +
+        "the article describes the case and the order of the court at length " +
+        "so the extractor keeps it even though its sibling header block sits " +
+        "inside a semantic header container</p></article><footer><a href='/'>" +
+        "home</a></footer></body></html>"),
+      "whitespace_entities" -> ("<html><body><p>The&nbsp;court&nbsp;heard " +
+        " the   case \n\n and \t the law&#32;was applied to the appeal of " +
+        "the plaintiff with the usual arguments presented by counsel" +
+        "</p></body></html>")
     )
   }
 
