@@ -23,7 +23,22 @@ class ScalePatternsSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  /** Drop the table AND its location: when suites share one JVM session the
+    * per-suite warehouse.dir is ignored (static conf), so a stale location
+    * from an earlier run would collide with CREATE TABLE. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   test("bucketed join: co-located tables join without any Exchange") {
+    resetTable("bkt_left"); resetTable("bkt_right")
     val left = spark.range(10000).select(col("id").as("k"),
       (col("id") % 97).as("v1"))
     val right = spark.range(10000).select(col("id").as("k"),
