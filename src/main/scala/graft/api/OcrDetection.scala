@@ -57,6 +57,26 @@ final class OcrDetection(cfg: OcrDetection.Config = OcrDetection.Config()) {
   /** Table-scale transform without a sink. */
   def extractDataset(spark: SparkSession, input: Dataset[Page]): Dataset[graft.model.DocResult] =
     ExtractJob.transform(spark, input.toDF(), JobConfig(probe = probeCfg))
+
+  /** `detect` over any (id, binary payload) columns — no Page schema
+    * required. One kernel instance per partition, one result row per input
+    * row (status + 1-indexed pages + page count, like simple.py's dict). */
+  def detectColumn(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cfgLocal = probeCfg
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("string").as("id"),
+        org.apache.spark.sql.functions.col(payloadCol).as("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val ex = new Extractor(cfgLocal)
+        it.map { case (id, payload) =>
+          val r = ex.extract(payload)
+          (id, r.status, r.pages.toArray, r.totalPages, r.docKind)
+        }
+      }
+      .toDF(idCol, "status", "pages", "total_pages", "doc_kind")
+  }
 }
 
 object OcrDetection {

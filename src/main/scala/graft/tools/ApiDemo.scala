@@ -38,6 +38,12 @@ object ApiDemo {
       "SELECT graft_quality_score(t) q, graft_simhash(t) s FROM texts")
       .collect()(0))
 
+    // detect over an arbitrary binary column
+    val media = Seq(("doc-a", scanned)).toDF("doc", "payload")
+    val dc = det.detectColumn(media, "doc", "payload").collect()(0)
+    println(s"[api] detectColumn: ${dc.getString(0)} → ${dc.getString(1)} " +
+      s"(${dc.getAs[Seq[Int]](2).length} pages, ${dc.getString(4)})")
+
     val in = java.nio.file.Files.createTempDirectory("api_demo_in_").toString
     val out = java.nio.file.Files.createTempDirectory("api_demo_out_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("api_demo_ckpt_").toString

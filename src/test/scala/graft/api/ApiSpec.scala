@@ -113,6 +113,23 @@ class ApiSpec extends AnyFunSuite {
     assert(!r.getAs[String]("x").contains("x")) // nav link dropped
   }
 
+  test("detectColumn: detect over an arbitrary binary column") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-api-col")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val df = Seq(
+      ("a", scanned9),
+      ("b", text24),
+      ("c", null: Array[Byte])).toDF("doc", "payload")
+    val got = new OcrDetection().detectColumn(df, "doc", "payload")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getAs[Seq[Int]](2).length, r.getString(4)))).toMap
+    assert(got("a") == (("true", 9, "pdf")))
+    assert(got("b") == (("false", 0, "pdf")))
+    assert(got("c") == (("true", 1, "error"))) // null payload → error row
+  }
+
   test("parallel/sequential equivalence is structural (same kernel per row)") {
     // the reference compares thread-pool vs sequential (test_integration.py:77-94);
     // here determinism is by construction and asserted end-to-end in
