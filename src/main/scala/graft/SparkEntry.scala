@@ -440,18 +440,25 @@ object SparkEntry {
       TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text")
     }),
 
-    // Multimodal: stub decode + frame sampling + resize plans — rows-only
-    "q34_multimodal_decode" -> ((s, _) => {
-      val media = Multimodal.synthMedia(s, 300L).toDF()
-      val decoded = Multimodal.decode(media)
-      val frames = Multimodal.frameSamplePlan(decoded, stride = 30)
-        .select(col("id"), col("sample_count"))
-      val resize = Multimodal.resizePlan(decoded, maxSide = 256)
-        .select(col("id"), col("target_width"), col("target_height"))
-      decoded.select(col("id"), col("kind"), col("byte_len"), col("width"),
-        col("height"), col("frames"))
-        .join(frames, Seq("id"), "left")
-        .join(resize, Seq("id"), "left")
+    // Multimodal: REAL container decode — synthesize genuine PNG/JPEG/WAV
+    // byte streams per doc id (MediaCodec: correct magics, chunk framing,
+    // endian dimension fields, PNG CRC32s), parse the metadata back OUT OF
+    // THE BYTES, then derive resize/frame-sample plans. Oracle-checkable:
+    // the synthesis formulas are pure arithmetic on doc_id, so DuckDB
+    // verifies every parsed fact independently.
+    "q34_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val decoded = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = graft.kernel.MediaCodec.synthesize(id)
+          val m = graft.kernel.MediaCodec.parse(bytes)
+          (id, m.kind, bytes.length.toLong, m.width, m.height, m.frames,
+            m.sampleRate)
+        })
+        .toDF("doc_id", "kind", "byte_len", "width", "height", "frames",
+          "sample_rate")
+      Multimodal.withFrameSampleCount(
+        Multimodal.withResizeTargets(decoded, maxSide = 256), stride = 30)
     }),
 
     // Classic relational aggregate (map-side combine; exact integer cents)
@@ -483,17 +490,29 @@ object SparkEntry {
           "verify_with_ocr").otherwise(method).as("method"))
     }),
 
-    // F8 — detect_ocr_artifacts via the kernel (Python-re lookarounds are
-    // not RE2-expressible, so no DuckDB oracle → rows-only check)
+    // F8 — detect_ocr_artifacts via the kernel, projected as per-type
+    // counts. The Python lookaround patterns are not RE2-expressible in
+    // general, but on this corpus each count has an exact RE2-computable
+    // value (no adjacent rn/cl repeats, no O/0/uppercase/special chars),
+    // so the DuckDB oracle checks every column including the lookaround
+    // ones.
     "q38_ocr_artifacts" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
           val a = graft.kernel.TextQuality.detectOcrArtifacts(text)
-          (id, a.artifactsFound.map(_.count).sum, a.confidence, a.errorRate)
+          val byType = a.artifactsFound.map(x => x.artifactType -> x.count).toMap
+          def c(k: String): Int = byType.getOrElse(k, 0)
+          (id, c("vertical_line_confusion"), c("rn_m_confusion"),
+            c("cl_d_confusion"), c("o_zero_confusion"),
+            c("excessive_special_chars"), c("inconsistent_case"),
+            a.artifactsFound.map(_.count).sum, a.errorRate, a.confidence)
         }
-        .toDF("doc_id", "artifact_count", "artifact_confidence", "error_rate")
+        .toDF("doc_id", "vertical_line_confusion", "rn_m_confusion",
+          "cl_d_confusion", "o_zero_confusion", "excessive_special_chars",
+          "inconsistent_case", "artifact_count", "error_rate",
+          "artifact_confidence")
     }),
 
     // Skew pattern: two-phase salted aggregation — identical results to a
@@ -527,6 +546,82 @@ object SparkEntry {
         .filter(col("length_mismatch") || col("null_text"))
     })
   )
+
+  // ------------------------------------------------------- oracle SQL: u64
+  // DuckDB re-implementation of the kernel's 64-bit wrap-around hashing
+  // (Hashing.scala): HUGEINT arithmetic mod 2^64 so the oracle checks the
+  // kernel's FNV-1a / splitmix64 / rolling-hash VALUES, not just row counts.
+
+  private val U64 = "18446744073709551616" // 2^64
+
+  /** (x * c) mod 2^64 for u64 x (HUGEINT in [0,2^64)) and u64 constant c:
+    * split x into 32-bit halves so no intermediate exceeds HUGEINT range. */
+  private def u64MulMod(x: String, c: String): String =
+    s"((($x) % 4294967296) * $c + (((($x) >> 32) * $c) % 4294967296) * 4294967296) % $U64"
+
+  /** Reinterpret u64 (HUGEINT) as the signed BIGINT Spark emits. */
+  private def u64ToSigned(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - $U64 ELSE ($x) END AS BIGINT)"
+
+  /** CTE chain applying the kernel's splitmix64 finisher (Hashing.mix) to
+    * u64 column `h` of CTE `src`, carrying `carry`; result CTE is `<p>5`. */
+  private def mixCtes(p: String, src: String, carry: String): String = {
+    val c1 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+    val c2 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+    s"""${p}1 AS (SELECT $carry, xor(h, h >> 30) AS h FROM $src),
+       |${p}2 AS (SELECT $carry, ${u64MulMod("h", c1)} AS h FROM ${p}1),
+       |${p}3 AS (SELECT $carry, xor(h, h >> 27) AS h FROM ${p}2),
+       |${p}4 AS (SELECT $carry, ${u64MulMod("h", c2)} AS h FROM ${p}3),
+       |${p}5 AS (SELECT $carry, xor(h, h >> 31) AS h FROM ${p}4)""".stripMargin
+  }
+
+  /** CTE chain computing the kernel simhash64 (Hashing.simhash64: FNV-1a +
+    * mix per whitespace token, per-bit ±1 tallies) for every document;
+    * result CTE `sim(doc_id, simhash)` with simhash as signed BIGINT.
+    * Valid on this corpus because text is single-space-separated ASCII, so
+    * `string_split(text,' ')` = Py.splitWs and UTF-16 chars = codepoints. */
+  private def simhashCtes: String = {
+    val fnvOffset = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+    s"""tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |t0 AS (SELECT doc_id,
+       |  list_reduce(list_prepend($fnvOffset::HUGEINT,
+       |    list_transform(regexp_extract_all(tok, '.'),
+       |                   c -> unicode(c)::HUGEINT)),
+       |    (h, c) -> (xor(h, c) * 1099511628211) % $U64) AS h
+       |  FROM tk),
+       |${mixCtes("t", "t0", "doc_id")},
+       |bits AS (SELECT doc_id, b,
+       |    CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+       |  FROM t5, range(64) r(b)),
+       |tal AS (SELECT doc_id, b, sum(sgn) AS tally FROM bits
+       |  GROUP BY doc_id, b),
+       |sim AS (SELECT doc_id,
+       |    ${u64ToSigned("sum(CASE WHEN tally > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)")}
+       |      AS simhash
+       |  FROM tal GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Sequential-fold dot product of two DOUBLE[] SQL expressions over a
+    * fixed dim — bit-identical to Similarity.cosine's left fold. */
+  private def foldDot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)"
+
+  private def foldCosine(a: String, b: String, dim: Int): String =
+    s"(${foldDot(a, b, dim)}) / (sqrt(${foldDot(a, a, dim)}) * sqrt(${foldDot(b, b, dim)}))"
+
+  /** MD5-derived ±1 hyperplanes CTE `pl(h, p)` — replicates
+    * Similarity.planeSign in SQL (top bit of md5("plane:seed:h:d")). */
+  private def planesCte(numPlanes: Int, dim: Int, seed: Long): String =
+    s"""pl AS (SELECT h,
+       |    list(CASE WHEN strpos('89abcdef',
+       |        substr(md5('plane:$seed:' || h || ':' || d), 1, 1)) > 0
+       |      THEN 1.0 ELSE -1.0 END ORDER BY d) AS p
+       |  FROM range($numPlanes) t1(h), range($dim) t2(d) GROUP BY h)""".stripMargin
+
+  private def sqlStringList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -577,7 +672,7 @@ object SparkEntry {
 
     m += "q06_status" ->
       s"""$featSql SELECT lang, source, count(*) AS total,
-        |  sum(CASE WHEN needs_ocr THEN 1 ELSE 0 END) AS needing,
+        |  CAST(sum(CASE WHEN needs_ocr THEN 1 ELSE 0 END) AS BIGINT) AS needing,
         |  CASE WHEN sum(CASE WHEN needs_ocr THEN 1 ELSE 0 END) = 0 THEN 'false'
         |       WHEN sum(CASE WHEN needs_ocr THEN 1 ELSE 0 END) = count(*) THEN 'true'
         |       ELSE 'partial' END AS status
@@ -703,10 +798,12 @@ object SparkEntry {
 
     m += "q15_fullouter_verify" ->
       """WITH a AS (
-        |  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS qty_a
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_a
         |  FROM lineitem WHERE l_linenumber % 2 = 0 GROUP BY l_orderkey),
         |b AS (
-        |  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS qty_b
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_b
         |  FROM lineitem WHERE l_linenumber % 2 = 1 GROUP BY l_orderkey)
         |SELECT coalesce(a.l_orderkey, b.l_orderkey) AS l_orderkey, qty_a, qty_b,
         |  (qty_a IS NOT DISTINCT FROM qty_b) AS matches
@@ -725,14 +822,15 @@ object SparkEntry {
 
     m += "q18_window_running" ->
       """SELECT event_id, user_id,
-        |  sum(CAST(round(value * 100) AS BIGINT))
-        |    OVER (PARTITION BY user_id ORDER BY event_id) AS running_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+        |    AS running_cents
         |FROM events""".stripMargin
 
     m += "q19_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS users,
         |  count(*) AS events,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM events GROUP BY event_type""".stripMargin
 
     m += "q20_dedup_exact_groups" ->
@@ -765,17 +863,83 @@ object SparkEntry {
         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5"""
         .stripMargin
 
+    // q23: the LSH output contract is "near-dup pairs with exact Jaccard ≥
+    // threshold found via band collisions"; on this corpus every qualifying
+    // pair has J ≥ 0.8, where the 8-band/4-row scheme has (verified)
+    // full recall — so the exact all-pairs result IS the expected output.
+    // The oracle computes it with prefix filtering (same candidate-
+    // completeness theorem as Dedup.ngramJaccardPairs) for tractability at
+    // sf0.1; the naive quadratic oracle on q22 independently validates the
+    // prefix principle.
+    m += "q23_minhash_lsh" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_sort(list_distinct(list_transform(
+        |                range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' ')))) END AS sh
+        |  FROM tok),
+        |nz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0 WHERE len(sh) > 0),
+        |pref AS (
+        |  SELECT doc_id, sz,
+        |    unnest(sh[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS tok
+        |  FROM nz),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |   AND a.sz * 0.5 <= b.sz AND b.sz * 0.5 <= a.sz),
+        |ver AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(x.sh, y.sh)) * 1.0 /
+        |    len(list_distinct(list_concat(x.sh, y.sh))) AS j
+        |  FROM cand
+        |  JOIN nz x ON x.doc_id = id_a
+        |  JOIN nz y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM ver WHERE j >= 0.5"""
+        .stripMargin
+
+    // q24: full kernel-simhash re-implementation in SQL (FNV-1a + splitmix
+    // in HUGEINT mod-2^64 arithmetic) + naive all-pairs Hamming ≤ 3. The
+    // pigeonhole candidate scheme is provably complete for Hamming ≤ 3
+    // over 4 blocks, so the Spark output equals the all-pairs result by
+    // theorem — this oracle checks both the fingerprint VALUES and the
+    // pair set.
+    m += "q24_simhash" ->
+      s"""WITH $simhashCtes
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+    // q25: the banded-hyperplane LSH bucketing is engine-reproducible (MD5
+    // planes, sequential-fold dots), so the oracle replicates candidate
+    // generation AND the exact-cosine verify.
     m += "q25_embedding_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-        |    6) AS cosine
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-        |  >= 0.35""".stripMargin
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |${planesCte(16, 64, 42L)},
+        |bits AS (
+        |  SELECT e.vec_id, e.label, pl.h,
+        |    CASE WHEN ${foldDot("e.v", "pl.p", 64)} >= 0 THEN 1 ELSE 0 END
+        |      AS bit
+        |  FROM e, pl),
+        |bkt AS (
+        |  SELECT vec_id, label, h // 4 AS band,
+        |    CAST(sum(bit << (h % 4)) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY vec_id, label, h // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bkt a JOIN bkt b
+        |    ON a.label = b.label AND a.band = b.band
+        |   AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |sc AS (
+        |  SELECT id_a, id_b, ${foldCosine("x.v", "y.v", 64)} AS cosine
+        |  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine
+        |FROM sc WHERE cosine >= 0.35""".stripMargin
 
     m += "q26_ann_bruteforce" ->
       """WITH e AS (
@@ -793,6 +957,38 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 3""".stripMargin
+
+    // q27: MD5-plane LSH bucketing replicated in SQL, then exact cosine
+    // ranking within buckets — a full oracle for the approximate-ANN path.
+    m += "q27_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |${planesCte(10, 64, 42L)},
+        |bits AS (
+        |  SELECT e.vec_id, pl.h,
+        |    CASE WHEN ${foldDot("e.v", "pl.p", 64)} >= 0 THEN 1 ELSE 0 END
+        |      AS bit
+        |  FROM e, pl),
+        |bkt AS (
+        |  SELECT vec_id, CAST(sum(bit << h) AS BIGINT) AS bucket
+        |  FROM bits GROUP BY vec_id),
+        |qy AS (SELECT vec_id AS query_id, bucket FROM bkt WHERE vec_id < 50),
+        |cand AS (
+        |  SELECT qy.query_id, c.vec_id AS neighbor_id
+        |  FROM qy JOIN bkt c
+        |    ON c.bucket = qy.bucket AND c.vec_id <> qy.query_id),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |    ${foldCosine("x.v", "y.v", 64)} AS cosine
+        |  FROM cand
+        |  JOIN e x ON x.vec_id = query_id
+        |  JOIN e y ON y.vec_id = neighbor_id),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        |FROM rk WHERE rank <= 3""".stripMargin
 
     // q28 langid: generated marker-count SQL (same padded-replace trick)
     def occSql(word: String): String = {
@@ -861,10 +1057,144 @@ object SparkEntry {
         |            len(string_split(text, ' ')) END AS avg_word_length
         |FROM documents""".stripMargin
 
+    // q32: full kernel quality metrics (F1–F7), oracle-specialized to this
+    // corpus's shape (single-line, single-space-separated lowercase ASCII —
+    // asserted by q36's validation query and the charset probe): every
+    // branch of the kernel's scoring collapses to SQL-expressible
+    // arithmetic with identical IEEE-754 evaluation order, so DuckDB checks
+    // the exact double values the kernel computes.
+    val dictIn = sqlStringList(
+      graft.kernel.TextQuality.dictionaryWords.toSeq.sorted)
+    val engIn = sqlStringList(graft.kernel.TextQuality.englishMarkerWords)
+    m += "q32_kernel_quality" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text, length(text) AS chars,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, chars, len(toks) AS wc,
+        |    len(list_filter(toks, t -> list_contains([$engIn], t)))
+        |      AS eng_hits,
+        |    len(list_filter(toks, t -> list_contains([$dictIn], t)))
+        |      AS dict_hits,
+        |    len(list_filter(toks, t -> length(t) > 1
+        |        AND regexp_matches(t, '^[A-Z]'))) AS cap_words,
+        |    len(list_filter(toks, t -> length(t) > 1
+        |        AND regexp_matches(t, '[A-Z]')
+        |        AND NOT regexp_matches(t, '[a-z]'))) AS allcap_words,
+        |    len(regexp_extract_all(text, '[^\\w\\s.,!?:;()\\[\\]"''/-]'))
+        |      AS qspecial,
+        |    len(regexp_extract_all(text, '[^\\w\\s.,!?:;()-]')) AS ispecial,
+        |    len(regexp_extract_all(text, '[0-9]')) AS digits
+        |  FROM d)
+        |SELECT doc_id AS id,
+        |  chars AS char_count,
+        |  wc AS word_count,
+        |  CASE WHEN wc = 0 THEN 0.0
+        |       ELSE (chars - (wc - 1)) * 1.0 / wc END AS avg_word_length,
+        |  least(
+        |    (((least(dict_hits * 1.0 / wc * 0.3, 0.3)
+        |      + CASE WHEN (cap_words + allcap_words) * 1.0 / wc
+        |               BETWEEN 0.05 AND 0.4 THEN 0.2 ELSE 0.0 END)
+        |      + CASE WHEN wc BETWEEN 5 AND 30 THEN 0.2 ELSE 0.0 END)
+        |      + CASE WHEN qspecial * 1.0 / chars < 0.05
+        |             THEN 0.2 ELSE 0.0 END)
+        |      + 0.1,
+        |    1.0) AS ocr_quality_score,
+        |  CASE WHEN wc * 1.0 >= 5 THEN least(wc * 1.0 / 15, 1.0)
+        |       ELSE wc * 1.0 / 5 END AS text_density,
+        |  0.0 AS formatting_consistency,
+        |  least(eng_hits / (chars / 100.0), 1.0) AS english,
+        |  digits * 1.0 / chars AS "numeric",
+        |  ispecial * 1.0 / chars AS special_chars
+        |FROM f""".stripMargin
+
+    // q33: the kernel rolling-hash + simhash fingerprints re-implemented in
+    // DuckDB HUGEINT mod-2^64 arithmetic — the oracle checks the exact
+    // 64-bit VALUES of both engine-independent hashes.
+    m += "q33_fingerprints" ->
+      s"""WITH r0 AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::HUGEINT,
+        |      list_transform(regexp_extract_all(text, '.'),
+        |                     c -> unicode(c)::HUGEINT)),
+        |      (h, c) -> (h * 1315423911 + c) % $U64) AS h
+        |  FROM documents),
+        |${mixCtes("r", "r0", "doc_id")},
+        |fp AS (SELECT doc_id, ${u64ToSigned("h")} AS fingerprint FROM r5),
+        |$simhashCtes
+        |SELECT fp.doc_id AS id, fp.fingerprint, sim.simhash
+        |FROM fp JOIN sim ON fp.doc_id = sim.doc_id""".stripMargin
+
+    // q34: every parsed container fact follows the pure-arithmetic
+    // synthesis formulas (MediaCodec.synthesize), so the oracle derives
+    // them from doc_id alone — a true independent check of the byte-level
+    // encode→parse round trip.
+    m += "q34_multimodal_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 3 AS m,
+        |    CAST(16 + (doc_id * 7) % 240 AS INT) AS pw,
+        |    CAST(16 + (doc_id * 13) % 240 AS INT) AS ph,
+        |    CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sr,
+        |    CAST(32 + doc_id % 64 AS INT) AS ns
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |           ELSE 'audio/wav' END AS kind,
+        |    CAST(CASE m WHEN 0 THEN 45 WHEN 1 THEN 41
+        |                ELSE 44 + 2 * ns END AS BIGINT) AS byte_len,
+        |    CASE WHEN m <= 1 THEN pw ELSE 0 END AS width,
+        |    CASE WHEN m <= 1 THEN ph ELSE 0 END AS height,
+        |    CASE WHEN m <= 1 THEN 1 ELSE ns END AS frames,
+        |    CASE WHEN m <= 1 THEN 0 ELSE sr END AS sample_rate
+        |  FROM f)
+        |SELECT doc_id, kind, byte_len, width, height, frames, sample_rate,
+        |  CAST(ceil(width * least(256.0 / greatest(width, 1),
+        |    256.0 / greatest(height, 1), 1.0)) AS INT) AS target_width,
+        |  CAST(ceil(height * least(256.0 / greatest(width, 1),
+        |    256.0 / greatest(height, 1), 1.0)) AS INT) AS target_height,
+        |  CASE WHEN frames > 0 THEN (frames - 1) // 30 + 1 ELSE 0 END
+        |    AS sample_count
+        |FROM g""".stripMargin
+
+    // q38: per-type artifact counts; RE2-exact equivalents exist for every
+    // pattern ON THIS CORPUS (probed: no adjacent rn/cl repeats, no
+    // O/0/uppercase/special characters — the lookaround patterns therefore
+    // count 0 or reduce to plain matches).
+    m += "q38_ocr_artifacts" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[Il1|]{2,}'))
+        |      AS vertical_line_confusion,
+        |    len(regexp_extract_all(text, 'rn\w')) AS rn_m_confusion,
+        |    len(regexp_extract_all(text, 'cl\w')) AS cl_d_confusion,
+        |    len(regexp_extract_all(text, '[O0]')) AS o_zero_confusion,
+        |    len(regexp_extract_all(text, '[^\w\s]'))
+        |      AS excessive_special_chars,
+        |    len(regexp_extract_all(text, '[A-Z]')) AS inconsistent_case,
+        |    len(string_split(text, ' ')) AS wc
+        |  FROM documents)
+        |SELECT doc_id, vertical_line_confusion, rn_m_confusion,
+        |  cl_d_confusion, o_zero_confusion, excessive_special_chars,
+        |  inconsistent_case,
+        |  (vertical_line_confusion + rn_m_confusion + cl_d_confusion +
+        |   o_zero_confusion + excessive_special_chars + inconsistent_case)
+        |    AS artifact_count,
+        |  (vertical_line_confusion + rn_m_confusion + cl_d_confusion +
+        |   o_zero_confusion + excessive_special_chars + inconsistent_case)
+        |    * 1.0 / wc AS error_rate,
+        |  greatest(0.1, 1.0 -
+        |    ((vertical_line_confusion + rn_m_confusion + cl_d_confusion +
+        |      o_zero_confusion + excessive_special_chars +
+        |      inconsistent_case) * 1.0 / wc) * 2) AS artifact_confidence
+        |FROM f""".stripMargin
+
     m += "q35_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
@@ -890,12 +1220,13 @@ object SparkEntry {
 
     m += "q40_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type""".stripMargin
 
     m += "q39_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS k_sum,
         |  count(json_extract_string(props, '$.k')) AS k_count,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type""".stripMargin

@@ -75,6 +75,17 @@ object TextQuality {
     "only", "such", "court", "case", "law", "order", "appeal", "petition",
     "plaintiff", "defendant")
 
+  /** The F5 dictionary stoplist, exposed for the DuckDB oracle SQL
+    * generation (SparkEntry q32) — the oracle recomputes the dictionary
+    * ratio from the same word set. */
+  def dictionaryWords: Set[String] = commonEnglishWords
+
+  /** The F4 english-marker words (the alternation in `englishCommonPat`,
+    * _analyzer.py:99), exposed for oracle SQL generation. */
+  val englishMarkerWords: Seq[String] = Seq(
+    "the", "and", "or", "is", "are", "was", "were", "to", "of", "in", "for",
+    "with")
+
   /** F1 — `analyze_text_quality` (_analyzer.py:31-67). */
   def analyze(text: String): TextMetrics = analyzeImpl(text, full = true)
 

@@ -75,8 +75,12 @@ object Dedup {
     * Plan shape (scale-critical): tokenize → shingle → minhash (all
     * row-local HOFs, no shuffle) → explode band keys → self-join on
     * (band, bucket) [THE shuffle — LSH buckets are the join key, so cost is
-    * O(candidates), not O(n²)] → distinct pairs → verify Jaccard from the
-    * carried token arrays → filter ≥ threshold. */
+    * O(candidates), not O(n²)]. The band join carries ONLY (id, band,
+    * bucket) — shingle arrays never ride that shuffle — and candidate
+    * pairs are `distinct()`ed BEFORE the Jaccard verify, so a pair
+    * colliding in k bands is verified once, not k times. Shingles are
+    * joined back onto the (small) deduplicated pair set for the single
+    * exact verify. */
   def minhashNearDups(
       df: DataFrame,
       idCol: String,
@@ -87,23 +91,29 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val bandSize = numHashes / numBands
     val toks = split(col(textCol), " ")
-    val withSig = df
+    val shingled = df
       .select(col(idCol).as("id"), wordShingles(toks, shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
+    val bands = shingled
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("bk", explode(bandKeys(col("sig"), numBands, bandSize)))
-      .select(col("id"), col("shingles"), col("bk.band"), col("bk.bucket"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
 
-    val l = withSig.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val r = withSig.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
+    val l = bands.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = bands.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val shA = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** SimHash near-duplicates: 64-bit fingerprints (kernel hash — engine
@@ -134,16 +144,36 @@ object Dedup {
 
     val l = blocked.select(col("blk"), col("key"), col("id").as("id_a"), col("simhash").as("sim_a"))
     val r = blocked.select(col("blk"), col("key"), col("id").as("id_b"), col("simhash").as("sim_b"))
+    // distinct BEFORE the Hamming verify: a pair whose fingerprints agree in
+    // several 16-bit blocks collides once per agreeing block — dedup the
+    // candidate pairs first so each is verified once.
     l.join(r, Seq("blk", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
-  /** Pairwise n-gram Jaccard within explicit candidate groups (a group
-    * column bounds the self-join — the caller chooses the blocking key). */
+  /** Exact n-gram-Jaccard similarity self-join via prefix filtering (the
+    * AllPairs / PPJoin candidate-completeness principle, Bayardo et al.,
+    * WWW'07 "Scaling Up All Pairs Similarity Search"): every output pair of
+    * the naive all-pairs join is produced, but candidates come from an
+    * equi-join on prefix shingles instead of a quadratic block product.
+    *
+    * Soundness of the candidate set: sort each row's distinct shingle set
+    * under one global total order. If J(A,B) ≥ t then |A∩B| ≥
+    * ⌈t·max(|A|,|B|)⌉, so A and B must share a shingle within their first
+    * (|x| − ⌈t·|x|⌉ + 1) shingles — pairs sharing no prefix shingle are
+    * provably below threshold and are never even generated. A size filter
+    * (t·max ≤ min) prunes further. The shuffle key is the prefix shingle
+    * (cardinality grows with the corpus vocabulary), so the join stays
+    * bounded at 10^12 docs where any fixed blocking key goes quadratic.
+    *
+    * `groupCols` (optional) additionally restricts pairs to equal group
+    * values — the output contract of the classic blocked join, without its
+    * all-pairs cost. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -152,15 +182,33 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.3): DataFrame = {
     val toks = split(col(textCol), " ")
-    // set semantics anyway (array_intersect/union dedup) — dedup once per
-    // row here instead of implicitly per candidate pair
+    // sorted distinct shingles: the global order for the prefix principle
     val base = df.select(
       (groupCols.map(col) :+ col(idCol).as("id") :+
-        array_distinct(wordShingles(toks, shingleK)).as("sh")): _*)
-    val l = base.select(groupCols.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
-    val r = base.select(groupCols.map(col) :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
-    l.join(r, groupCols)
-      .filter(col("id_a") < col("id_b"))
+        sort_array(array_distinct(wordShingles(toks, shingleK))).as("sh")): _*)
+      .filter(size(col("sh")) > 0)
+    val prefixLen = size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))).cast("int") + 1
+    val pref = base
+      .withColumn("sz", size(col("sh")))
+      .withColumn("tok", explode(slice(col("sh"), lit(1), prefixLen)))
+      .select((groupCols.map(col) :+ col("id") :+ col("sz") :+ col("tok")): _*)
+
+    val joinKeys = groupCols :+ "tok"
+    val l = pref.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")
+    val r = pref.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")
+    val candidates = l.join(r, joinKeys)
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * lit(threshold) <= col("sz_b") &&
+        col("sz_b") * lit(threshold) <= col("sz_a"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val shA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -56,17 +56,30 @@ object Multimodal {
         sequence(lit(0), col("frames") - 1, lit(stride)).as("sampled_frames"))
       .withColumn("sample_count", size(col("sampled_frames")))
 
-  /** Resize plan: target boxes preserving aspect ratio (column math only —
-    * the actual pixel resize happens in the stubbed decode stage). */
-  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
+  /** Append a `sample_count` column: frames sampled at every `stride`-th
+    * index (0 when the row has no frames). */
+  def withFrameSampleCount(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.withColumn("sample_count",
+      when(col("frames") > 0,
+        size(sequence(lit(0), col("frames") - 1, lit(stride)))).otherwise(0))
+
+  /** Aspect-preserving resize target columns (column math only — the pixel
+    * resize happens in the decode stage). */
+  def withResizeTargets(decoded: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(
       lit(maxSide.toDouble) / greatest(col("width"), lit(1)).cast("double"),
       lit(maxSide.toDouble) / greatest(col("height"), lit(1)).cast("double"),
       lit(1.0))
-    decoded.select(col("id"), col("width"), col("height"),
-      ceil(col("width") * scale).cast("int").as("target_width"),
-      ceil(col("height") * scale).cast("int").as("target_height"))
+    decoded
+      .withColumn("target_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("target_height", ceil(col("height") * scale).cast("int"))
   }
+
+  /** Resize plan: target boxes preserving aspect ratio. */
+  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame =
+    withResizeTargets(decoded, maxSide)
+      .select(col("id"), col("width"), col("height"),
+        col("target_width"), col("target_height"))
 
   /** Deterministic synthetic media table (for tests/benches): binary
     * payloads derived from ids. */

@@ -30,10 +30,15 @@ object ScalePatterns {
   /** Two-phase salted aggregation for skewed grouping keys (the hot-host
     * case): phase 1 aggregates on (key, salt) — the hot key's rows spread
     * over `saltFactor` reducers — phase 2 merges the partials per key.
-    * Generalizes to any algebraic aggregate; count/sum provided. */
+    * Generalizes to any algebraic aggregate; count/sum provided.
+    *
+    * The salt is a content hash of the full row, NOT
+    * monotonically_increasing_id: a retried/speculated task re-hashes the
+    * same rows to the same salts, so phase-1 partials are replayable —
+    * identical across runs (asserted in ScalePatternsSpec). */
   def saltedCounts(df: DataFrame, keyCol: String, saltFactor: Int,
       sumCols: Seq[String] = Seq.empty): DataFrame = {
-    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor))
     val partialAggs: Seq[Column] =
       count(lit(1)).as("_cnt") +: sumCols.map(c => sum(col(c)).as(s"_sum_$c"))
     val partial = df

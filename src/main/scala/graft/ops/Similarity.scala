@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.util.SplittableRandom
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,7 +15,9 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two array<double> columns via higher-order
-    * functions — codegen'd, no UDF. */
+    * functions — codegen'd, no UDF. The dot products are sequential left
+    * folds, so the value is reproducible bit-for-bit by any engine that
+    * folds left (the DuckDB oracles use `list_reduce`). */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
@@ -46,23 +46,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic ±1 hyperplanes (seeded), embedded as literal arrays so
-    * the bucket computation is a pure codegen'd expression. */
-  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
-    val rng = new SplittableRandom(seed)
-    Seq.fill(numPlanes)(Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  /** Deterministic ±1 hyperplane component, derived from MD5 so that any
+    * engine with an `md5` builtin can reproduce the planes exactly (the
+    * DuckDB oracle recomputes them in SQL): component (seed, h, d) is +1
+    * iff the top bit of md5("plane:<seed>:<h>:<d>") is set. */
+  def planeSign(seed: Long, h: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(s"plane:$seed:$h:$d".getBytes("UTF-8"))
+    if ((dig(0) & 0x80) != 0) 1.0 else -1.0
   }
 
-  /** Sign-random-projection bucket id: bit h = sign of dot(v, plane_h). */
-  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val ps = planes(numPlanes, dim, seed)
-    ps.zipWithIndex.map { case (p, h) =>
-      val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeLit, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0.0, lit(1L << h)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] =
+    Seq.tabulate(numPlanes)(h => Array.tabulate(dim)(d => planeSign(seed, h, d)))
+
+  /** Sign of dot(vec, plane_h) as a 0/1 bit column (sequential fold). */
+  private def planeBit(vec: Column, plane: Array[Double]): Column = {
+    val planeLit = array(plane.map(lit): _*)
+    val dot = aggregate(zip_with(vec, planeLit, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    when(dot >= 0.0, 1L).otherwise(0L)
   }
+
+  /** Sign-random-projection bucket id over planes [from, from+count). */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    planes(numPlanes, dim, seed).zipWithIndex.map { case (p, h) =>
+      planeBit(vec, p) * lit(1L << h)
+    }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-k: candidates share the query's bucket;
     * ranked by exact cosine within bucket. Trades recall for a join that
@@ -92,19 +101,60 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs within a blocking group. */
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+    *
+    * Candidate generation is the scale path: each vector lands in
+    * `numBands` band buckets (each band = `numPlanes/numBands` hyperplane
+    * sign bits), and only pairs sharing (group, band, bucket) are joined —
+    * the join-key cardinality is |groups| × numBands × 2^bandBits and each
+    * bucket holds a corpus-fraction, so the pair count stays
+    * O(collisions) instead of O(block²) as the corpus grows. Candidate
+    * pairs are deduplicated BEFORE the exact-cosine verify (a pair
+    * colliding in several bands is verified once), then vectors are joined
+    * back for the one verify pass.
+    *
+    * Output contract: pairs with cosine ≥ threshold that share at least
+    * one band bucket — the standard LSH near-dup semantics (recall < 1 by
+    * design, tunable via numBands). The MD5-derived planes make the
+    * bucketing engine-reproducible, so the DuckDB oracle checks the full
+    * output including the bucketing step. */
   def cosineNearDups(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       groupCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      numPlanes: Int = 16,
+      numBands: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val bandSize = numPlanes / numBands
+    val ps = planes(numPlanes, dim, seed)
     val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val l = base.select(col("grp"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = base.select(col("grp"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("grp"))
+
+    val bandStructs = (0 until numBands).map { b =>
+      val bucket = (0 until bandSize).map { i =>
+        planeBit(col("v"), ps(b * bandSize + i)) * lit(1L << i)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val banded = base
+      .withColumn("bk", explode(array(bandStructs: _*)))
+      .select(col("grp"), col("id"), col("bk.band"), col("bk.bucket"))
+
+    val l = banded.select(col("grp"), col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("grp"), col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("grp", "band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val va = base.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = base.select(col("id").as("id_b"), col("v").as("v_b"))
+    candidates
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -72,9 +72,63 @@ class OpsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
       (3L, Array(2.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
-    val pairs = Similarity.cosineNearDups(df, "vec_id", "embedding", "label", 0.9)
+    val pairs = Similarity.cosineNearDups(df, "vec_id", "embedding", "label", 0.9,
+      dim = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.toSeq == Seq((1L, 3L, 1.0))) // parallel vectors, cosine exactly 1
+  }
+
+  test("banded LSH near-dups: high recall for near-identical vectors, " +
+    "verified pairs only") {
+    // 50 base vectors + 10 near-identical copies (tiny perturbation) —
+    // every copy pair has cosine ≈ 1 and must share a band bucket
+    val e = spark.range(50).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * 0.7 + i.cast("double")).cast("float")).as("embedding"),
+      lit(0).as("label"))
+    val dups = spark.range(10).select((col("id") + 100L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (sin(col("id") * 0.7 + i.cast("double")) + 0.001).cast("float"))
+        .as("embedding"),
+      lit(0).as("label"))
+    val pairs = Similarity.cosineNearDups(e.union(dups), "vec_id", "embedding",
+      "label", threshold = 0.99, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0L until 10L).count(i => pairs.contains((i, i + 100L)))
+    assert(found >= 8, s"recall too low: $found/10; pairs=$pairs")
+    // every emitted pair really passes the exact-cosine threshold
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("ngram jaccard prefix join ≡ naive all-pairs (completeness property)") {
+    // vocabulary-overlapping random-ish corpus: prefix filtering must
+    // reproduce the quadratic join's output exactly
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val corpus = (0 until 60).map { i =>
+      val words = (0 until 12).map(j => vocab((i * 7 + j * (1 + i % 3)) % vocab.length))
+      (i.toLong, words.mkString(" "), "g")
+    }.toDF("id", "text", "grp")
+
+    val fast = Dedup.ngramJaccardPairs(corpus, "id", "text", Seq("grp"),
+      shingleK = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // naive reference: quadratic all-pairs over collected shingle sets
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val rows = corpus.collect().map(r => (r.getLong(0), shingles(r.getString(1))))
+    val naive = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.4
+    } yield (ia, ib, j)).toSet
+    assert(fast == naive, s"fast=${fast.size} naive=${naive.size}")
+    assert(naive.nonEmpty) // the fixture must actually exercise the join
   }
 
   test("brute-force top-k: correct neighbors and ranks") {

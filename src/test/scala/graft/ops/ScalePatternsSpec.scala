@@ -84,9 +84,27 @@ class ScalePatternsSpec extends AnyFunSuite {
 
     // the salted phase-1 spreads the hot key across up to 8 partial groups
     val partialGroups = df
-      .withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(8)))
+      .withColumn("_salt", pmod(xxhash64(df.columns.map(col): _*), lit(8)))
       .filter(col("host") === "hot-host")
       .select("_salt").distinct().count()
     assert(partialGroups > 1)
+  }
+
+  test("salted aggregation: phase-1 partials are deterministic across runs " +
+    "(content-hash salt ⇒ replayable under task retry)") {
+    val df = spark.range(5000).select(
+      when(col("id") % 3 =!= 0, "hot").otherwise("cold").as("host"),
+      (col("id") % 11).cast("double").as("bytes"))
+    def partials = df
+      .withColumn("_salt", pmod(xxhash64(df.columns.map(col): _*), lit(8)))
+      .groupBy("host", "_salt")
+      .agg(count(lit(1)).as("cnt"), sum("bytes").as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val first = partials
+    val second = partials
+    assert(first == second)
+    assert(first.size > 2) // salt actually spreads the keys
   }
 }

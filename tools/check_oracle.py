@@ -44,6 +44,16 @@ def main(sfdir, outdir):
         scols, srows = canon(srel.fetchall(), [c for c in srel.columns])
         try:
             drel = con.sql(sql)
+            # the driver's hash compare is type-sensitive: DuckDB widens
+            # uncast integer sum() to HUGEINT (int128), which hash-mismatches
+            # Spark's BIGINT even when values are equal — flag it here
+            huge = [c for c, t in zip(drel.columns, drel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"HUGEINT ORACLE COLUMNS {name}: {huge} "
+                      f"(cast sums to BIGINT)")
+                failures += 1
+                continue
             dcols, drows = canon(drel.fetchall(), [c for c in drel.columns])
         except Exception as e:
             print(f"ORACLE SQL ERROR: {name}: {e}")
