@@ -24,6 +24,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The testdata parquet ships as a single row group, so a scan cannot
+    * split no matter what maxPartitionBytes says — every per-row kernel
+    * or shingle expression would run on ONE core. Spread rows across the
+    * session's cores before compute-heavy per-row work. (At production
+    * scale the scan has thousands of splits and callers skip this.) */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   // ------------------------------------------------------------------ shared
   // Derived page-features over `documents` — the testdata stand-in for the
   // reference's per-page features (text_length, image_count, quality,
@@ -362,21 +370,21 @@ object SparkEntry {
 
     // Dedup (n-gram Jaccard) within (lang, source) blocks
     "q22_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(spread(t(s, dir, "documents")), "doc_id", "text",
         Seq("lang", "source"), shingleK = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
     // Dedup (MinHash+LSH) — engine-specific hashing → rows-only check
     "q23_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashNearDups(spread(t(s, dir, "documents")), "doc_id", "text",
         shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
     // Dedup (SimHash) — kernel hashing → rows-only check
     "q24_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashNearDups(spread(t(s, dir, "documents")), "doc_id", "text", maxHamming = 3)
     }),
 
     // Embedding-cosine near-duplicates within label blocks
@@ -425,19 +433,19 @@ object SparkEntry {
 
     // Kernel word metrics (F2 semantics; SQL-portable on this corpus)
     "q31_word_metrics" -> ((s, dir) => {
-      TextOps.kernelQuality(t(s, dir, "documents"), "doc_id", "text")
+      TextOps.kernelQuality(spread(t(s, dir, "documents")), "doc_id", "text")
         .select(col("id").as("doc_id"), col("char_count"), col("word_count"),
           col("avg_word_length"))
     }),
 
     // Kernel full quality metrics (F1–F7) — kernel-only → rows-only check
     "q32_kernel_quality" -> ((s, dir) => {
-      TextOps.kernelQuality(t(s, dir, "documents"), "doc_id", "text")
+      TextOps.kernelQuality(spread(t(s, dir, "documents")), "doc_id", "text")
     }),
 
     // Document fingerprinting (rolling hash + simhash) — rows-only check
     "q33_fingerprints" -> ((s, dir) => {
-      TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+      TextOps.fingerprints(spread(t(s, dir, "documents")), "doc_id", "text")
     }),
 
     // Multimodal: REAL container decode — synthesize genuine PNG/JPEG/WAV
@@ -448,7 +456,7 @@ object SparkEntry {
     // verifies every parsed fact independently.
     "q34_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
-      val decoded = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val decoded = spread(t(s, dir, "documents")).select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val bytes = graft.kernel.MediaCodec.synthesize(id)
           val m = graft.kernel.MediaCodec.parse(bytes)
@@ -498,7 +506,7 @@ object SparkEntry {
     // ones.
     "q38_ocr_artifacts" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
+      spread(t(s, dir, "documents")).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
           val a = graft.kernel.TextQuality.detectOcrArtifacts(text)

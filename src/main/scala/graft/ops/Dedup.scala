@@ -42,24 +42,45 @@ object Dedup {
         sequence(lit(0), size(tokens) - k),
         i => array_join(slice(tokens, i + 1, lit(k)), " ")))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the shingle set. Null-safe: empty shingles → nulls. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingles, x => xxhash64(x, s))))
+  /** Sorted distinct 64-bit shingle fingerprints: k-word shingles hashed to
+    * longs in ONE string-hash pass. All downstream dedup math (minhash,
+    * prefix filtering, Jaccard verify) runs on the fixed-width longs —
+    * set ops and sorts on longs instead of repeated string comparisons. A
+    * 64-bit collision merging two distinct shingles happens with
+    * probability ~|sh|²/2^64 per doc (negligible; the DuckDB oracles
+    * verify value-identity to string-set Jaccard on the test corpus). */
+  def shingleFingerprints(tokens: Column, k: Int): Column =
+    sort_array(array_distinct(transform(wordShingles(tokens, k),
+      x => xxhash64(x))))
+
+  /** MinHash signature over 64-bit shingle fingerprints: sig[s] =
+    * min over x of xxhash64(x, s) — per-seed hashing of the fixed-width
+    * fingerprint (cheap long input) instead of re-hashing shingle strings.
+    *
+    * Formulated as a single-pass `aggregate` rather than
+    * transform(seeds, s -> array_min(transform(shingles, ...))): the outer
+    * lambda of that shape references the shingles expression once
+    * *statically* but evaluates it once per seed at *runtime*, so when
+    * column pruning inlines the upstream shingle construction the whole
+    * tokenize+shingle pipeline re-runs numHashes times per row (measured
+    * 32× difference at sf0.1). Inside the aggregate the lambda variable is
+    * an already-evaluated value — no re-evaluation per seed. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    aggregate(
+      shingleHashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, x) => zip_with(acc, sequence(lit(0L), lit(numHashes - 1L)),
+        (m, s) => least(m, xxhash64(x, s))))
 
   /** LSH band keys: the signature is cut into `numBands` bands of
-    * `bandSize`; each band hashes to one bucket key. Docs sharing any band
-    * bucket become candidate pairs. */
+    * `bandSize`; each band's slice hashes structurally to one bucket key.
+    * Docs sharing any band bucket become candidate pairs. */
   def bandKeys(sig: Column, numBands: Int, bandSize: Int): Column =
     transform(
       sequence(lit(0), lit(numBands - 1)),
       b => struct(
         b.as("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(sig, b * bandSize + 1, lit(bandSize)), _.cast("string"))))
-          .as("bucket")))
+        xxhash64(slice(sig, b * bandSize + 1, lit(bandSize))).as("bucket")))
 
   /** Word-set Jaccard similarity of two token arrays (dedups multiplicity,
     * like classic shingle-set Jaccard). */
@@ -92,7 +113,8 @@ object Dedup {
     val bandSize = numHashes / numBands
     val toks = split(col(textCol), " ")
     val shingled = df
-      .select(col(idCol).as("id"), wordShingles(toks, shingleK).as("shingles"))
+      .select(col(idCol).as("id"),
+        shingleFingerprints(toks, shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
     val bands = shingled
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
@@ -182,19 +204,21 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.3): DataFrame = {
     val toks = split(col(textCol), " ")
-    // sorted distinct shingles: the global order for the prefix principle
+    // sorted distinct shingle fingerprints: the sort IS the global total
+    // order the prefix principle needs (any total order is valid; longs
+    // sort far cheaper than shingle strings)
     val base = df.select(
       (groupCols.map(col) :+ col(idCol).as("id") :+
-        sort_array(array_distinct(wordShingles(toks, shingleK))).as("sh")): _*)
+        shingleFingerprints(toks, shingleK).as("sh")): _*)
       .filter(size(col("sh")) > 0)
     val prefixLen = size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + 1
+    val joinKeys = groupCols :+ "tok"
     val pref = base
       .withColumn("sz", size(col("sh")))
       .withColumn("tok", explode(slice(col("sh"), lit(1), prefixLen)))
       .select((groupCols.map(col) :+ col("id") :+ col("sz") :+ col("tok")): _*)
 
-    val joinKeys = groupCols :+ "tok"
     val l = pref.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")
     val r = pref.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")
     val candidates = l.join(r, joinKeys)
