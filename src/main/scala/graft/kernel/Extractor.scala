@@ -84,7 +84,7 @@ final class Extractor(cfg: ProbeConfig) {
     val html = new String(bytes, StandardCharsets.UTF_8)
     val ex = Html.extract(html)
     val text = ex.text
-    val textLength = text.length
+    val textLength = Py.len(text) // CPython len(): code points
 
     // The html payload is one pseudo-page classified with the same two-tier
     // scheme the reference applies to PDF pages (C4, _detector.py:512-546):
@@ -99,8 +99,8 @@ final class Extractor(cfg: ProbeConfig) {
       if (cfg.performanceMode) Some(Classifier.classifyFast(textLength, ex.imageCount, estTr, estIr))
       else None
 
-    val preview =
-      if (text.length > 200) text.substring(0, 200) + "..." else text
+    val preview = // text[:200] slices code points in CPython
+      if (Py.len(text) > 200) Py.sliceCp(text, 200) + "..." else text
 
     val pa = fastResult match {
       case Some((fastType, fastConf)) if fastConf >= 0.8 =>

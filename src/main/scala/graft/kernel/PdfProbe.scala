@@ -127,7 +127,7 @@ final class PdfProbe(cfg: ProbeConfig) {
   /** Full analysis — `_analyze_page_core` (_detector.py:336-423). */
   def analyzePageCore(pageNum: Int, page: PdfPage, includeImage: Boolean): PageAnalysis = {
     val (extractedText, method) = extractText(page)
-    val textLength = extractedText.length
+    val textLength = Py.len(extractedText) // CPython len(): code points
     val pageArea = page.width * page.height
 
     val imageInfo = analyzeImages(page)
@@ -141,7 +141,7 @@ final class PdfProbe(cfg: ProbeConfig) {
       metrics, backgroundRatio)
 
     val preview = // P3 (_detector.py:391-393)
-      if (extractedText.length > 200) extractedText.substring(0, 200) + "..."
+      if (Py.len(extractedText) > 200) Py.sliceCp(extractedText, 200) + "..."
       else extractedText
 
     val pageImage =
@@ -158,7 +158,7 @@ final class PdfProbe(cfg: ProbeConfig) {
   /** Fast analysis — `analyze_page_fast` (_detector.py:425-510). */
   def analyzePageFast(pageNum: Int, page: PdfPage): PageAnalysis = {
     val extractedText = Py.strip(page.textLayer)
-    val textLength = extractedText.length
+    val textLength = Py.len(extractedText) // CPython len(): code points
     val pageArea = page.width * page.height
     val imageCount = page.images.length
     val (estTextRatio, estImageRatio) =

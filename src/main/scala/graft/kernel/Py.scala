@@ -22,11 +22,25 @@ import java.util.regex.{Matcher, Pattern}
   *  - `statistics.stdev` is the SAMPLE standard deviation (n − 1), computed
   *    from exact integer sums for int inputs.
   *
+  *  - `len(s)`, `s[:n]`, `s[0]` and per-char classification are CODE-POINT
+  *    operations in CPython; Java Strings are UTF-16 — `Py.len`/`Py.sliceCp`
+  *    and code-point loops pin this for non-BMP text (emoji, math
+  *    alphanumerics), exercised by the non-BMP rows of analyzer_parity.tsv.
+  *
   * Known residual divergence (documented, fixture-free): Python `\s` also
   * matches U+001C..U+001F; Java's Unicode `\s` (White_Space=Yes) does not.
   * No fixture or realistic web payload contains those code points.
   */
 object Py {
+
+  /** Python `len(s)` — counts CODE POINTS, not UTF-16 units. Non-BMP text
+    * (emoji, math alphanumerics) counts each astral char once, like
+    * CPython; Java's String.length would count its two surrogate units. */
+  def len(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Python `s[:n]` — slice by code points. */
+  def sliceCp(s: String, n: Int): String =
+    if (len(s) <= n) s else s.substring(0, s.offsetByCodePoints(0, n))
 
   /** Python `str.isspace()` for a single char (Unicode Zs/Zl/Zp + the ASCII
     * control whitespace set + U+0085). */
@@ -127,16 +141,18 @@ object Py {
     out.result()
   }
 
-  /** Python `str.isupper()`: ≥1 cased char and all cased chars uppercase. */
+  /** Python `str.isupper()`: ≥1 cased char and all cased chars uppercase.
+    * Iterates CODE POINTS so non-BMP cased letters (math alphanumerics
+    * like U+1D400 𝐀) are classified like CPython, not as surrogate pairs. */
   def isUpperStr(s: String): Boolean = {
     var hasCased = false
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isLowerCase(c) || Character.getType(c) == Character.TITLECASE_LETTER)
+      val cp = s.codePointAt(i)
+      if (Character.isLowerCase(cp) || Character.getType(cp) == Character.TITLECASE_LETTER)
         return false
-      if (Character.isUpperCase(c)) hasCased = true
-      i += 1
+      if (Character.isUpperCase(cp)) hasCased = true
+      i += Character.charCount(cp)
     }
     hasCased
   }

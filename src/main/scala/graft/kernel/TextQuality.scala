@@ -100,14 +100,14 @@ object TextQuality {
   private def analyzeImpl(text: String, full: Boolean): TextMetrics = {
     if (text == null || text.isEmpty) return TextMetrics.empty
 
-    val charCount = text.length
+    val charCount = Py.len(text) // CPython len(): code points, not UTF-16
     val lines = Py.splitOn(text, '\n')
     val lineCount = lines.length
 
     val words = Py.findAll(wordPat, text).toArray
     val wordCount = words.length
     val avgWordLength =
-      if (words.nonEmpty) Py.meanInt(words.map(_.length)) else 0.0
+      if (words.nonEmpty) Py.meanInt(words.map(Py.len)) else 0.0
 
     val structured = full && detectStructuredContent(text)
     val (english, numeric, specialChars) =
@@ -139,7 +139,7 @@ object TextQuality {
     * (english, numeric, special_chars). */
   def analyzeLanguageIndicators(text: String): (Double, Double, Double) = {
     if (text.isEmpty) return (0.0, 0.0, 0.0)
-    val totalChars = text.length
+    val totalChars = Py.len(text)
     val englishCommon = Py.countMatches(englishCommonPat, text)
     val english = math.min(englishCommon / (totalChars / 100.0), 1.0)
     val numeric = Py.countMatches(digitPat, text).toDouble / totalChars
@@ -155,14 +155,16 @@ object TextQuality {
     var score = 0.0
 
     // 1. dictionary-word ratio, max 0.3 (_analyzer.py:268-270)
-    val dictionaryMatches = words.count(w => commonEnglishWords.contains(w.toLowerCase))
+    val dictionaryMatches = words.count(w =>
+      commonEnglishWords.contains(w.toLowerCase(java.util.Locale.ROOT)))
     val dictionaryRatio = dictionaryMatches.toDouble / words.length
     score += math.min(dictionaryRatio * 0.3, 0.3)
 
     // 2. capitalization consistency in [0.05, 0.4] → +0.2 (_analyzer.py:272-277)
-    val capitalizedWords =
-      words.count(w => w.length > 1 && Character.isUpperCase(w.charAt(0)))
-    val allCapsWords = words.count(w => w.length > 1 && Py.isUpperStr(w))
+    // word[0].isupper() / len(word) are code-point operations in CPython
+    val capitalizedWords = words.count(w =>
+      Py.len(w) > 1 && Character.isUpperCase(w.codePointAt(0)))
+    val allCapsWords = words.count(w => Py.len(w) > 1 && Py.isUpperStr(w))
     val capConsistency = (capitalizedWords + allCapsWords).toDouble / words.length
     if (capConsistency >= 0.05 && capConsistency <= 0.4) score += 0.2
 
@@ -176,13 +178,13 @@ object TextQuality {
     }
 
     // 4. special-char ratio < 0.05 → +0.2 (_analyzer.py:287-292)
-    val specialCharRatio = Py.countMatches(qualitySpecialPat, text).toDouble / text.length
+    val specialCharRatio = Py.countMatches(qualitySpecialPat, text).toDouble / Py.len(text)
     if (specialCharRatio < 0.05) score += 0.2
 
     // 5. line-length CV < 1.0 → +0.1; SAMPLE stdev (_analyzer.py:294-303)
     val nonEmptyLines = lines.filter(l => Py.strip(l).nonEmpty)
     if (nonEmptyLines.nonEmpty) {
-      val lineLengths = nonEmptyLines.map(_.length)
+      val lineLengths = nonEmptyLines.map(Py.len)
       val std = if (lineLengths.length > 1) Py.stdevInt(lineLengths) else 0.0
       val avg = Py.meanInt(lineLengths)
       val cv = if (avg > 0) std / avg else 0.0
@@ -211,7 +213,7 @@ object TextQuality {
 
     // 1. ≤5 distinct indentation levels → +0.3 (_analyzer.py:334-344)
     val indents = lines.filter(l => Py.strip(l).nonEmpty)
-      .map(l => l.length - Py.lstrip(l).length)
+      .map(l => Py.len(l) - Py.len(Py.lstrip(l)))
     if (indents.nonEmpty && indents.toSet.size <= 5) score += 0.3
 
     // 2. blank-line ratio in [0.1, 0.4] → +0.3 (_analyzer.py:346-353)

@@ -138,14 +138,25 @@ object ExtractJob {
       pmod(xxhash64($"url", lit(7)), lit(cfg.saltFactor)))
 
     // -- sink: partitioned (bucketed-by-url-hash) parquet -------------------
-    val mode = if (cfg.resume) "append" else "overwrite"
-    placed.write.mode(mode).partitionBy("bucket").parquet(s"$outDir/docs")
+    // Resume writes with DYNAMIC partition overwrite, not append: if a
+    // previous run died in the docs-committed/lineage-missing window, the
+    // re-extraction of those buckets REPLACES their partitions instead of
+    // appending duplicates — resume is idempotent across any crash point.
+    if (cfg.resume)
+      placed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$outDir/docs")
+    else
+      placed.write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/docs")
 
     // -- lineage AFTER data commit (resume-safety ordering) -----------------
+    // Returned stats are aggregated from the lineage rows this invocation
+    // writes (exactly-once: derived from durable committed output), NOT
+    // from the accumulators — accumulators increment inside a
+    // transformation, so retried/speculative tasks over-count them; they
+    // remain attached for live progress telemetry only.
+    val mode = if (cfg.resume) "append" else "overwrite"
     writeLineage(spark, outDir, cfg, mode)
-
-    ExtractStats(acc.docs.value, acc.pages.value, acc.ocr.value,
-      acc.empty.value, acc.bytesIn.value, acc.bytesOut.value)
   }
 
   def readDocs(spark: SparkSession, outDir: String): DataFrame =
@@ -174,7 +185,8 @@ object ExtractJob {
   }
 
   private def writeLineage(
-      spark: SparkSession, outDir: String, cfg: JobConfig, mode: String): Unit = {
+      spark: SparkSession, outDir: String, cfg: JobConfig,
+      mode: String): ExtractStats = {
     import spark.implicits._
     val prevDone: Set[Int] =
       if (mode == "append") doneBuckets(spark, outDir).toSet else Set.empty
@@ -195,7 +207,15 @@ object ExtractJob {
         $"ocr_needed", $"empty_extractions", $"bytes_in", $"bytes_out",
         lit(cfg.runId).as("run_id"))
       .as[LineageRow]
-    lineage.write.mode(mode).parquet(s"$outDir/lineage")
+      .persist()
+    try {
+      lineage.write.mode(mode).parquet(s"$outDir/lineage")
+      val rows = lineage.collect()
+      ExtractStats(
+        rows.map(_.docs).sum, rows.map(_.pages).sum,
+        rows.map(_.ocr_needed).sum, rows.map(_.empty_extractions).sum,
+        rows.map(_.bytes_in).sum, rows.map(_.bytes_out).sum)
+    } finally lineage.unpersist()
   }
 
   /** Public alias for the streaming module (same row mapping). */

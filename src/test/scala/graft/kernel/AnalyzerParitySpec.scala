@@ -8,7 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Broad byte-identity parity: 100 randomized adversarial texts (prose,
   * char soup, structured fragments, OCR-garbage shapes, whitespace edges —
-  * incl. NBSP, tabs, unicode, CJK) were run through the REFERENCE analyzer
+  * incl. NBSP, tabs, unicode, CJK, and 12 non-BMP rows: emoji, math
+  * alphanumerics, astral CJK — exercising code-point len/slice/isupper
+  * semantics) were run through the REFERENCE analyzer
   * (/root/reference/src/ocr_detection/_analyzer.py, CPython 3.13) and its
   * outputs frozen in golden/analyzer_parity.tsv (base64 text + exact float
   * reprs). Every metric must match bit-for-bit. Complements the 13
@@ -22,11 +24,11 @@ class AnalyzerParitySpec extends AnyFunSuite {
       .split('\n').filter(_.nonEmpty).toSeq.map(_.split('\t'))
 
   test("parity corpus loaded") {
-    assert(records.length == 100)
+    assert(records.length == 112)
     assert(records.forall(_.length == 15))
   }
 
-  test("analyze_text_quality: bit-identical on all 100 randomized texts") {
+  test("analyze_text_quality: bit-identical on all 112 randomized texts") {
     records.zipWithIndex.foreach { case (f, i) =>
       val text = new String(Base64.getDecoder.decode(f(0)), StandardCharsets.UTF_8)
       val m = TextQuality.analyze(text)
@@ -47,7 +49,7 @@ class AnalyzerParitySpec extends AnyFunSuite {
     }
   }
 
-  test("detect_ocr_artifacts: bit-identical on all 100 randomized texts") {
+  test("detect_ocr_artifacts: bit-identical on all 112 randomized texts") {
     records.zipWithIndex.foreach { case (f, i) =>
       val text = new String(Base64.getDecoder.decode(f(0)), StandardCharsets.UTF_8)
       val a = TextQuality.detectOcrArtifacts(text)

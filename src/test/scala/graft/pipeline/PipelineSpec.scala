@@ -136,6 +136,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ExtractJob.readDocs(spark, out).count() == N)
   }
 
+  test("resume is idempotent across the docs-committed/lineage-missing " +
+    "crash window (dynamic partition overwrite, no duplicates)") {
+    val buckets = 8
+    val input = SynthSource.pages(spark, N, seed = 31L).toDF()
+    val out = tmp()
+    ExtractJob.run(spark, input, out, JobConfig(buckets = buckets))
+    assert(ExtractJob.readDocs(spark, out).count() == N)
+
+    // simulate the crash window: docs fully committed, lineage lost
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(out, "lineage"))
+
+    // resume finds no 'done' buckets and re-extracts EVERYTHING — the
+    // dynamic partition overwrite must replace partitions, not append
+    val stats = ExtractJob.run(spark, input, out,
+      JobConfig(buckets = buckets, resume = true))
+    assert(stats.docs == N)
+    val docs = ExtractJob.readDocs(spark, out)
+    assert(docs.count() == N, "crash-window resume duplicated rows")
+    assert(docs.select("url").distinct().count() == N)
+    assert(ExtractJob.readLineage(spark, out)
+      .agg(sum("docs")).collect()(0).getLong(0) == N)
+  }
+
   test("includeImages and accuracy mode flow through the pipeline") {
     import graft.kernel.ProbeConfig
     val out = tmp()
