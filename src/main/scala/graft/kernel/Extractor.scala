@@ -34,7 +34,12 @@ final class Extractor(cfg: ProbeConfig) {
     if (htmlBytes == null || htmlBytes.isEmpty)
       return errorDoc("empty payload")
     try {
-      if (PdfPayload.isPdf(htmlBytes)) extractPdf(htmlBytes)
+      // S1 dual-path payload sniff: REAL %PDF-1.x bytes parse through the
+      // genuine-PDF probe (PdfParse: object scan, Flate streams, Tj/TJ);
+      // GFTPDF1 structured payloads keep exercising the same decision
+      // functions; everything else is html.
+      if (PdfParse.isRealPdf(htmlBytes)) extractPdf(PdfParse.parse(htmlBytes))
+      else if (PdfPayload.isPdf(htmlBytes)) extractPdf(PdfPayload.deserialize(htmlBytes))
       else extractHtml(htmlBytes)
     } catch {
       case e: Exception => errorDoc(s"extraction failed: ${e.getMessage}")
@@ -43,8 +48,7 @@ final class Extractor(cfg: ProbeConfig) {
 
   // ------------------------------------------------------------------ pdf
 
-  private def extractPdf(bytes: Array[Byte]): DocExtract = {
-    val doc = PdfPayload.deserialize(bytes)
+  private def extractPdf(doc: PdfDoc): DocExtract = {
     val results = probe.analyzeDoc(doc)
     val totalPages = results.length
 

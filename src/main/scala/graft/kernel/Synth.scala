@@ -12,9 +12,10 @@ import java.util.SplittableRandom
   * parallel≡sequential determinism tests hold.
   *
   * Row mix per 10 indices: 6 html articles (boilerplate + labeled content),
-  * 1 html link-farm, 1 PDF-like text doc, 1 PDF-like scanned doc, 1 junk /
-  * edge row. Host distribution is intentionally skewed (~30% of rows on one
-  * hot host) to exercise the salted repartition.
+  * 1 html link-farm, 1 PDF text doc (half as GENUINE %PDF-1.4 bytes with
+  * Flate streams, half as the structured payload), 1 PDF-like scanned doc,
+  * 1 junk / edge row. Host distribution is intentionally skewed (~30% of
+  * rows on one hot host) to exercise the salted repartition.
   */
 object Synth {
 
@@ -200,7 +201,15 @@ object Synth {
         (h.getBytes(StandardCharsets.UTF_8), "")
       case 7 =>
         val d = pdfText(rng, 12 + rng.nextInt(13))
-        (PdfPayload.serialize(d), d.pages.head.textLayer.take(120))
+        // half the native-text docs ship as GENUINE %PDF-1.4 bytes (Flate
+        // content streams, Tj/T* operators — PdfParse.writePdf): the real
+        // binary parse path runs at corpus scale with byte-identical
+        // text layers, so classification outputs are unchanged
+        val bytes =
+          if (rng.nextInt(2) == 0)
+            PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq))
+          else PdfPayload.serialize(d)
+        (bytes, d.pages.head.textLayer.take(120))
       case 8 =>
         val d = pdfScanned(rng, 5 + rng.nextInt(8))
         (PdfPayload.serialize(d), "")
