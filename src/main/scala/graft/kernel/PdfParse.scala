@@ -41,27 +41,204 @@ object PdfParse {
 
   // ---------------------------------------------------------------- parsing
 
-  /** Parse a real PDF byte stream into the probe's PdfDoc model. Throws on
-    * structurally hopeless input (no page objects) — the Extractor maps
-    * that to its error-row channel. */
+  /** One page leaf with tree-inherited attributes resolved. */
+  private final case class PageCtx(
+      body: String, box: Option[(Double, Double)], resources: Option[String])
+
+  /** Parse a real PDF byte stream into the probe's PdfDoc model. Pages come
+    * from walking the page TREE from the catalog (`/Root → /Pages → /Kids`,
+    * in document order, with `/MediaBox` and `/Resources` inheritance per
+    * the spec) — orphan `/Type /Page` objects left behind by incremental
+    * updates are ignored, matching what real readers report. Falls back to
+    * a flat object scan when the tree is unwalkable. Throws on structurally
+    * hopeless input (no pages at all) — the Extractor maps that to its
+    * error-row channel. */
   def parse(bytes: Array[Byte]): PdfDoc = {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1) // byte-faithful
     val objs = scanObjects(raw)
 
-    val pageObjs = objs.filter { case (_, body) => isPageObject(body) }
-    require(pageObjs.nonEmpty, "no /Type /Page objects found")
+    val leaves = pageTreeLeaves(objs).getOrElse {
+      objs.toVector.sortBy(_._1).collect {
+        case (_, body) if isPageObject(body) =>
+          PageCtx(body, mediaBox(body), resolveResources(body, objs))
+      }
+    }
+    require(leaves.nonEmpty, "no /Type /Page objects found")
 
-    val pages = pageObjs.toVector.sortBy(_._1).map { case (_, body) =>
-      val (w, h) = mediaBox(body).getOrElse((612.0, 792.0))
-      val text = contentsRefs(body)
+    val cmapCache = mutable.Map[String, Map[String, FontCMap]]()
+    val pages = leaves.map { leaf =>
+      val (w, h) = leaf.box.getOrElse((612.0, 792.0))
+      val fonts = leaf.resources
+        .map(r => cmapCache.getOrElseUpdate(r, pageFonts(r, objs, bytes, raw)))
+        .getOrElse(Map.empty)
+      val text = contentsRefs(leaf.body)
         .flatMap(objs.get)
         .map(streamData(_, bytes, raw))
-        .collect { case Some(data) => extractTextOps(data) }
+        .collect { case Some(data) => extractTextOps(data, fonts) }
         .mkString("\n")
-      val images = xobjectImages(body, objs)
+      val images = leaf.resources.map(xobjectImages(_, objs)).getOrElse(Vector.empty)
       PdfPage(w, h, text, altTextLayer = None, images)
     }
     PdfDoc(pages)
+  }
+
+  // -------------------------------------------------------------- ToUnicode
+
+  /** A font's character decoding: code width in bytes and the ToUnicode
+    * code→string map (PDF 32000-1 §9.10.3). */
+  private[kernel] final case class FontCMap(
+      bytesPerCode: Int, map: Map[Int, String])
+
+  /** Resolve the /Font dict of a resources dict into per-name CMaps. Fonts
+    * without a ToUnicode stream decode byte-identically (standard Latin
+    * encodings), which is correct for the simple-font subset. */
+  private def pageFonts(
+      resources: String, objs: Map[Int, String],
+      bytes: Array[Byte], raw: String): Map[String, FontCMap] = {
+    val fm = Py.re("""/Font\s*<<([^>]*)>>""").matcher(resources)
+    if (!fm.find()) return Map.empty
+    val entryPat = Py.re("""/(\w+)\s+(\d+)\s+\d+\s+R""")
+    val em = entryPat.matcher(fm.group(1))
+    val out = mutable.Map[String, FontCMap]()
+    while (em.find()) {
+      val name = em.group(1)
+      for {
+        fontBody <- objs.get(em.group(2).toInt)
+        tuRef <- objRef(fontBody, "ToUnicode")
+        tuBody <- objs.get(tuRef)
+        data <- streamData(tuBody, bytes, raw)
+      } out(name) = parseCMap(new String(data, StandardCharsets.ISO_8859_1))
+    }
+    out.toMap
+  }
+
+  private def hexToInt(h: String): Int = java.lang.Integer.parseInt(h, 16)
+
+  /** UTF-16BE hex digits → string (bfchar/bfrange destination values). */
+  private def hexToUtf16(h: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= h.length) {
+      sb.append(hexToInt(h.substring(i, i + 4)).toChar)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Parse a ToUnicode CMap stream: codespacerange width + bfchar/bfrange
+    * sections (both destination forms). */
+  private[kernel] def parseCMap(src: String): FontCMap = {
+    val map = mutable.Map[Int, String]()
+    var width = 1
+    val cs = Py.re("""begincodespacerange\s*<([0-9a-fA-F]+)>""").matcher(src)
+    if (cs.find()) width = math.max(1, cs.group(1).length / 2)
+
+    val bfchar = Py.re("""beginbfchar([\s\S]*?)endbfchar""").matcher(src)
+    while (bfchar.find()) {
+      val pair = Py.re("""<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""").matcher(bfchar.group(1))
+      while (pair.find())
+        map(hexToInt(pair.group(1))) = hexToUtf16(pair.group(2))
+    }
+    val bfrange = Py.re("""beginbfrange([\s\S]*?)endbfrange""").matcher(src)
+    while (bfrange.find()) {
+      val body = bfrange.group(1)
+      // form 1: <lo> <hi> <dstStart>
+      val r1 = Py.re(
+        """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""").matcher(body)
+      while (r1.find()) {
+        val lo = hexToInt(r1.group(1)); val hi = hexToInt(r1.group(2))
+        val dst = r1.group(3)
+        var c = lo
+        while (c <= hi) {
+          // increment the LAST UTF-16 unit of the destination
+          val base = hexToUtf16(dst)
+          if (base.nonEmpty)
+            map(c) = base.init + (base.last + (c - lo)).toChar
+          c += 1
+        }
+      }
+      // form 2: <lo> <hi> [<d1> <d2> ...]
+      val r2 = Py.re(
+        """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[([^\]]*)\]""").matcher(body)
+      while (r2.find()) {
+        val lo = hexToInt(r2.group(1))
+        val dm = Py.re("""<([0-9a-fA-F]+)>""").matcher(r2.group(3))
+        var c = lo
+        while (dm.find()) { map(c) = hexToUtf16(dm.group(1)); c += 1 }
+      }
+    }
+    FontCMap(width, map.toMap)
+  }
+
+  /** Decode a raw show-string (chars = bytes) through the active font. */
+  private def decodeString(rawStr: String, font: Option[FontCMap]): String =
+    font match {
+      case None => rawStr
+      case Some(f) if f.bytesPerCode == 1 =>
+        val sb = new StringBuilder
+        var i = 0
+        while (i < rawStr.length) {
+          val c = rawStr.charAt(i) & 0xFF
+          f.map.get(c) match {
+            case Some(u) => sb.append(u)
+            case None => sb.append(rawStr.charAt(i)) // simple-font identity
+          }
+          i += 1
+        }
+        sb.toString
+      case Some(f) => // 2-byte codes (CID)
+        val sb = new StringBuilder
+        var i = 0
+        while (i + 1 < rawStr.length) {
+          val c = ((rawStr.charAt(i) & 0xFF) << 8) | (rawStr.charAt(i + 1) & 0xFF)
+          sb.append(f.map.getOrElse(c, "�"))
+          i += 2
+        }
+        sb.toString
+    }
+
+  private def objRef(body: String, key: String): Option[Int] = {
+    val m = Py.re(s"""/$key\\s+(\\d+)\\s+\\d+\\s+R""").matcher(body)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** `/Resources` of a node: inline dict content or resolved indirect
+    * object body. */
+  private def resolveResources(body: String, objs: Map[Int, String]): Option[String] = {
+    objRef(body, "Resources").flatMap(objs.get).orElse {
+      val m = Py.re("""/Resources\s*<<""").matcher(body)
+      if (m.find()) Some(body.substring(m.end() - 2)) else None
+    }
+  }
+
+  /** Document-order page leaves via the catalog's page tree, with MediaBox
+    * and Resources inheritance. None when the tree cannot be walked. */
+  private def pageTreeLeaves(objs: Map[Int, String]): Option[Vector[PageCtx]] = {
+    val catalog = objs.values.find(b =>
+      Py.re("""/Type\s*/Catalog""").matcher(b).find())
+    catalog.flatMap(objRef(_, "Pages")).flatMap(objs.get).map { root =>
+      val out = Vector.newBuilder[PageCtx]
+      val visited = mutable.Set[Int]()
+      def kidsOf(body: String): Vector[Int] = {
+        val m = Py.re("""/Kids\s*\[([^\]]*)\]""").matcher(body)
+        if (!m.find()) return Vector.empty
+        val rm = Py.re("""(\d+)\s+\d+\s+R""").matcher(m.group(1))
+        val refs = Vector.newBuilder[Int]
+        while (rm.find()) refs += rm.group(1).toInt
+        refs.result()
+      }
+      def walk(body: String, box: Option[(Double, Double)],
+          res: Option[String]): Unit = {
+        val myBox = mediaBox(body).orElse(box)
+        val myRes = resolveResources(body, objs).orElse(res)
+        if (isPageObject(body)) out += PageCtx(body, myBox, myRes)
+        else kidsOf(body).foreach { n =>
+          if (visited.add(n)) objs.get(n).foreach(walk(_, myBox, myRes))
+        }
+      }
+      walk(root, None, None)
+      out.result()
+    }.filter(_.nonEmpty)
   }
 
   /** All `N 0 obj … endobj` bodies keyed by object number (generation
@@ -147,12 +324,27 @@ object PdfParse {
     } catch { case _: Exception => None }
   }
 
-  /** Extract show-operator text from one decoded content stream. */
-  private[kernel] def extractTextOps(data: Array[Byte]): String = {
+  /** Extract show-operator text from one decoded content stream.
+    *
+    * Line structure follows the text cursor like a real text extractor:
+    * `BT` resets the matrix, so the first `Td`/`Tm` inside a text object is
+    * an ABSOLUTE position — a change in absolute y vs the previous text run
+    * starts a new line (this is how one-BT-per-line documents linearize);
+    * later `Td`/`TD` in the same object are relative (negative y = new
+    * line), as are `T*` and `'`. Inside `TJ` arrays a kerning adjustment
+    * ≤ −150 (milli-em) renders as an inter-word gap → a space. */
+  private[kernel] def extractTextOps(
+      data: Array[Byte],
+      fonts: Map[String, FontCMap] = Map.empty): String = {
     val s = new String(data, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
     var i = 0
     var lineOpen = false
+    var firstPositionInBt = true
+    var lastAbsY = Double.NaN
+    var bracketDepth = 0
+    var lastName = ""
+    var currentFont: Option[FontCMap] = None
     def newline(): Unit = {
       if (lineOpen) { sb.append('\n'); lineOpen = false }
     }
@@ -160,19 +352,54 @@ object PdfParse {
       s.charAt(i) match {
         case '(' =>
           val (str, next) = literalString(s, i)
-          sb.append(str); lineOpen = true
+          sb.append(decodeString(str, currentFont)); lineOpen = true
           i = next
         case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
           val (str, next) = hexString(s, i)
-          sb.append(str); lineOpen = true
+          sb.append(decodeString(str, currentFont)); lineOpen = true
           i = next
-        case 'T' if i + 1 < s.length && (s.charAt(i + 1) == '*') =>
+        case '/' =>
+          val start = i + 1
+          i += 1
+          while (i < s.length && (s.charAt(i).isLetterOrDigit ||
+            s.charAt(i) == '_' || s.charAt(i) == '.' || s.charAt(i) == '-')) i += 1
+          lastName = s.substring(start, i)
+        case 'T' if i + 1 < s.length && s.charAt(i + 1) == 'f' =>
+          currentFont = fonts.get(lastName) // `/Name size Tf` selects the font
+          i += 2
+        case '[' => bracketDepth += 1; i += 1
+        case ']' => bracketDepth = math.max(0, bracketDepth - 1); i += 1
+        case c if bracketDepth > 0 && (c == '-' || (c >= '0' && c <= '9')) =>
+          // TJ kerning number: big negative adjustment = inter-word gap
+          val start = i
+          i += 1
+          while (i < s.length && "0123456789.+-".indexOf(s.charAt(i)) >= 0) i += 1
+          try {
+            if (s.substring(start, i).toDouble <= -150 && lineOpen) sb.append(' ')
+          } catch { case _: Exception => }
+        case 'B' if i + 1 < s.length && s.charAt(i + 1) == 'T' =>
+          firstPositionInBt = true; i += 2
+        case 'T' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
           newline(); i += 2
         case 'T' if i + 1 < s.length &&
           (s.charAt(i + 1) == 'd' || s.charAt(i + 1) == 'D') =>
-          // Td/TD moved the cursor; the operands PRECEDE the operator — a
-          // negative y operand means a new line. Look back for the y value.
-          if (precedingYNegative(s, i)) newline()
+          precedingNumber(s, i).foreach { y =>
+            if (firstPositionInBt) {
+              // absolute line position: y moved → new line
+              if (!lastAbsY.isNaN && math.abs(y - lastAbsY) > 0.5) newline()
+              lastAbsY = y
+            } else if (y < -0.5) { newline(); lastAbsY += y }
+            else lastAbsY += y
+          }
+          firstPositionInBt = false
+          i += 2
+        case 'T' if i + 1 < s.length && s.charAt(i + 1) == 'm' =>
+          // text matrix: operand f (the last) is the absolute y
+          precedingNumber(s, i).foreach { y =>
+            if (!lastAbsY.isNaN && math.abs(y - lastAbsY) > 0.5) newline()
+            lastAbsY = y
+          }
+          firstPositionInBt = false
           i += 2
         case '\'' =>
           newline(); i += 1
@@ -182,13 +409,16 @@ object PdfParse {
     sb.toString
   }
 
-  private def precedingYNegative(s: String, opIdx: Int): Boolean = {
+  /** The numeric token immediately preceding the operator at `opIdx`
+    * (i.e. the last operand). */
+  private def precedingNumber(s: String, opIdx: Int): Option[Double] = {
     var j = opIdx - 1
     while (j >= 0 && (s.charAt(j) == ' ' || s.charAt(j) == '\n' || s.charAt(j) == '\r')) j -= 1
     val end = j + 1
     while (j >= 0 && "0123456789.+-".indexOf(s.charAt(j)) >= 0) j -= 1
     val tok = s.substring(j + 1, end)
-    tok.nonEmpty && (try tok.toDouble < 0 catch { case _: Exception => false })
+    if (tok.isEmpty) None
+    else try Some(tok.toDouble) catch { case _: Exception => None }
   }
 
   /** PDF literal string starting at '(' — returns (decoded, indexAfter). */
@@ -244,11 +474,11 @@ object PdfParse {
     (sb.toString, math.min(end + 1, s.length))
   }
 
-  /** Image XObjects reachable from the page's /Resources. */
+  /** Image XObjects reachable from a resolved /Resources dict. */
   private def xobjectImages(
-      pageBody: String, objs: Map[Int, String]): Vector[PdfImage] = {
+      resources: String, objs: Map[Int, String]): Vector[PdfImage] = {
     val xobjRefPat = Py.re("""/XObject\s*<<([^>]*)>>""")
-    val m = xobjRefPat.matcher(pageBody)
+    val m = xobjRefPat.matcher(resources)
     val refBodies: Vector[String] =
       if (m.find()) {
         val refPat = Py.re("""(\d+)\s+\d+\s+R""")
