@@ -412,6 +412,16 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
+    // ANN IVF-Flat top-3: sampled coarse quantizer, inverted-list probe,
+    // exact re-rank — the second ANN scale path beside LSH
+    "q41_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
+
     // Language-ID heuristic (portable whole-word marker counts)
     "q28_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -984,6 +994,45 @@ object SparkEntry {
         |  SELECT qy.query_id, c.vec_id AS neighbor_id
         |  FROM qy JOIN bkt c
         |    ON c.bucket = qy.bucket AND c.vec_id <> qy.query_id),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |    ${foldCosine("x.v", "y.v", 64)} AS cosine
+        |  FROM cand
+        |  JOIN e x ON x.vec_id = query_id
+        |  JOIN e y ON y.vec_id = neighbor_id),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        |FROM rk WHERE rank <= 3""".stripMargin
+
+    // q41: full IVF replication — centroids are the nlist lowest-id
+    // vectors (read straight from the table), assignment = argmax fold-
+    // cosine with smallest-cid ties, probing = rank-with-ties ≤ nprobe.
+    m += "q41_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT e.vec_id, c.cid, ${foldCosine("e.v", "c.cv", 64)} AS cs
+        |  FROM e, cents c),
+        |corpus_cluster AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM asg) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      rank() OVER (PARTITION BY vec_id ORDER BY cs DESC) AS rk
+        |    FROM asg WHERE vec_id < 10) WHERE rk <= 2),
+        |cand AS (
+        |  SELECT q.query_id, cc.vec_id AS neighbor_id
+        |  FROM qprobe q JOIN corpus_cluster cc
+        |    ON cc.cid = q.cid AND cc.vec_id <> q.query_id),
         |sc AS (
         |  SELECT query_id, neighbor_id,
         |    ${foldCosine("x.v", "y.v", 64)} AS cosine

@@ -101,6 +101,64 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-Flat approximate top-k: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into inverted lists; each query probes its
+    * `nprobe` nearest centroids and ranks exact cosine ONLY within those
+    * lists. Shuffle story at scale: the corpus shuffles once on its
+    * cluster id (the inverted lists ARE the partitioning); queries
+    * broadcast; candidate volume is the probed lists, not the corpus.
+    *
+    * The quantizer uses the standard random-sample training shortcut:
+    * centroids are the `nlist` lowest-id corpus vectors, collected once
+    * (tiny, like loading a trained quantizer) and embedded as literal
+    * arrays so assignment is pure codegen. Ties break to the smallest
+    * centroid index; probing keeps every centroid scoring ≥ the
+    * nprobe-th best (rank-with-ties semantics) — all deterministic and
+    * replicated exactly by the DuckDB oracle (q41). */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    val cents: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+    def scoresFor(v: Column): Column =
+      array(cents.map(ct => cosine(v, array(ct.map(lit): _*))): _*)
+
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("scores", scoresFor(col("cv")))
+      .withColumn("cluster",
+        array_position(col("scores"), array_max(col("scores"))))
+      .drop("scores")
+
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("scores", scoresFor(col("qv")))
+      .withColumn("nth", element_at(sort_array(col("scores"), asc = false),
+        math.min(nprobe, cents.length)))
+      .withColumn("cluster", explode(filter(
+        sequence(lit(1L), lit(cents.length.toLong)),
+        i => element_at(col("scores"), i.cast("int")) >= col("nth"))))
+      .select(col("query_id"), col("qv"), col("cluster"))
+
+    val scored = assigned.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
     *
     * Candidate generation is the scale path: each vector lands in

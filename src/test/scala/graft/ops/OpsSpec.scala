@@ -152,6 +152,25 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.count() > 0)
   }
 
+  test("IVF top-k: probing all lists ≡ brute force; fewer lists = subset") {
+    val e = spark.range(200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * 0.7 + i.cast("double")).cast("float")).as("embedding"))
+    val q = e.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3))
+    // nprobe = nlist probes every inverted list → exactly brute force
+    val full = rows(Similarity.ivfTopK(e, q, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 8))
+    assert(full == brute)
+    // narrow probing returns valid ranked results (approximate)
+    val narrow = Similarity.ivfTopK(e, q, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 2)
+    assert(narrow.count() > 0 && narrow.count() <= brute.size)
+  }
+
   test("langid guess on marker-bearing texts") {
     val df = Seq(
       (1L, "the cat and the dog is here"),
