@@ -6,30 +6,31 @@ import java.util.zip.{Deflater, Inflater}
 
 import scala.collection.mutable
 
-/** Minimal REAL-PDF text-layer probe — genuine `%PDF-1.x` byte streams,
-  * no external library (java.util.zip only).
+/** REAL-PDF text-layer probe — genuine `%PDF-1.x` byte streams, no
+  * external library (java.util.zip only).
   *
-  * Scope (documented, fixture-tested): PDF 1.x files whose page text lives
-  * in uncompressed or FlateDecode content streams as literal-string
-  * `Tj` / `'` / `TJ` show operators (the dominant shape for digitally-born
-  * single-font documents). Covered:
+  * Scope (documented, fixture-tested against the reference's own
+  * test_data PDFs in ReferenceFixtureSpec):
   *   - object scan (`N 0 obj … endobj`) without requiring a valid xref —
   *     robust to appended/incremental files;
-  *   - `/Type /Page` objects with `/MediaBox` geometry and `/Contents`
-  *     references (single ref or array);
-  *   - `/Filter /FlateDecode` stream inflation (zlib);
-  *   - literal strings with the standard escapes (\\ \( \) \n \r \t \b \f,
-  *     octal \ddd) and hex strings `<…>`;
-  *   - line structure: `T*`, `'`, and `Td`/`TD` with a negative y start a
-  *     new line, matching how text extractors linearize simple layouts;
-  *   - image XObjects (`/Subtype /Image`, `/Width`, `/Height`) attached to
-  *     the page via its `/Resources /XObject` dict.
-  * Everything else (CID fonts, encrypted files, object streams, non-Flate
-  * filters) is out of scope: pages parse with an empty text layer and flow
-  * down the SAME needs-OCR path the reference takes for image-only pages
-  * (_detector.py:336-423) — degraded, never wrong-kind. The parsed result
-  * feeds the existing PdfDoc model, so X1→C1→P1 run unchanged on real PDF
-  * bytes (PdfProbeSpec drives a hand-assembled fixture end-to-end).
+  *   - page TREE walk from the catalog (`/Root → /Pages → /Kids`) with
+  *     `/MediaBox`/`/Resources` inheritance; flat-scan fallback;
+  *   - `/Contents` single refs and arrays; `/Filter /FlateDecode`
+  *     inflation (zlib);
+  *   - show-operator text: literal strings with the standard escapes
+  *     (\\ \( \) \n \r \t \b \f, octal \ddd) and hex strings, decoded
+  *     through the active font's ToUnicode CMap (`/Name size Tf`
+  *     tracking; bfchar + both bfrange forms; 1- and 2-byte codes);
+  *   - line structure from the text cursor (absolute first-Td/Tm per BT,
+  *     relative later Td/TD, `T*`/`'`); TJ kerning ≤ −150 → word gap;
+  *   - image XObjects via `/Resources /XObject`, recursing through Form
+  *     XObjects (the standard wrapper for scanned page content).
+  * Everything else (encrypted files, object streams, non-Flate filters,
+  * CID fonts without ToUnicode) degrades to an empty/partial text layer
+  * and flows down the SAME needs-OCR path the reference takes for
+  * image-only pages (_detector.py:336-423) — degraded, never wrong-kind.
+  * The parsed result feeds the existing PdfDoc model, so X1→C1→P1 run
+  * unchanged on real PDF bytes.
   */
 object PdfParse {
 
@@ -474,33 +475,38 @@ object PdfParse {
     (sb.toString, math.min(end + 1, s.length))
   }
 
-  /** Image XObjects reachable from a resolved /Resources dict. */
+  /** Image XObjects reachable from a resolved /Resources dict — including
+    * images nested inside Form XObjects (the standard wrapping for scanned
+    * page content), followed recursively with cycle protection. */
   private def xobjectImages(
-      resources: String, objs: Map[Int, String]): Vector[PdfImage] = {
+      resources: String, objs: Map[Int, String],
+      visited: mutable.Set[Int] = mutable.Set.empty): Vector[PdfImage] = {
     val xobjRefPat = Py.re("""/XObject\s*<<([^>]*)>>""")
     val m = xobjRefPat.matcher(resources)
-    val refBodies: Vector[String] =
-      if (m.find()) {
-        val refPat = Py.re("""(\d+)\s+\d+\s+R""")
-        val rm = refPat.matcher(m.group(1))
-        val refs = Vector.newBuilder[String]
-        while (rm.find()) objs.get(rm.group(1).toInt).foreach(refs += _)
-        refs.result()
-      } else Vector.empty
-    refBodies.flatMap { body =>
-      if (Py.re("""/Subtype\s*/Image""").matcher(body).find()) {
-        val wPat = Py.re("""/Width\s+(\d+)""")
-        val hPat = Py.re("""/Height\s+(\d+)""")
-        val wm = wPat.matcher(body); val hm = hPat.matcher(body)
-        if (wm.find() && hm.find()) {
-          val w = wm.group(1).toInt; val h = hm.group(1).toInt
-          // placement unknown without full graphics-state tracking: use a
-          // centered nominal rect at intrinsic size (bounded by the page)
-          Some(PdfImage(w, h, Vector(PdfRect(0, 0, w.toDouble, h.toDouble)),
-            Array.empty[Byte]))
-        } else None
-      } else None
+    if (!m.find()) return Vector.empty
+    val refPat = Py.re("""(\d+)\s+\d+\s+R""")
+    val rm = refPat.matcher(m.group(1))
+    val out = Vector.newBuilder[PdfImage]
+    while (rm.find()) {
+      val n = rm.group(1).toInt
+      if (visited.add(n)) objs.get(n).foreach { body =>
+        if (Py.re("""/Subtype\s*/Image""").matcher(body).find()) {
+          val wm = Py.re("""/Width\s+(\d+)""").matcher(body)
+          val hm = Py.re("""/Height\s+(\d+)""").matcher(body)
+          if (wm.find() && hm.find()) {
+            val w = wm.group(1).toInt; val h = hm.group(1).toInt
+            // placement unknown without full graphics-state tracking: use a
+            // nominal rect at intrinsic size
+            out += PdfImage(w, h, Vector(PdfRect(0, 0, w.toDouble, h.toDouble)),
+              Array.empty[Byte])
+          }
+        } else if (Py.re("""/Subtype\s*/Form""").matcher(body).find()) {
+          resolveResources(body, objs)
+            .foreach(r => out ++= xobjectImages(r, objs, visited))
+        }
+      }
     }
+    out.result()
   }
 
   // --------------------------------------------------------------- writing
