@@ -68,6 +68,26 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash LSH full recall on the driver corpus (q23 oracle premise): " +
+    "band collisions catch every true pair, verified vs the complete " +
+    "prefix join") {
+    val docs500 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val lsh = pairSet(Dedup.minhashNearDups(docs500, "doc_id", "text",
+      shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    // ground truth: prefix filtering is provably complete for J ≥ t
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs500, "doc_id", "text",
+      groupCols = Seq.empty, shingleK = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    assert(lsh == exact,
+      s"LSH recall broke: missing=${exact.diff(lsh).take(3)} " +
+        s"extra=${lsh.diff(exact).take(3)}")
+    assert(exact.nonEmpty)
+  }
+
   test("cosine similarity HOF: exact on known vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
