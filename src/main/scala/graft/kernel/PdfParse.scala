@@ -36,6 +36,38 @@ object PdfParse {
 
   private val Header = "%PDF-".getBytes(StandardCharsets.US_ASCII)
 
+  // precompiled patterns — PdfParse runs per document inside the kernel,
+  // so pattern compilation must happen once per JVM, not once per call
+  private val PatObj = Py.re("""(\d+)\s+\d+\s+obj""")
+  private val PatRef = Py.re("""(\d+)\s+\d+\s+R""")
+  private val PatPage = Py.re("""/Type\s*/Page(?![a-zA-Z])""")
+  private val PatCatalog = Py.re("""/Type\s*/Catalog""")
+  private val PatMediaBox = Py.re(
+    """/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]""")
+  private val PatContentsRef = Py.re("""/Contents\s+(\d+)\s+\d+\s+R""")
+  private val PatContentsArr = Py.re("""/Contents\s*\[([^\]]*)\]""")
+  private val PatKids = Py.re("""/Kids\s*\[([^\]]*)\]""")
+  private val PatResourcesRef = Py.re("""/Resources\s+(\d+)\s+\d+\s+R""")
+  private val PatResourcesInline = Py.re("""/Resources\s*<<""")
+  private val PatFlate = Py.re("""/Filter\s*/FlateDecode""")
+  private val PatToUnicodeRef = Py.re("""/ToUnicode\s+(\d+)\s+\d+\s+R""")
+  private val PatFontDict = Py.re("""/Font\s*<<([^>]*)>>""")
+  private val PatFontEntry = Py.re("""/(\w+)\s+(\d+)\s+\d+\s+R""")
+  private val PatXObjDict = Py.re("""/XObject\s*<<([^>]*)>>""")
+  private val PatSubImage = Py.re("""/Subtype\s*/Image""")
+  private val PatSubForm = Py.re("""/Subtype\s*/Form""")
+  private val PatWidth = Py.re("""/Width\s+(\d+)""")
+  private val PatHeight = Py.re("""/Height\s+(\d+)""")
+  private val PatCodespace = Py.re("""begincodespacerange\s*<([0-9a-fA-F]+)>""")
+  private val PatBfchar = Py.re("""beginbfchar([\s\S]*?)endbfchar""")
+  private val PatBfrange = Py.re("""beginbfrange([\s\S]*?)endbfrange""")
+  private val PatHexPair = Py.re("""<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""")
+  private val PatHexTriple = Py.re(
+    """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""")
+  private val PatHexRangeArr = Py.re(
+    """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[([^\]]*)\]""")
+  private val PatHexOne = Py.re("""<([0-9a-fA-F]+)>""")
+
   def isRealPdf(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= Header.length &&
       java.util.Arrays.equals(bytes, 0, Header.length, Header, 0, Header.length)
@@ -96,16 +128,15 @@ object PdfParse {
   private def pageFonts(
       resources: String, objs: Map[Int, String],
       bytes: Array[Byte], raw: String): Map[String, FontCMap] = {
-    val fm = Py.re("""/Font\s*<<([^>]*)>>""").matcher(resources)
+    val fm = PatFontDict.matcher(resources)
     if (!fm.find()) return Map.empty
-    val entryPat = Py.re("""/(\w+)\s+(\d+)\s+\d+\s+R""")
-    val em = entryPat.matcher(fm.group(1))
+    val em = PatFontEntry.matcher(fm.group(1))
     val out = mutable.Map[String, FontCMap]()
     while (em.find()) {
       val name = em.group(1)
       for {
         fontBody <- objs.get(em.group(2).toInt)
-        tuRef <- objRef(fontBody, "ToUnicode")
+        tuRef <- firstRef(fontBody, PatToUnicodeRef)
         tuBody <- objs.get(tuRef)
         data <- streamData(tuBody, bytes, raw)
       } out(name) = parseCMap(new String(data, StandardCharsets.ISO_8859_1))
@@ -131,21 +162,20 @@ object PdfParse {
   private[kernel] def parseCMap(src: String): FontCMap = {
     val map = mutable.Map[Int, String]()
     var width = 1
-    val cs = Py.re("""begincodespacerange\s*<([0-9a-fA-F]+)>""").matcher(src)
+    val cs = PatCodespace.matcher(src)
     if (cs.find()) width = math.max(1, cs.group(1).length / 2)
 
-    val bfchar = Py.re("""beginbfchar([\s\S]*?)endbfchar""").matcher(src)
+    val bfchar = PatBfchar.matcher(src)
     while (bfchar.find()) {
-      val pair = Py.re("""<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""").matcher(bfchar.group(1))
+      val pair = PatHexPair.matcher(bfchar.group(1))
       while (pair.find())
         map(hexToInt(pair.group(1))) = hexToUtf16(pair.group(2))
     }
-    val bfrange = Py.re("""beginbfrange([\s\S]*?)endbfrange""").matcher(src)
+    val bfrange = PatBfrange.matcher(src)
     while (bfrange.find()) {
       val body = bfrange.group(1)
       // form 1: <lo> <hi> <dstStart>
-      val r1 = Py.re(
-        """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""").matcher(body)
+      val r1 = PatHexTriple.matcher(body)
       while (r1.find()) {
         val lo = hexToInt(r1.group(1)); val hi = hexToInt(r1.group(2))
         val dst = r1.group(3)
@@ -159,11 +189,10 @@ object PdfParse {
         }
       }
       // form 2: <lo> <hi> [<d1> <d2> ...]
-      val r2 = Py.re(
-        """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[([^\]]*)\]""").matcher(body)
+      val r2 = PatHexRangeArr.matcher(body)
       while (r2.find()) {
         val lo = hexToInt(r2.group(1))
-        val dm = Py.re("""<([0-9a-fA-F]+)>""").matcher(r2.group(3))
+        val dm = PatHexOne.matcher(r2.group(3))
         var c = lo
         while (dm.find()) { map(c) = hexToUtf16(dm.group(1)); c += 1 }
       }
@@ -198,16 +227,18 @@ object PdfParse {
         sb.toString
     }
 
-  private def objRef(body: String, key: String): Option[Int] = {
-    val m = Py.re(s"""/$key\\s+(\\d+)\\s+\\d+\\s+R""").matcher(body)
+  private val PatPagesRef = Py.re("""/Pages\s+(\d+)\s+\d+\s+R""")
+
+  private def firstRef(body: String, pat: java.util.regex.Pattern): Option[Int] = {
+    val m = pat.matcher(body)
     if (m.find()) Some(m.group(1).toInt) else None
   }
 
   /** `/Resources` of a node: inline dict content or resolved indirect
     * object body. */
   private def resolveResources(body: String, objs: Map[Int, String]): Option[String] = {
-    objRef(body, "Resources").flatMap(objs.get).orElse {
-      val m = Py.re("""/Resources\s*<<""").matcher(body)
+    firstRef(body, PatResourcesRef).flatMap(objs.get).orElse {
+      val m = PatResourcesInline.matcher(body)
       if (m.find()) Some(body.substring(m.end() - 2)) else None
     }
   }
@@ -216,14 +247,14 @@ object PdfParse {
     * and Resources inheritance. None when the tree cannot be walked. */
   private def pageTreeLeaves(objs: Map[Int, String]): Option[Vector[PageCtx]] = {
     val catalog = objs.values.find(b =>
-      Py.re("""/Type\s*/Catalog""").matcher(b).find())
-    catalog.flatMap(objRef(_, "Pages")).flatMap(objs.get).map { root =>
+      PatCatalog.matcher(b).find())
+    catalog.flatMap(firstRef(_, PatPagesRef)).flatMap(objs.get).map { root =>
       val out = Vector.newBuilder[PageCtx]
       val visited = mutable.Set[Int]()
       def kidsOf(body: String): Vector[Int] = {
-        val m = Py.re("""/Kids\s*\[([^\]]*)\]""").matcher(body)
+        val m = PatKids.matcher(body)
         if (!m.find()) return Vector.empty
-        val rm = Py.re("""(\d+)\s+\d+\s+R""").matcher(m.group(1))
+        val rm = PatRef.matcher(m.group(1))
         val refs = Vector.newBuilder[Int]
         while (rm.find()) refs += rm.group(1).toInt
         refs.result()
@@ -245,8 +276,7 @@ object PdfParse {
   /** All `N 0 obj … endobj` bodies keyed by object number (generation
     * ignored — last definition wins, like incremental-update semantics). */
   private def scanObjects(raw: String): Map[Int, String] = {
-    val objPat = Py.re("""(\d+)\s+\d+\s+obj""")
-    val m = objPat.matcher(raw)
+    val m = PatObj.matcher(raw)
     val out = mutable.Map[Int, String]()
     while (m.find()) {
       val num = m.group(1).toInt
@@ -257,12 +287,10 @@ object PdfParse {
   }
 
   private def isPageObject(body: String): Boolean =
-    Py.re("""/Type\s*/Page(?![a-zA-Z])""").matcher(body).find()
+    PatPage.matcher(body).find()
 
   private def mediaBox(body: String): Option[(Double, Double)] = {
-    val p = Py.re(
-      """/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]""")
-    val m = p.matcher(body)
+    val m = PatMediaBox.matcher(body)
     if (m.find())
       Some((m.group(3).toDouble - m.group(1).toDouble,
         m.group(4).toDouble - m.group(2).toDouble))
@@ -271,15 +299,12 @@ object PdfParse {
 
   /** Object numbers referenced by /Contents (single `N 0 R` or array). */
   private def contentsRefs(body: String): Vector[Int] = {
-    val single = Py.re("""/Contents\s+(\d+)\s+\d+\s+R""")
-    val arr = Py.re("""/Contents\s*\[([^\]]*)\]""")
-    val sm = single.matcher(body)
+    val sm = PatContentsRef.matcher(body)
     if (sm.find()) Vector(sm.group(1).toInt)
     else {
-      val am = arr.matcher(body)
+      val am = PatContentsArr.matcher(body)
       if (am.find()) {
-        val refPat = Py.re("""(\d+)\s+\d+\s+R""")
-        val rm = refPat.matcher(am.group(1))
+        val rm = PatRef.matcher(am.group(1))
         val refs = Vector.newBuilder[Int]
         while (rm.find()) refs += rm.group(1).toInt
         refs.result()
@@ -304,7 +329,7 @@ object PdfParse {
     if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\n') trimmedEnd -= 1
     if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\r') trimmedEnd -= 1
     val data = java.util.Arrays.copyOfRange(bytes, dataStart, trimmedEnd)
-    if (Py.re("""/Filter\s*/FlateDecode""").matcher(objBody).find())
+    if (PatFlate.matcher(objBody).find())
       inflate(data)
     else Some(data)
   }
@@ -481,18 +506,16 @@ object PdfParse {
   private def xobjectImages(
       resources: String, objs: Map[Int, String],
       visited: mutable.Set[Int] = mutable.Set.empty): Vector[PdfImage] = {
-    val xobjRefPat = Py.re("""/XObject\s*<<([^>]*)>>""")
-    val m = xobjRefPat.matcher(resources)
+    val m = PatXObjDict.matcher(resources)
     if (!m.find()) return Vector.empty
-    val refPat = Py.re("""(\d+)\s+\d+\s+R""")
-    val rm = refPat.matcher(m.group(1))
+    val rm = PatRef.matcher(m.group(1))
     val out = Vector.newBuilder[PdfImage]
     while (rm.find()) {
       val n = rm.group(1).toInt
       if (visited.add(n)) objs.get(n).foreach { body =>
-        if (Py.re("""/Subtype\s*/Image""").matcher(body).find()) {
-          val wm = Py.re("""/Width\s+(\d+)""").matcher(body)
-          val hm = Py.re("""/Height\s+(\d+)""").matcher(body)
+        if (PatSubImage.matcher(body).find()) {
+          val wm = PatWidth.matcher(body)
+          val hm = PatHeight.matcher(body)
           if (wm.find() && hm.find()) {
             val w = wm.group(1).toInt; val h = hm.group(1).toInt
             // placement unknown without full graphics-state tracking: use a
@@ -500,7 +523,7 @@ object PdfParse {
             out += PdfImage(w, h, Vector(PdfRect(0, 0, w.toDouble, h.toDouble)),
               Array.empty[Byte])
           }
-        } else if (Py.re("""/Subtype\s*/Form""").matcher(body).find()) {
+        } else if (PatSubForm.matcher(body).find()) {
           resolveResources(body, objs)
             .foreach(r => out ++= xobjectImages(r, objs, visited))
         }

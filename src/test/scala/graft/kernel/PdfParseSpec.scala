@@ -86,6 +86,36 @@ class PdfParseSpec extends AnyFunSuite {
     assert(d2.pages == Vector(1))
   }
 
+  test("fuzz: mutated real-PDF bytes never escape the kernel's row " +
+    "contract (valid DocExtract or error row, no exceptions)") {
+    val ex = new Extractor(ProbeConfig())
+    val base = PdfParse.writePdf(Seq(proseLines, proseLines), compress = true,
+      images = Seq((300, 400)))
+    val rng = new java.util.SplittableRandom(1234L)
+    for (trial <- 0 until 200) {
+      val mutated = base.clone()
+      val mutations = 1 + rng.nextInt(8)
+      for (_ <- 0 until mutations) {
+        rng.nextInt(3) match {
+          case 0 => // flip a byte
+            mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+          case 1 => // zero a run
+            val at = rng.nextInt(mutated.length)
+            val len = math.min(rng.nextInt(64), mutated.length - at)
+            java.util.Arrays.fill(mutated, at, at + len, 0.toByte)
+          case _ => ()
+        }
+      }
+      // truncation variant every few trials
+      val payload =
+        if (trial % 5 == 0) mutated.take(1 + rng.nextInt(mutated.length)) else mutated
+      val r = ex.extract(payload)
+      assert(Set("html", "pdf", "error").contains(r.docKind), s"trial $trial")
+      assert(Set("true", "false", "partial").contains(r.status), s"trial $trial")
+      assert(r.totalPages >= 0 && r.pages.forall(_ >= 1), s"trial $trial")
+    }
+  }
+
   test("hopeless bytes fall into the error-row channel, never throw") {
     val ex = new Extractor(ProbeConfig())
     val junk = ("%PDF-1.4\ngarbage without any objects").getBytes("UTF-8")
