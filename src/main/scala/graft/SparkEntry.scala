@@ -479,6 +479,25 @@ object SparkEntry {
         Multimodal.withResizeTargets(decoded, maxSide = 256), stride = 30)
     }),
 
+    // Multimodal feature extraction: REAL DSP over the synthesized WAV
+    // rows' PCM data (16-bit LE samples decoded from actual RIFF bytes) —
+    // RMS from an exact integer sum of squares, zero crossings, duration.
+    // Oracle-checkable because the PCM bytes follow the deterministic
+    // Hashing.mix(byteIndex) formula, which the DuckDB oracle re-derives.
+    "q42_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "documents")).select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 3 == 2)
+        .mapPartitions(_.map { id =>
+          val bytes = graft.kernel.MediaCodec.synthesize(id)
+          val m = graft.kernel.MediaCodec.parse(bytes)
+          val pcm = graft.kernel.MediaCodec.wavPcmSamples(bytes)
+          val f = graft.kernel.MediaCodec.audioFeatures(pcm, m.sampleRate)
+          (id, f.nSamples, f.rms, f.zeroCrossings, f.durationMs)
+        })
+        .toDF("doc_id", "n_samples", "rms", "zero_crossings", "duration_ms")
+    }),
+
     // Classic relational aggregate (map-side combine; exact integer cents)
     "q35_lineitem_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1246,6 +1265,41 @@ object SparkEntry {
         |      o_zero_confusion + excessive_special_chars +
         |      inconsistent_case) * 1.0 / wc) * 2) AS artifact_confidence
         |FROM f""".stripMargin
+
+    // q42: re-derive the PCM byte stream (Hashing.mix(byteIndex) & 0xFF)
+    // with the HUGEINT mix chain, rebuild the signed 16-bit LE samples,
+    // and compute the same exact-integer RMS / crossing counts.
+    m += "q42_audio_features" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(32 + doc_id % 64 AS INT) AS ns,
+        |    CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sr
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |w0 AS (SELECT b, b::HUGEINT AS h FROM range(190) t(b)),
+        |${mixCtes("w", "w0", "b")},
+        |bv AS (SELECT b, CAST(h % 256 AS INT) AS v FROM w5),
+        |samp AS (
+        |  SELECT k, lo.v + hi.v * 256 AS u
+        |  FROM range(95) t(k)
+        |  JOIN bv lo ON lo.b = 2 * k
+        |  JOIN bv hi ON hi.b = 2 * k + 1),
+        |sgn AS (SELECT k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        |  FROM samp),
+        |crs AS (SELECT k, s,
+        |    CASE WHEN k = 0 THEN 0
+        |         WHEN (s >= 0) <> (lag(s) OVER (ORDER BY k) >= 0) THEN 1
+        |         ELSE 0 END AS c
+        |  FROM sgn),
+        |agg AS (
+        |  SELECT d.doc_id, d.ns, d.sr,
+        |    CAST(sum(CAST(crs.s AS BIGINT) * crs.s) AS BIGINT) AS ss,
+        |    CAST(sum(crs.c) AS BIGINT) AS zc
+        |  FROM d JOIN crs ON crs.k < d.ns
+        |  GROUP BY d.doc_id, d.ns, d.sr)
+        |SELECT doc_id, ns AS n_samples,
+        |  sqrt(CAST(ss AS DOUBLE) / ns) AS rms,
+        |  zc AS zero_crossings,
+        |  ns * 1000 // sr AS duration_ms
+        |FROM agg""".stripMargin
 
     m += "q35_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,

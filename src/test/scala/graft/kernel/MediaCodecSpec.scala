@@ -36,6 +36,32 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(m.kind == "audio/wav" && m.sampleRate == 16000 && m.frames == 75)
   }
 
+  test("WAV PCM decode + audio features: real 16-bit LE samples round-trip") {
+    // hand-built PCM: a square wave ±1000 → known RMS and crossings
+    val samples = Array.tabulate(40)(k => if (k % 4 < 2) 1000 else -1000)
+    val dataBytes = samples.flatMap(s =>
+      Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte))
+    val wav =
+      "RIFF".getBytes("US-ASCII") ++
+        Array[Byte]((36 + 80).toByte, 0, 0, 0) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+        Array[Byte](16, 0, 0, 0, 1, 0, 1, 0) ++
+        Array[Byte](0x40, 0x1F, 0, 0) ++ // 8000 Hz
+        Array[Byte]((0x80 & 0xFF).toByte, 0x3E, 0, 0, 2, 0, 16, 0) ++
+        "data".getBytes("US-ASCII") ++ Array[Byte](80, 0, 0, 0) ++ dataBytes
+    val pcm = MediaCodec.wavPcmSamples(wav)
+    assert(pcm.toSeq == samples.toSeq)
+    val f = MediaCodec.audioFeatures(pcm, 8000)
+    assert(f.nSamples == 40)
+    assert(f.rms == 1000.0) // constant magnitude → RMS exact
+    assert(f.zeroCrossings == 19) // sign flips every 2 samples over 40
+    assert(f.durationMs == 40 * 1000 / 8000)
+    // synthesized payloads decode too
+    val synth = MediaCodec.encodeWav(16000, 50)
+    assert(MediaCodec.wavPcmSamples(synth).length == 50)
+    assert(MediaCodec.wavPcmSamples(Array.fill(20)(1.toByte)).isEmpty)
+  }
+
   test("malformed payloads parse as unknown, never throw") {
     assert(MediaCodec.parse(null).kind == "unknown")
     assert(MediaCodec.parse(Array.empty[Byte]).kind == "unknown")
