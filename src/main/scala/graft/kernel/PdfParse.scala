@@ -92,8 +92,8 @@ object PdfParse {
 
     val leaves = pageTreeLeaves(objs).getOrElse {
       objs.toVector.sortBy(_._1).collect {
-        case (_, body) if isPageObject(body) =>
-          PageCtx(body, mediaBox(body), resolveResources(body, objs))
+        case (_, o) if isPageObject(o.body) =>
+          PageCtx(o.body, mediaBox(o.body), resolveResources(o.body, objs))
       }
     }
     require(leaves.nonEmpty, "no /Type /Page objects found")
@@ -126,7 +126,7 @@ object PdfParse {
     * without a ToUnicode stream decode byte-identically (standard Latin
     * encodings), which is correct for the simple-font subset. */
   private def pageFonts(
-      resources: String, objs: Map[Int, String],
+      resources: String, objs: Map[Int, PdfObj],
       bytes: Array[Byte], raw: String): Map[String, FontCMap] = {
     val fm = PatFontDict.matcher(resources)
     if (!fm.find()) return Map.empty
@@ -135,10 +135,10 @@ object PdfParse {
     while (em.find()) {
       val name = em.group(1)
       for {
-        fontBody <- objs.get(em.group(2).toInt)
-        tuRef <- firstRef(fontBody, PatToUnicodeRef)
-        tuBody <- objs.get(tuRef)
-        data <- streamData(tuBody, bytes, raw)
+        fontObj <- objs.get(em.group(2).toInt)
+        tuRef <- firstRef(fontObj.body, PatToUnicodeRef)
+        tuObj <- objs.get(tuRef)
+        data <- streamData(tuObj, bytes, raw)
       } out(name) = parseCMap(new String(data, StandardCharsets.ISO_8859_1))
     }
     out.toMap
@@ -236,8 +236,8 @@ object PdfParse {
 
   /** `/Resources` of a node: inline dict content or resolved indirect
     * object body. */
-  private def resolveResources(body: String, objs: Map[Int, String]): Option[String] = {
-    firstRef(body, PatResourcesRef).flatMap(objs.get).orElse {
+  private def resolveResources(body: String, objs: Map[Int, PdfObj]): Option[String] = {
+    firstRef(body, PatResourcesRef).flatMap(objs.get).map(_.body).orElse {
       val m = PatResourcesInline.matcher(body)
       if (m.find()) Some(body.substring(m.end() - 2)) else None
     }
@@ -245,10 +245,10 @@ object PdfParse {
 
   /** Document-order page leaves via the catalog's page tree, with MediaBox
     * and Resources inheritance. None when the tree cannot be walked. */
-  private def pageTreeLeaves(objs: Map[Int, String]): Option[Vector[PageCtx]] = {
-    val catalog = objs.values.find(b =>
+  private def pageTreeLeaves(objs: Map[Int, PdfObj]): Option[Vector[PageCtx]] = {
+    val catalog = objs.values.map(_.body).find(b =>
       PatCatalog.matcher(b).find())
-    catalog.flatMap(firstRef(_, PatPagesRef)).flatMap(objs.get).map { root =>
+    catalog.flatMap(firstRef(_, PatPagesRef)).flatMap(objs.get).map(_.body).map { root =>
       val out = Vector.newBuilder[PageCtx]
       val visited = mutable.Set[Int]()
       def kidsOf(body: String): Vector[Int] = {
@@ -265,7 +265,7 @@ object PdfParse {
         val myRes = resolveResources(body, objs).orElse(res)
         if (isPageObject(body)) out += PageCtx(body, myBox, myRes)
         else kidsOf(body).foreach { n =>
-          if (visited.add(n)) objs.get(n).foreach(walk(_, myBox, myRes))
+          if (visited.add(n)) objs.get(n).foreach(o => walk(o.body, myBox, myRes))
         }
       }
       walk(root, None, None)
@@ -273,15 +273,20 @@ object PdfParse {
     }.filter(_.nonEmpty)
   }
 
+  /** One scanned object: its body text and the body's offset in the raw
+    * file (so stream payloads are located by offset, not by re-searching
+    * the whole file for the body — O(1) instead of O(file) per stream). */
+  private[kernel] final case class PdfObj(body: String, start: Int)
+
   /** All `N 0 obj … endobj` bodies keyed by object number (generation
     * ignored — last definition wins, like incremental-update semantics). */
-  private def scanObjects(raw: String): Map[Int, String] = {
+  private def scanObjects(raw: String): Map[Int, PdfObj] = {
     val m = PatObj.matcher(raw)
-    val out = mutable.Map[Int, String]()
+    val out = mutable.Map[Int, PdfObj]()
     while (m.find()) {
       val num = m.group(1).toInt
       val end = raw.indexOf("endobj", m.end())
-      if (end >= 0) out(num) = raw.substring(m.end(), end)
+      if (end >= 0) out(num) = PdfObj(raw.substring(m.end(), end), m.end())
     }
     out.toMap
   }
@@ -313,13 +318,12 @@ object PdfParse {
   }
 
   /** Decode an object's stream payload: locate `stream…endstream` within
-    * the ORIGINAL bytes (binary-safe) and inflate if FlateDecode. */
+    * the ORIGINAL bytes (binary-safe, by the object's scan offset) and
+    * inflate if FlateDecode. */
   private def streamData(
-      objBody: String, bytes: Array[Byte], raw: String): Option[Array[Byte]] = {
-    val bodyStart = raw.indexOf(objBody)
-    if (bodyStart < 0) return None
-    val streamKw = raw.indexOf("stream", bodyStart)
-    if (streamKw < 0 || streamKw > bodyStart + objBody.length) return None
+      obj: PdfObj, bytes: Array[Byte], raw: String): Option[Array[Byte]] = {
+    val streamKw = raw.indexOf("stream", obj.start)
+    if (streamKw < 0 || streamKw > obj.start + obj.body.length) return None
     var dataStart = streamKw + "stream".length
     if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
     if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
@@ -329,7 +333,7 @@ object PdfParse {
     if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\n') trimmedEnd -= 1
     if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\r') trimmedEnd -= 1
     val data = java.util.Arrays.copyOfRange(bytes, dataStart, trimmedEnd)
-    if (PatFlate.matcher(objBody).find())
+    if (PatFlate.matcher(obj.body).find())
       inflate(data)
     else Some(data)
   }
@@ -504,7 +508,7 @@ object PdfParse {
     * images nested inside Form XObjects (the standard wrapping for scanned
     * page content), followed recursively with cycle protection. */
   private def xobjectImages(
-      resources: String, objs: Map[Int, String],
+      resources: String, objs: Map[Int, PdfObj],
       visited: mutable.Set[Int] = mutable.Set.empty): Vector[PdfImage] = {
     val m = PatXObjDict.matcher(resources)
     if (!m.find()) return Vector.empty
@@ -512,7 +516,7 @@ object PdfParse {
     val out = Vector.newBuilder[PdfImage]
     while (rm.find()) {
       val n = rm.group(1).toInt
-      if (visited.add(n)) objs.get(n).foreach { body =>
+      if (visited.add(n)) objs.get(n).map(_.body).foreach { body =>
         if (PatSubImage.matcher(body).find()) {
           val wm = PatWidth.matcher(body)
           val hm = PatHeight.matcher(body)
