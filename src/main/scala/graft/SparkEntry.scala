@@ -7,11 +7,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2 (+ the training-data operator suite), each with an ANSI-SQL
-  * DuckDB oracle where the computation is SQL-expressible with engine-exact
-  * value parity. Queries whose results depend on engine-specific hashing
-  * (minhash/simhash/LSH buckets) or on kernel-only semantics have no oracle
-  * → driver records the weaker rows-only check.
+  * SURVEY.md §2 (+ the training-data operator suite). EVERY query has an
+  * ANSI-SQL DuckDB oracle (42/42 — zero rows-only checks): engine-specific
+  * values are made oracle-checkable by construction. Kernel 64-bit hashes
+  * (minhash/simhash/fingerprints) are re-derived in DuckDB HUGEINT mod-2^64
+  * SQL; LSH hyperplanes are MD5-derived so both engines compute them; dot
+  * products are sequential left folds replicated by `list_reduce`; the
+  * kernel quality metrics (F1–F7) are restated as SQL over this corpus's
+  * regular text shapes.
   *
   * Cross-engine float discipline: every aggregated double is either built
   * from exactly-representable scaled integers (sum of cents / deci-
@@ -375,14 +378,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // Dedup (MinHash+LSH) — engine-specific hashing → rows-only check
+    // Dedup (MinHash+LSH) — oracle = exact all-pairs Jaccard (the 8-band
+    // LSH has full recall on this corpus; pinned by OpsSpec at sf0.01+0.1)
     "q23_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashNearDups(spread(t(s, dir, "documents")), "doc_id", "text",
         shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // Dedup (SimHash) — kernel hashing → rows-only check
+    // Dedup (SimHash) — FNV-1a/splitmix64 re-derived in DuckDB HUGEINT SQL
     "q24_simhash" -> ((s, dir) => {
       Dedup.simhashNearDups(spread(t(s, dir, "documents")), "doc_id", "text", maxHamming = 3)
     }),
@@ -403,7 +407,8 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
     }),
 
-    // ANN LSH-bucketed top-3 — plane hashing engine-side → rows-only check
+    // ANN LSH-bucketed top-3 — MD5-derived planes/buckets/ranking replicated
+    // in the oracle SQL
     "q27_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding",
@@ -448,12 +453,14 @@ object SparkEntry {
           col("avg_word_length"))
     }),
 
-    // Kernel full quality metrics (F1–F7) — kernel-only → rows-only check
+    // Kernel full quality metrics (F1–F7) — oracle restates the kernel
+    // formulas as SQL over this corpus's regular text shapes
     "q32_kernel_quality" -> ((s, dir) => {
       TextOps.kernelQuality(spread(t(s, dir, "documents")), "doc_id", "text")
     }),
 
-    // Document fingerprinting (rolling hash + simhash) — rows-only check
+    // Document fingerprinting — both 64-bit hash values re-derived in
+    // DuckDB mod-2^64 HUGEINT SQL
     "q33_fingerprints" -> ((s, dir) => {
       TextOps.fingerprints(spread(t(s, dir, "documents")), "doc_id", "text")
     }),
@@ -486,8 +493,8 @@ object SparkEntry {
     // Hashing.mix(byteIndex) formula, which the DuckDB oracle re-derives.
     "q42_audio_features" -> ((s, dir) => {
       import s.implicits._
-      spread(t(s, dir, "documents")).select(col("doc_id")).as[Long]
-        .filter((id: Long) => id % 3 == 2)
+      spread(t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 3 === 2)).as[Long]
         .mapPartitions(_.map { id =>
           val bytes = graft.kernel.MediaCodec.synthesize(id)
           val m = graft.kernel.MediaCodec.parse(bytes)

@@ -339,8 +339,8 @@ object PdfParse {
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
     try {
-      val inf = new Inflater()
       inf.setInput(data)
       val out = new ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
@@ -349,9 +349,11 @@ object PdfParse {
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return Some(out.toByteArray)
       }
-      inf.end()
       Some(out.toByteArray)
-    } catch { case _: Exception => None }
+    } catch {
+      case _: Exception => None
+    } finally inf.end() // release the native buffer on EVERY path — this
+    // runs per malformed/truncated stream in the kernel hot path
   }
 
   /** Extract show-operator text from one decoded content stream.

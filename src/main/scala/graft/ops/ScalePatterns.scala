@@ -32,13 +32,22 @@ object ScalePatterns {
     * over `saltFactor` reducers — phase 2 merges the partials per key.
     * Generalizes to any algebraic aggregate; count/sum provided.
     *
-    * The salt is a content hash of the full row, NOT
-    * monotonically_increasing_id: a retried/speculated task re-hashes the
-    * same rows to the same salts, so phase-1 partials are replayable —
-    * identical across runs (asserted in ScalePatternsSpec). */
+    * The salt mixes a content hash of the full row WITH the partition id,
+    * NOT monotonically_increasing_id: a retried/speculated task re-reads
+    * the same partition (same id, same rows) and re-hashes to the same
+    * salts, so phase-1 partials are replayable — identical across runs
+    * (asserted in ScalePatternsSpec). The partition-id term matters for
+    * duplicate-heavy hot keys: a content hash alone maps identical rows to
+    * ONE salt, collapsing the very case salting targets; mixing the
+    * partition id spreads cross-partition duplicates while keeping the
+    * salt deterministic under whole-partition retry. (Duplicates within a
+    * single partition still share a salt, but those are already reduced by
+    * map-side combine before the shuffle.) */
   def saltedCounts(df: DataFrame, keyCol: String, saltFactor: Int,
       sumCols: Seq[String] = Seq.empty): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor))
+    val salt = pmod(
+      xxhash64(df.columns.map(col) :+ spark_partition_id().cast("long"): _*),
+      lit(saltFactor))
     val partialAggs: Seq[Column] =
       count(lit(1)).as("_cnt") +: sumCols.map(c => sum(col(c)).as(s"_sum_$c"))
     val partial = df

@@ -84,19 +84,43 @@ class ScalePatternsSpec extends AnyFunSuite {
 
     // the salted phase-1 spreads the hot key across up to 8 partial groups
     val partialGroups = df
-      .withColumn("_salt", pmod(xxhash64(df.columns.map(col): _*), lit(8)))
+      .withColumn("_salt", pmod(
+        xxhash64(df.columns.map(col) :+ spark_partition_id().cast("long"): _*),
+        lit(8)))
       .filter(col("host") === "hot-host")
       .select("_salt").distinct().count()
     assert(partialGroups > 1)
   }
 
+  test("salted aggregation: duplicate-heavy hot key still spreads " +
+    "(partition-id term in the salt)") {
+    // every row of the hot key is IDENTICAL — a pure content-hash salt
+    // would collapse them all into one phase-1 partial group
+    val df = spark.range(20000).repartition(8)
+      .select(lit("hot-host").as("host"), lit(1.0).as("bytes"))
+    val partialGroups = df
+      .withColumn("_salt", pmod(
+        xxhash64(df.columns.map(col) :+ spark_partition_id().cast("long"): _*),
+        lit(8)))
+      .select("_salt").distinct().count()
+    assert(partialGroups > 1,
+      "identical duplicate rows must land in >1 salt group")
+    // and the final aggregate is still exact
+    val out = ScalePatterns.saltedCounts(df, "host", saltFactor = 8,
+      sumCols = Seq("bytes")).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 20000L &&
+      out(0).getDouble(2) == 20000.0)
+  }
+
   test("salted aggregation: phase-1 partials are deterministic across runs " +
-    "(content-hash salt ⇒ replayable under task retry)") {
+    "(content-hash × partition-id salt ⇒ replayable under task retry)") {
     val df = spark.range(5000).select(
       when(col("id") % 3 =!= 0, "hot").otherwise("cold").as("host"),
       (col("id") % 11).cast("double").as("bytes"))
     def partials = df
-      .withColumn("_salt", pmod(xxhash64(df.columns.map(col): _*), lit(8)))
+      .withColumn("_salt", pmod(
+        xxhash64(df.columns.map(col) :+ spark_partition_id().cast("long"): _*),
+        lit(8)))
       .groupBy("host", "_salt")
       .agg(count(lit(1)).as("cnt"), sum("bytes").as("s"))
       .collect()
