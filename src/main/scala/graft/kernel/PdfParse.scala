@@ -25,13 +25,34 @@ import scala.collection.mutable
   *     relative later Td/TD, `T*`/`'`); TJ kerning ≤ −150 → word gap;
   *   - image XObjects via `/Resources /XObject`, recursing through Form
   *     XObjects (the standard wrapper for scanned page content).
-  * Everything else (encrypted files, object streams, non-Flate filters,
-  * CID fonts without ToUnicode) degrades to an empty/partial text layer
-  * and flows down the SAME needs-OCR path the reference takes for
-  * image-only pages (_detector.py:336-423) — degraded, never wrong-kind.
-  * The parsed result feeds the existing PdfDoc model, so X1→C1→P1 run
-  * unchanged on real PDF bytes.
+  *   - PDF 1.5+ object streams (`/Type /ObjStm`): compressed containers of
+  *     page/catalog/font dicts, expanded after the flat scan so modern
+  *     text-layer PDFs parse instead of degrading to the OCR path;
+  *   - stream filters: FlateDecode (with PNG predictors 10–15), LZWDecode,
+  *     ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and filter chains
+  *     (`/Filter [/A /B]`);
+  *   - `/Type /XRef` cross-reference streams are tolerated: the scan-offset
+  *     object locator never reads them, and their binary payloads cannot
+  *     fabricate phantom objects (the scanner skips stream payload bytes);
+  *   - encrypted files (`/Encrypt` in a trailer or XRef-stream dict) are
+  *     DETECTED and rejected with a distinct reason, so they surface as
+  *     error rows naming encryption instead of silently degrading like
+  *     image-only pages.
+  * Everything else (CID fonts without ToUnicode, unsupported filters like
+  * JBIG2/DCT-only text) degrades to an empty/partial text layer and flows
+  * down the SAME needs-OCR path the reference takes for image-only pages
+  * (_detector.py:336-423) — degraded, never wrong-kind. The parsed result
+  * feeds the existing PdfDoc model, so X1→C1→P1 run unchanged on real PDF
+  * bytes.
   */
+/** Raised when a PDF carries an `/Encrypt` dictionary: the content streams
+  * are RC4/AES-encrypted and this parser does not decrypt, so the document
+  * must surface as a DISTINCT error row (X4 contract) rather than degrade
+  * indistinguishably from an image-only file. The message is the row's
+  * `error` reason. */
+final class PdfEncryptedException
+  extends Exception("encrypted PDF (/Encrypt): content streams are not decrypted")
+
 object PdfParse {
 
   private val Header = "%PDF-".getBytes(StandardCharsets.US_ASCII)
@@ -49,7 +70,6 @@ object PdfParse {
   private val PatKids = Py.re("""/Kids\s*\[([^\]]*)\]""")
   private val PatResourcesRef = Py.re("""/Resources\s+(\d+)\s+\d+\s+R""")
   private val PatResourcesInline = Py.re("""/Resources\s*<<""")
-  private val PatFlate = Py.re("""/Filter\s*/FlateDecode""")
   private val PatToUnicodeRef = Py.re("""/ToUnicode\s+(\d+)\s+\d+\s+R""")
   private val PatFontDict = Py.re("""/Font\s*<<([^>]*)>>""")
   private val PatFontEntry = Py.re("""/(\w+)\s+(\d+)\s+\d+\s+R""")
@@ -67,6 +87,18 @@ object PdfParse {
   private val PatHexRangeArr = Py.re(
     """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[([^\]]*)\]""")
   private val PatHexOne = Py.re("""<([0-9a-fA-F]+)>""")
+  private val PatObjStm = Py.re("""/Type\s*/ObjStm""")
+  private val PatXRefType = Py.re("""/Type\s*/XRef(?![a-zA-Z])""")
+  private val PatEncrypt = Py.re("""/Encrypt\s+\d+\s+\d+\s+R""")
+  private val PatN = Py.re("""/N\s+(\d+)""")
+  private val PatFirst = Py.re("""/First\s+(\d+)""")
+  private val PatFilterArr = Py.re("""/Filter\s*\[([^\]]*)\]""")
+  private val PatFilterOne = Py.re("""/Filter\s*/(\w+)""")
+  private val PatNameTok = Py.re("""/(\w+)""")
+  private val PatPredictor = Py.re("""/Predictor\s+(\d+)""")
+  private val PatColumns = Py.re("""/Columns\s+(\d+)""")
+  private val PatColors = Py.re("""/Colors\s+(\d+)""")
+  private val PatBpc = Py.re("""/BitsPerComponent\s+(\d+)""")
 
   def isRealPdf(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= Header.length &&
@@ -88,7 +120,10 @@ object PdfParse {
     * error-row channel. */
   def parse(bytes: Array[Byte]): PdfDoc = {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1) // byte-faithful
-    val objs = scanObjects(raw)
+    val scanned = scanObjects(raw)
+    if (isEncrypted(raw, scanned))
+      throw new PdfEncryptedException
+    val objs = expandObjectStreams(scanned, bytes)
 
     val leaves = pageTreeLeaves(objs).getOrElse {
       objs.toVector.sortBy(_._1).collect {
@@ -102,11 +137,11 @@ object PdfParse {
     val pages = leaves.map { leaf =>
       val (w, h) = leaf.box.getOrElse((612.0, 792.0))
       val fonts = leaf.resources
-        .map(r => cmapCache.getOrElseUpdate(r, pageFonts(r, objs, bytes, raw)))
+        .map(r => cmapCache.getOrElseUpdate(r, pageFonts(r, objs, bytes)))
         .getOrElse(Map.empty)
       val text = contentsRefs(leaf.body)
         .flatMap(objs.get)
-        .map(streamData(_, bytes, raw))
+        .map(streamData(_, bytes))
         .collect { case Some(data) => extractTextOps(data, fonts) }
         .mkString("\n")
       val images = leaf.resources.map(xobjectImages(_, objs)).getOrElse(Vector.empty)
@@ -127,7 +162,7 @@ object PdfParse {
     * encodings), which is correct for the simple-font subset. */
   private def pageFonts(
       resources: String, objs: Map[Int, PdfObj],
-      bytes: Array[Byte], raw: String): Map[String, FontCMap] = {
+      bytes: Array[Byte]): Map[String, FontCMap] = {
     val fm = PatFontDict.matcher(resources)
     if (!fm.find()) return Map.empty
     val em = PatFontEntry.matcher(fm.group(1))
@@ -138,7 +173,7 @@ object PdfParse {
         fontObj <- objs.get(em.group(2).toInt)
         tuRef <- firstRef(fontObj.body, PatToUnicodeRef)
         tuObj <- objs.get(tuRef)
-        data <- streamData(tuObj, bytes, raw)
+        data <- streamData(tuObj, bytes)
       } out(name) = parseCMap(new String(data, StandardCharsets.ISO_8859_1))
     }
     out.toMap
@@ -273,22 +308,131 @@ object PdfParse {
     }.filter(_.nonEmpty)
   }
 
-  /** One scanned object: its body text and the body's offset in the raw
-    * file (so stream payloads are located by offset, not by re-searching
-    * the whole file for the body — O(1) instead of O(file) per stream). */
-  private[kernel] final case class PdfObj(body: String, start: Int)
+  /** One scanned object: its DICT text (stream payload excluded), the dict's
+    * offset in the raw file, and — for stream objects — the payload's exact
+    * byte range, located once at scan time. Objects expanded out of an
+    * ObjStm carry `start = -1` and no payload range (the spec forbids
+    * streams inside object streams). */
+  private[kernel] final case class PdfObj(
+      body: String, start: Int, streamRange: Option[(Int, Int)] = None)
 
   /** All `N 0 obj … endobj` bodies keyed by object number (generation
-    * ignored — last definition wins, like incremental-update semantics). */
+    * ignored — last definition wins, like incremental-update semantics).
+    *
+    * Stream-payload-aware: when an object is a stream object, the payload
+    * byte range is located immediately (`stream`…`endstream`) and the
+    * scanner JUMPS past it — so binary payload bytes that happen to contain
+    * `N 0 obj` / `endobj` sequences can neither fabricate phantom objects
+    * nor truncate real ones, and dict regexes never run over payload
+    * bytes. */
   private def scanObjects(raw: String): Map[Int, PdfObj] = {
     val m = PatObj.matcher(raw)
     val out = mutable.Map[Int, PdfObj]()
+    var skipUntil = 0
     while (m.find()) {
-      val num = m.group(1).toInt
-      val end = raw.indexOf("endobj", m.end())
-      if (end >= 0) out(num) = PdfObj(raw.substring(m.end(), end), m.end())
+      if (m.start() >= skipUntil) {
+        val num = m.group(1).toInt
+        val bodyStart = m.end()
+        val e0 = raw.indexOf("endobj", bodyStart)
+        val s0 = streamKeywordAt(raw, bodyStart, e0)
+        if (s0 >= 0) {
+          var dataStart = s0 + "stream".length
+          if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+          val dataEnd = raw.indexOf("endstream", dataStart)
+          if (dataEnd >= 0) {
+            var trimmedEnd = dataEnd
+            if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\n') trimmedEnd -= 1
+            if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\r') trimmedEnd -= 1
+            out(num) = PdfObj(raw.substring(bodyStart, s0), bodyStart,
+              Some((dataStart, trimmedEnd)))
+            skipUntil = dataEnd + "endstream".length
+          } else {
+            // truncated stream: keep the dict, payload unusable
+            out(num) = PdfObj(raw.substring(bodyStart, s0), bodyStart, None)
+            skipUntil = dataStart
+          }
+        } else if (e0 >= 0) {
+          out(num) = PdfObj(raw.substring(bodyStart, e0), bodyStart, None)
+        }
+      }
     }
     out.toMap
+  }
+
+  /** Index of this object's `stream` KEYWORD (not part of a name or of
+    * `endstream`, followed by an EOL per the spec), or -1 when the object
+    * has no stream before its `endobj`. */
+  private def streamKeywordAt(raw: String, from: Int, endobj: Int): Int = {
+    var i = raw.indexOf("stream", from)
+    while (i >= 0 && (endobj < 0 || i < endobj)) {
+      val prevOk = i == 0 || { val c = raw.charAt(i - 1)
+        c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '>' }
+      val nextOk = i + 6 < raw.length && {
+        val c = raw.charAt(i + 6); c == '\n' || c == '\r' }
+      if (prevOk && nextOk) return i
+      i = raw.indexOf("stream", i + 1)
+    }
+    -1
+  }
+
+  // ------------------------------------------------------- object streams
+
+  /** Expand `/Type /ObjStm` containers (PDF 1.5+, ISO 32000-1 §7.5.7):
+    * each holds N compressed objects framed by an `n_1 off_1 … n_N off_N`
+    * header at stream start, bodies at `/First + off_i`. Modern writers
+    * put the catalog, page tree and font dicts here — without this
+    * expansion such files scan to zero page objects and text-layer PDFs
+    * misroute to the needs-OCR path. Direct (top-level) definitions win on
+    * number collisions: the flat scan already honors last-definition-wins
+    * for incremental updates, and a phantom inside a decoded payload must
+    * never shadow a real object. */
+  private def expandObjectStreams(
+      objs: Map[Int, PdfObj], bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val extra = mutable.Map[Int, PdfObj]()
+    objs.values.foreach { o =>
+      if (PatObjStm.matcher(o.body).find()) {
+        for {
+          data <- streamData(o, bytes)
+          n <- firstRef(o.body, PatN)
+          first <- firstRef(o.body, PatFirst)
+          if first <= data.length
+        } {
+          val s = new String(data, StandardCharsets.ISO_8859_1)
+          val header = s.substring(0, first)
+          val toks = header.trim.split("\\s+").filter(_.nonEmpty)
+          val pairs = toks.grouped(2).collect {
+            case Array(numS, offS) if numS.forall(_.isDigit) && offS.forall(_.isDigit) =>
+              (numS.toInt, offS.toInt)
+          }.take(n).toVector
+          pairs.zipWithIndex.foreach { case ((num, off), i) =>
+            val start = first + off
+            val end =
+              if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, s.length)
+              else s.length
+            if (start >= 0 && start <= end && end <= s.length &&
+              !objs.contains(num) && !extra.contains(num))
+              extra(num) = PdfObj(s.substring(start, end), -1, None)
+          }
+        }
+      }
+    }
+    objs ++ extra
+  }
+
+  /** `/Encrypt` detection — looked for ONLY in classic `trailer` dicts and
+    * in `/Type /XRef` stream dicts (the two places the spec puts it), never
+    * in content payloads, so text ABOUT encryption can't false-positive. */
+  private def isEncrypted(raw: String, objs: Map[Int, PdfObj]): Boolean = {
+    var i = raw.indexOf("trailer")
+    while (i >= 0) {
+      // bounded window (trailer dicts are small but may nest << /ID … >>)
+      val end = math.min(i + 600, raw.length)
+      if (PatEncrypt.matcher(raw.substring(i, end)).find()) return true
+      i = raw.indexOf("trailer", i + "trailer".length)
+    }
+    objs.values.exists(o => PatXRefType.matcher(o.body).find() &&
+      PatEncrypt.matcher(o.body).find())
   }
 
   private def isPageObject(body: String): Boolean =
@@ -317,25 +461,220 @@ object PdfParse {
     }
   }
 
-  /** Decode an object's stream payload: locate `stream…endstream` within
-    * the ORIGINAL bytes (binary-safe, by the object's scan offset) and
-    * inflate if FlateDecode. */
-  private def streamData(
-      obj: PdfObj, bytes: Array[Byte], raw: String): Option[Array[Byte]] = {
-    val streamKw = raw.indexOf("stream", obj.start)
-    if (streamKw < 0 || streamKw > obj.start + obj.body.length) return None
-    var dataStart = streamKw + "stream".length
-    if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
-    if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
-    val dataEnd = raw.indexOf("endstream", dataStart)
-    if (dataEnd < 0) return None
-    var trimmedEnd = dataEnd
-    if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\n') trimmedEnd -= 1
-    if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\r') trimmedEnd -= 1
-    val data = java.util.Arrays.copyOfRange(bytes, dataStart, trimmedEnd)
-    if (PatFlate.matcher(obj.body).find())
-      inflate(data)
-    else Some(data)
+  /** Decode an object's stream payload: the byte range was located at scan
+    * time (binary-safe); apply the dict's filter chain. */
+  private def streamData(obj: PdfObj, bytes: Array[Byte]): Option[Array[Byte]] =
+    obj.streamRange.flatMap { case (s, e) =>
+      if (s < 0 || e > bytes.length || s > e) None
+      else decodeFilters(java.util.Arrays.copyOfRange(bytes, s, e), obj.body)
+    }
+
+  // ------------------------------------------------------------- filters
+
+  /** Filter names of a stream dict, in application order — a single
+    * `/Filter /Name` or a chain `/Filter [/A /B]`. */
+  private def filterNames(dict: String): Vector[String] = {
+    val am = PatFilterArr.matcher(dict)
+    if (am.find()) {
+      val nm = PatNameTok.matcher(am.group(1))
+      val out = Vector.newBuilder[String]
+      while (nm.find()) out += nm.group(1)
+      out.result()
+    } else {
+      val om = PatFilterOne.matcher(dict)
+      if (om.find()) Vector(om.group(1)) else Vector.empty
+    }
+  }
+
+  /** Apply the stream dict's filter chain. Unknown/unsupported filters
+    * (DCTDecode, JBIG2Decode, Crypt, …) yield None — the caller degrades
+    * to an empty text layer, never throws. Flate/LZW honor the PNG
+    * predictors (10–15) of /DecodeParms, which real xref/object streams
+    * use routinely. */
+  private def decodeFilters(
+      data0: Array[Byte], dict: String): Option[Array[Byte]] = {
+    val names = filterNames(dict)
+    var data = data0
+    var i = 0
+    while (i < names.length) {
+      val decoded = names(i) match {
+        case "FlateDecode" => inflate(data).flatMap(applyPredictor(_, dict))
+        case "LZWDecode" => lzwDecode(data).flatMap(applyPredictor(_, dict))
+        case "ASCIIHexDecode" => asciiHexDecode(data)
+        case "ASCII85Decode" => ascii85Decode(data)
+        case "RunLengthDecode" => runLengthDecode(data)
+        case _ => None // unsupported → degrade, never wrong-kind
+      }
+      decoded match {
+        case Some(d) => data = d
+        case None => return None
+      }
+      i += 1
+    }
+    Some(data)
+  }
+
+  /** PNG predictors (ISO 32000-1 §7.4.4.4 / RFC 2083 filters): rows of
+    * `columns·colors·bpc/8` bytes, each prefixed by a per-row filter type
+    * (None/Sub/Up/Average/Paeth). Predictor 1/absent = identity; TIFF
+    * predictor 2 is not emitted by mainstream writers and yields None. */
+  private def applyPredictor(data: Array[Byte], dict: String): Option[Array[Byte]] = {
+    val pred = firstRef(dict, PatPredictor).getOrElse(1)
+    if (pred <= 1) return Some(data)
+    if (pred < 10) return None // TIFF predictor: unsupported
+    val columns = firstRef(dict, PatColumns).getOrElse(1)
+    val colors = firstRef(dict, PatColors).getOrElse(1)
+    val bpc = firstRef(dict, PatBpc).getOrElse(8)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = columns * colors * bpc / 8
+    if (rowLen <= 0 || data.length % (rowLen + 1) != 0) return None
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (rowLen + 1)) & 0xFF
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var c = 0
+      while (c < rowLen) {
+        val raw = data(src + c) & 0xFF
+        val left = if (c >= bpp) out(dst + c - bpp) & 0xFF else 0
+        val up = if (r > 0) out(dst - rowLen + c) & 0xFF else 0
+        val upLeft = if (r > 0 && c >= bpp) out(dst - rowLen + c - bpp) & 0xFF else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => return None
+        }
+        out(dst + c) = (v & 0xFF).toByte
+        c += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** LZWDecode (ISO 32000-1 §7.4.4.2): 9→12-bit codes, MSB-first, clear
+    * 256, EOD 257, early code-width change. */
+  private def lzwDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new ByteArrayOutputStream(data.length * 3)
+      val dict = new Array[Array[Byte]](4096)
+      var i = 0
+      while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+      var dictSize = 258
+      var codeBits = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bitCnt = 0
+      var pos = 0
+      while (pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xFFL); bitCnt += 8; pos += 1
+        while (bitCnt >= codeBits) {
+          val code = ((bitBuf >>> (bitCnt - codeBits)) & ((1L << codeBits) - 1)).toInt
+          bitCnt -= codeBits
+          if (code == 256) { dictSize = 258; codeBits = 9; prev = null }
+          else if (code == 257) return Some(out.toByteArray) // EOD
+          else {
+            val entry =
+              if (code < dictSize && dict(code) != null) dict(code)
+              else if (prev != null && code == dictSize) prev :+ prev(0)
+              else return None
+            out.write(entry, 0, entry.length)
+            if (prev != null && dictSize < 4096) {
+              dict(dictSize) = prev :+ entry(0); dictSize += 1
+            }
+            prev = entry
+            if (dictSize >= (1 << codeBits) - 1 && codeBits < 12) codeBits += 1
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** ASCIIHexDecode: hex digits (whitespace ignored) up to `>`. */
+  private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4) // odd digit: pad 0 per spec
+        return Some(out.toByteArray)
+      } else if (!c.isWhitespace) {
+        val d = Character.digit(c, 16)
+        if (d < 0) return None
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode: base-85 groups of 5 chars → 4 bytes, `z` = 4 zero
+    * bytes, terminated by `~>`; a trailing partial group of n chars yields
+    * n−1 bytes. */
+  private def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(data.length * 4 / 5)
+    var acc = 0L
+    var cnt = 0
+    def flush(n: Int): Unit = {
+      var a = acc
+      var k = cnt
+      while (k < 5) { a = a * 85 + 84; k += 1 } // pad with 'u'
+      var shift = 24
+      var j = 0
+      while (j < n) { out.write(((a >>> shift) & 0xFF).toInt); shift -= 8; j += 1 }
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '~') { // terminator "~>"
+        if (cnt > 1) flush(cnt - 1) else if (cnt == 1) return None
+        return Some(out.toByteArray)
+      } else if (c == 'z' && cnt == 0) {
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c >= '!' && c <= 'u') {
+        acc = acc * 85 + (c - '!'); cnt += 1
+        if (cnt == 5) { flush(4); acc = 0; cnt = 0 }
+      } else if (!c.isWhitespace) return None
+      i += 1
+    }
+    if (cnt > 1) flush(cnt - 1)
+    Some(out.toByteArray)
+  }
+
+  /** RunLengthDecode: length byte L — 0..127 copy L+1 literals, 129..255
+    * repeat next byte 257−L times, 128 = EOD. */
+  private def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xFF
+      if (l == 128) return Some(out.toByteArray)
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        val b = data(i + 1) & 0xFF
+        var k = 0
+        while (k < 257 - l) { out.write(b); k += 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray)
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
@@ -550,7 +889,8 @@ object PdfParse {
       compress: Boolean = true,
       images: Seq[(Int, Int)] = Seq.empty,
       pageWidth: Double = 612,
-      pageHeight: Double = 792): Array[Byte] = {
+      pageHeight: Double = 792,
+      encrypted: Boolean = false): Array[Byte] = {
     val objects = mutable.ArrayBuffer[Array[Byte]]() // 1-indexed bodies
     def obj(n: Int, body: String): Array[Byte] =
       s"$n 0 obj\n$body\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
@@ -598,6 +938,11 @@ object PdfParse {
       objects += obj(imgObjBase + j, body)
     }
 
+    val encryptNum = imgObjBase + images.length
+    if (encrypted) // minimal Standard security handler dict
+      objects += obj(encryptNum,
+        "<< /Filter /Standard /V 1 /R 2 /P -44 /O (xxxxxxxx) /U (yyyyyyyy) >>")
+
     // assemble with a real xref table
     val out = new ByteArrayOutputStream()
     out.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
@@ -607,9 +952,102 @@ object PdfParse {
     val xref = new StringBuilder(s"xref\n0 ${objects.length + 1}\n")
     xref.append("0000000000 65535 f \n")
     offsets.foreach(o => xref.append(f"$o%010d 00000 n \n"))
-    xref.append(s"trailer\n<< /Size ${objects.length + 1} /Root 1 0 R >>\n")
+    val enc = if (encrypted) s" /Encrypt $encryptNum 0 R" else ""
+    xref.append(s"trailer\n<< /Size ${objects.length + 1} /Root 1 0 R$enc >>\n")
     xref.append(s"startxref\n$xrefPos\n%%EOF\n")
     out.write(xref.toString.getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Assemble a PDF 1.5-STYLE real file: the catalog, page-tree node and
+    * page dicts live inside a Flate-compressed `/Type /ObjStm` object
+    * stream; content streams are regular stream objects; the cross-
+    * reference is a binary `/Type /XRef` stream (W [1 2 1], FlateDecode,
+    * honest type-1/type-2 entries) and there is NO classic xref table or
+    * `trailer` keyword — the layout modern writers emit. Exercises ObjStm
+    * expansion, the binary-payload phantom guard, and xref-stream
+    * tolerance end-to-end. */
+  def writePdfObjStm(
+      pageLines: Seq[Seq[String]],
+      compress: Boolean = true,
+      pageWidth: Double = 612,
+      pageHeight: Double = 792): Array[Byte] = {
+    val nPages = pageLines.length
+    // numbering: 1 catalog, 2 pages node, 3..2+n page dicts (all inside the
+    // ObjStm); content streams 3+n..2+2n; ObjStm 3+2n; XRef 4+2n
+    val contBase = 3 + nPages
+    val objStmNum = 3 + 2 * nPages
+    val xrefNum = objStmNum + 1
+
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    val inStm: Seq[(Int, String)] =
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>") ++
+        (0 until nPages).map { i =>
+          (3 + i) -> (s"<< /Type /Page /Parent 2 0 R /MediaBox " +
+            s"[0 0 $pageWidth $pageHeight] /Contents ${contBase + i} 0 R >>")
+        }
+    // ObjStm payload: "num off …" header, then bodies at /First + off
+    val bodies = inStm.map(_._2)
+    val offs = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = inStm.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val stmPayload = (header + bodies.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val stmData = deflate(stmPayload)
+
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.5\n".getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = mutable.Map[Int, Int]() // objNum -> byte offset
+
+    def writeObj(n: Int, head: String, payload: Array[Byte]): Unit = {
+      offsets(n) = out.size()
+      out.write(s"$n 0 obj\n$head\nstream\n".getBytes(StandardCharsets.ISO_8859_1))
+      out.write(payload)
+      out.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    }
+
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val ops = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
+      lines.zipWithIndex.foreach { case (line, li) =>
+        val esc = line.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        if (li > 0) ops.append("T*\n")
+        ops.append(s"($esc) Tj\n")
+      }
+      ops.append("ET\n")
+      val rawOps = ops.toString.getBytes(StandardCharsets.ISO_8859_1)
+      val (data, filter) =
+        if (compress) (deflate(rawOps), " /Filter /FlateDecode") else (rawOps, "")
+      writeObj(contBase + i, s"<< /Length ${data.length}$filter >>", data)
+    }
+
+    writeObj(objStmNum,
+      s"<< /Type /ObjStm /N ${inStm.length} /First ${header.length} " +
+        s"/Length ${stmData.length} /Filter /FlateDecode >>", stmData)
+
+    // XRef stream: one W[1 3 1] entry per object 0..xrefNum
+    val xrefOffset = out.size()
+    offsets(xrefNum) = xrefOffset
+    val entries = new ByteArrayOutputStream()
+    def entry(t: Int, f2: Int, f3: Int): Unit = {
+      entries.write(t)
+      entries.write((f2 >>> 16) & 0xFF)
+      entries.write((f2 >>> 8) & 0xFF); entries.write(f2 & 0xFF)
+      entries.write(f3 & 0xFF)
+    }
+    entry(0, 0, 0) // object 0: free
+    inStm.indices.foreach(i => entry(2, objStmNum, i))
+    (0 until nPages).foreach(i => entry(1, offsets(contBase + i), 0))
+    entry(1, offsets(objStmNum), 0)
+    entry(1, xrefOffset, 0)
+    val xrefData = deflate(entries.toByteArray)
+    out.write((s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} " +
+      s"/W [1 3 1] /Root 1 0 R /Length ${xrefData.length} " +
+      "/Filter /FlateDecode >>\nstream\n").getBytes(StandardCharsets.ISO_8859_1))
+    out.write(xrefData)
+    out.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.write(s"startxref\n$xrefOffset\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1))
     out.toByteArray
   }
 

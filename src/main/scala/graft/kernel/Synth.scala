@@ -201,14 +201,17 @@ object Synth {
         (h.getBytes(StandardCharsets.UTF_8), "")
       case 7 =>
         val d = pdfText(rng, 12 + rng.nextInt(13))
-        // half the native-text docs ship as GENUINE %PDF-1.4 bytes (Flate
-        // content streams, Tj/T* operators — PdfParse.writePdf): the real
-        // binary parse path runs at corpus scale with byte-identical
-        // text layers, so classification outputs are unchanged
-        val bytes =
-          if (rng.nextInt(2) == 0)
-            PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq))
-          else PdfPayload.serialize(d)
+        // half the native-text docs ship as GENUINE %PDF bytes — split
+        // between classic 1.4 layout (Flate content streams, xref table)
+        // and 1.5-style layout (page dicts inside a compressed /ObjStm,
+        // binary /XRef stream): both real parse paths run at corpus scale
+        // with byte-identical text layers, so classification outputs are
+        // unchanged regardless of layout
+        val bytes = rng.nextInt(4) match {
+          case 0 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq))
+          case 1 => PdfParse.writePdfObjStm(d.pages.map(_.textLayer.split("\n").toSeq))
+          case _ => PdfPayload.serialize(d)
+        }
         (bytes, d.pages.head.textLayer.take(120))
       case 8 =>
         val d = pdfScanned(rng, 5 + rng.nextInt(8))

@@ -123,4 +123,212 @@ class PdfParseSpec extends AnyFunSuite {
     assert(d.docKind == "error")
     assert(d.status == "true") // conservative: error rows need OCR
   }
+
+  // ---------------------------------------------------- PDF 1.5+ features
+
+  test("ObjStm: a 1.5-style file (page dicts inside a compressed object " +
+    "stream, binary XRef stream, no trailer keyword) extracts its text layer") {
+    val bytes = PdfParse.writePdfObjStm(Seq(proseLines, proseLines.reverse))
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    assert(s.startsWith("%PDF-1.5\n"))
+    assert(s.contains("/Type /ObjStm") && s.contains("/Type /XRef"))
+    assert(!s.contains("trailer")) // 1.5 layout: trailer merged into XRef dict
+    assert(!s.contains(proseLines.head)) // page text is compressed
+    val doc = PdfParse.parse(bytes)
+    assert(doc.pages.length == 2)
+    assert(doc.pages(0).textLayer == proseLines.mkString("\n"))
+    assert(doc.pages(1).textLayer == proseLines.reverse.mkString("\n"))
+  }
+
+  test("ObjStm ≡ classic: the same document in 1.4 and 1.5 layouts yields " +
+    "byte-identical text layers and classifications") {
+    val pages = Seq(proseLines ++ proseLines ++ proseLines, proseLines)
+    val classic = PdfParse.parse(PdfParse.writePdf(pages))
+    val objstm = PdfParse.parse(PdfParse.writePdfObjStm(pages))
+    assert(classic.pages.map(_.textLayer) == objstm.pages.map(_.textLayer))
+    val ex = new Extractor(ProbeConfig())
+    val d1 = ex.extract(PdfParse.writePdf(pages))
+    val d2 = ex.extract(PdfParse.writePdfObjStm(pages))
+    assert(d1.status == d2.status && d1.pages == d2.pages)
+    assert(d1.extractedText == d2.extractedText)
+  }
+
+  test("phantom guard: binary stream payloads containing 'N 0 obj … " +
+    "endobj' sequences cannot fabricate or shadow objects") {
+    // hand-assembled: a content stream whose UNCOMPRESSED payload embeds a
+    // fake page object AND a fake redefinition of object 1 (the catalog)
+    val fake = "999 0 obj\n<< /Type /Page /MediaBox [0 0 9 9] >>\nendobj\n" +
+      "1 0 obj\n<< /Type /Page >>\nendobj\nBT (real text) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${fake.length} >>\nstream\n$fake\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Comment (after the stream) >>\nendobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val doc = PdfParse.parse(pdf)
+    assert(doc.pages.length == 1, "phantom /Type /Page must not add pages")
+    assert(doc.pages(0).width == 612.0, "phantom must not shadow the real page")
+    assert(doc.pages(0).textLayer.contains("real text"))
+  }
+
+  test("encrypted PDFs are rejected with a DISTINCT reason naming " +
+    "encryption (X4 contract), not silently degraded") {
+    val bytes = PdfParse.writePdf(Seq(proseLines), encrypted = true)
+    val e = intercept[PdfEncryptedException](PdfParse.parse(bytes))
+    assert(e.getMessage.contains("encrypted"))
+    val d = new Extractor(ProbeConfig()).extract(bytes)
+    assert(d.docKind == "error")
+    assert(d.error.exists(_.toLowerCase.contains("encrypt")),
+      s"error must name encryption, got ${d.error}")
+    assert(d.status == "true") // conservative: error rows need OCR
+    // the word 'Encrypt' in page TEXT must not trigger detection
+    val talky = PdfParse.writePdf(Seq(Seq("discussing /Encrypt 5 0 R here")),
+      compress = false)
+    assert(PdfParse.parse(talky).pages.nonEmpty)
+  }
+
+  // ------------------------------------------------------------- filters
+
+  /** Minimal single-page PDF around a pre-encoded content stream. */
+  private def pdfWith(filter: String, data: Array[Byte],
+      parms: String = ""): Array[Byte] = {
+    val head = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${data.length} /Filter $filter$parms >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    head ++ data ++ "\nendstream\nendobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private val ops = "BT (filter roundtrip works) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+  private val expected = "filter roundtrip works"
+
+  test("ASCIIHexDecode filter") {
+    val hex = ops.map(b => f"${b & 0xFF}%02X").mkString + ">"
+    val doc = PdfParse.parse(pdfWith("/ASCIIHexDecode",
+      hex.getBytes(StandardCharsets.ISO_8859_1)))
+    assert(doc.pages(0).textLayer == expected)
+  }
+
+  test("ASCII85Decode filter (incl. partial final group)") {
+    def enc85(in: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < in.length) {
+        val n = math.min(4, in.length - i)
+        var acc = 0L
+        (0 until 4).foreach { k =>
+          acc = (acc << 8) | (if (k < n) in(i + k) & 0xFFL else 0L) }
+        val digs = new Array[Char](5)
+        var a = acc
+        (4 to 0 by -1).foreach { k => digs(k) = ('!' + (a % 85)).toChar; a /= 85 }
+        sb.appendAll(digs, 0, n + 1)
+        i += 4
+      }
+      sb.append("~>").toString
+    }
+    val doc = PdfParse.parse(pdfWith("/ASCII85Decode",
+      enc85(ops).getBytes(StandardCharsets.ISO_8859_1)))
+    assert(doc.pages(0).textLayer == expected)
+  }
+
+  test("RunLengthDecode filter") {
+    // encode as literal runs of ≤128 plus one repeat run
+    val repeated = "BT (xxxxxxxxxxAB) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(3); out.write(repeated, 0, 4) // "BT ("
+    out.write(256 - (10 - 1)); out.write('x') // 10 × 'x' as a repeat run
+    out.write(repeated.length - 14 - 1); out.write(repeated, 14, repeated.length - 14)
+    out.write(128) // EOD
+    val doc = PdfParse.parse(pdfWith("/RunLengthDecode", out.toByteArray))
+    assert(doc.pages(0).textLayer == "xxxxxxxxxxAB")
+  }
+
+  test("LZWDecode filter") {
+    // trivial-but-valid LZW: clear, one 9-bit code per byte, EOD
+    def lzwEnc(in: Array[Byte]): Array[Byte] = {
+      require(in.length < 200) // stays within 9-bit code width
+      val out = new java.io.ByteArrayOutputStream()
+      var buf = 0L; var bits = 0
+      def put(code: Int): Unit = {
+        buf = (buf << 9) | code; bits += 9
+        while (bits >= 8) { out.write(((buf >>> (bits - 8)) & 0xFF).toInt); bits -= 8 }
+      }
+      put(256)
+      in.foreach(b => put(b & 0xFF))
+      put(257)
+      if (bits > 0) out.write(((buf << (8 - bits)) & 0xFF).toInt)
+      out.toByteArray
+    }
+    val doc = PdfParse.parse(pdfWith("/LZWDecode", lzwEnc(ops)))
+    assert(doc.pages(0).textLayer == expected)
+  }
+
+  test("filter CHAIN /Filter [/ASCIIHexDecode /FlateDecode]") {
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(ops); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](256)
+      while (!d.finished()) o.write(b, 0, d.deflate(b))
+      d.end(); o.toByteArray
+    }
+    val hex = deflated.map(b => f"${b & 0xFF}%02X").mkString + ">"
+    val doc = PdfParse.parse(pdfWith("[/ASCIIHexDecode /FlateDecode]",
+      hex.getBytes(StandardCharsets.ISO_8859_1)))
+    assert(doc.pages(0).textLayer == expected)
+  }
+
+  test("FlateDecode with PNG Up predictor (/DecodeParms /Predictor 12)") {
+    val cols = 8
+    val padded = ops ++ Array.fill[Byte]((cols - ops.length % cols) % cols)(' ')
+    val rows = padded.length / cols
+    val filtered = new java.io.ByteArrayOutputStream()
+    (0 until rows).foreach { r =>
+      filtered.write(2) // Up
+      (0 until cols).foreach { c =>
+        val up = if (r > 0) padded((r - 1) * cols + c) & 0xFF else 0
+        filtered.write((padded(r * cols + c) - up) & 0xFF)
+      }
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(filtered.toByteArray); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](256)
+      while (!d.finished()) o.write(b, 0, d.deflate(b))
+      d.end(); o.toByteArray
+    }
+    val doc = PdfParse.parse(pdfWith("/FlateDecode", deflated,
+      parms = s" /DecodeParms << /Predictor 12 /Columns $cols >>"))
+    assert(doc.pages(0).textLayer == expected)
+  }
+
+  test("unsupported filter degrades to an empty text layer (needs-OCR " +
+    "path), never throws") {
+    val doc = PdfParse.parse(pdfWith("/JBIG2Decode", Array[Byte](1, 2, 3)))
+    assert(doc.pages.length == 1)
+    assert(doc.pages(0).textLayer == "")
+  }
+
+  test("fuzz: mutated 1.5-style ObjStm bytes never escape the row contract") {
+    val ex = new Extractor(ProbeConfig())
+    val base = PdfParse.writePdfObjStm(Seq(proseLines, proseLines))
+    val rng = new java.util.SplittableRandom(5678L)
+    for (trial <- 0 until 100) {
+      val mutated = base.clone()
+      for (_ <- 0 to rng.nextInt(8)) {
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+      }
+      val payload =
+        if (trial % 5 == 0) mutated.take(1 + rng.nextInt(mutated.length)) else mutated
+      val r = ex.extract(payload)
+      assert(Set("html", "pdf", "error").contains(r.docKind), s"trial $trial")
+      assert(Set("true", "false", "partial").contains(r.status), s"trial $trial")
+    }
+  }
 }
