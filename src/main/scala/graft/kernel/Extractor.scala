@@ -37,8 +37,11 @@ final class Extractor(cfg: ProbeConfig) {
       // S1 dual-path payload sniff: REAL %PDF-1.x bytes parse through the
       // genuine-PDF probe (PdfParse: object scan, Flate streams, Tj/TJ);
       // GFTPDF1 structured payloads keep exercising the same decision
-      // functions; everything else is html.
-      if (PdfParse.isRealPdf(htmlBytes)) extractPdf(PdfParse.parse(htmlBytes))
+      // functions; everything else is html. The second reader's geometric
+      // view (altTextLayer) is only computed when a strategy other than
+      // "fitz" can consult it — the performance-mode hot path pays nothing.
+      if (PdfParse.isRealPdf(htmlBytes))
+        extractPdf(PdfParse.parse(htmlBytes, needAlt = cfg.accuracyMode))
       else if (PdfPayload.isPdf(htmlBytes)) extractPdf(PdfPayload.deserialize(htmlBytes))
       else extractHtml(htmlBytes)
     } catch {

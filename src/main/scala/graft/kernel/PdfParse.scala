@@ -118,7 +118,17 @@ object PdfParse {
     * a flat object scan when the tree is unwalkable. Throws on structurally
     * hopeless input (no pages at all) — the Extractor maps that to its
     * error-row channel. */
-  def parse(bytes: Array[Byte]): PdfDoc = {
+  def parse(bytes: Array[Byte]): PdfDoc = parse(bytes, needAlt = false)
+
+  /** @param needAlt also compute the SECOND reader's view per page
+    *   (`altTextLayer`): geometric line reassembly by text-space position,
+    *   including text inside Form XObjects — a genuinely different
+    *   algorithm from the cursor-order primary, mirroring how
+    *   fitz-vs-pdfplumber disagree on real files (the `both`/`auto`
+    *   fallback of _detector.py:277-287 can then actually rescue pages).
+    *   Off by default: the performance-mode hot path ("fitz") never reads
+    *   it, so the second pass is only paid when a strategy can use it. */
+  def parse(bytes: Array[Byte], needAlt: Boolean): PdfDoc = {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1) // byte-faithful
     val scanned = scanObjects(raw)
     if (isEncrypted(raw, scanned))
@@ -139,15 +149,178 @@ object PdfParse {
       val fonts = leaf.resources
         .map(r => cmapCache.getOrElseUpdate(r, pageFonts(r, objs, bytes)))
         .getOrElse(Map.empty)
-      val text = contentsRefs(leaf.body)
+      val streams = contentsRefs(leaf.body)
         .flatMap(objs.get)
-        .map(streamData(_, bytes))
-        .collect { case Some(data) => extractTextOps(data, fonts) }
-        .mkString("\n")
+        .flatMap(streamData(_, bytes))
+      val text = streams.map(extractTextOps(_, fonts)).mkString("\n")
+      val alt =
+        if (needAlt) {
+          val formStreams = leaf.resources
+            .map(formXObjectStreams(_, objs, bytes)).getOrElse(Vector.empty)
+          Some(extractTextGeom(streams ++ formStreams, fonts))
+        } else None
       val images = leaf.resources.map(xobjectImages(_, objs)).getOrElse(Vector.empty)
-      PdfPage(w, h, text, altTextLayer = None, images)
+      PdfPage(w, h, text, altTextLayer = alt, images)
     }
     PdfDoc(pages)
+  }
+
+  /** Decoded content streams of Form XObjects reachable from a resources
+    * dict (recursive, cycle-protected) — the standard place real readers
+    * diverge: the cursor-order primary only reads page content streams, so
+    * text drawn via `/Fm0 Do` is invisible to it. */
+  private def formXObjectStreams(
+      resources: String, objs: Map[Int, PdfObj], bytes: Array[Byte],
+      visited: mutable.Set[Int] = mutable.Set.empty): Vector[Array[Byte]] = {
+    val m = PatXObjDict.matcher(resources)
+    if (!m.find()) return Vector.empty
+    val rm = PatRef.matcher(m.group(1))
+    val out = Vector.newBuilder[Array[Byte]]
+    while (rm.find()) {
+      val n = rm.group(1).toInt
+      if (visited.add(n)) objs.get(n).foreach { o =>
+        if (PatSubForm.matcher(o.body).find()) {
+          streamData(o, bytes).foreach(out += _)
+          resolveResources(o.body, objs)
+            .foreach(r => out ++= formXObjectStreams(r, objs, bytes, visited))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** SECOND reader: geometric line reassembly (the "pdfplumber" view).
+    *
+    * Instead of emitting show-strings in cursor order, every string is
+    * recorded as a positioned RUN (text-space x/y tracked through Td, TD,
+    * Tm, T-star, TL, quote and TJ kerning, with a nominal glyph-advance
+    * estimate), then lines are rebuilt by sorting runs top-to-bottom
+    * (descending y, 2pt tolerance) and left-to-right within a line —
+    * which linearizes out-of-order emission and multi-column jumps the
+    * cursor reader gets wrong, and sees Form-XObject text the cursor
+    * reader never visits. */
+  private[kernel] def extractTextGeom(
+      streams: Seq[Array[Byte]],
+      fonts: Map[String, FontCMap] = Map.empty): String = {
+    final case class Run(y: Double, x: Double, endX: Double, text: String)
+    val runs = mutable.ArrayBuffer[Run]()
+    streams.foreach { data =>
+      val s = new String(data, StandardCharsets.ISO_8859_1)
+      var i = 0
+      var lineX = 0.0; var lineY = 0.0 // start of current text line
+      var x = 0.0; var y = 0.0 // current show position
+      var fontSize = 12.0
+      var leading = 12.0
+      var firstInBt = true
+      var bracketDepth = 0
+      var lastName = ""
+      var currentFont: Option[FontCMap] = None
+      def show(raw: String): Unit = {
+        val dec = decodeString(raw, currentFont)
+        if (dec.nonEmpty) {
+          val adv = dec.length * fontSize * 0.5 // nominal glyph advance
+          runs += Run(y, x, x + adv, dec)
+          x += adv
+        }
+      }
+      def newLine(dx: Double, dy: Double): Unit = {
+        lineX += dx; lineY += dy; x = lineX; y = lineY
+      }
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' =>
+            val (str, next) = literalString(s, i)
+            show(str); i = next
+          case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
+            val (str, next) = hexString(s, i)
+            show(str); i = next
+          case '/' =>
+            val start = i + 1
+            i += 1
+            while (i < s.length && (s.charAt(i).isLetterOrDigit ||
+              s.charAt(i) == '_' || s.charAt(i) == '.' || s.charAt(i) == '-')) i += 1
+            lastName = s.substring(start, i)
+          case 'T' if i + 1 < s.length && s.charAt(i + 1) == 'f' =>
+            currentFont = fonts.get(lastName)
+            precedingNumber(s, i).foreach(sz => if (sz > 0) fontSize = sz)
+            i += 2
+          case 'T' if i + 1 < s.length && s.charAt(i + 1) == 'L' =>
+            precedingNumber(s, i).foreach(l => leading = l)
+            i += 2
+          case '[' => bracketDepth += 1; i += 1
+          case ']' => bracketDepth = math.max(0, bracketDepth - 1); i += 1
+          case c if bracketDepth > 0 && (c == '-' || (c >= '0' && c <= '9')) =>
+            val start = i
+            i += 1
+            while (i < s.length && "0123456789.+-".indexOf(s.charAt(i)) >= 0) i += 1
+            try x -= s.substring(start, i).toDouble / 1000.0 * fontSize
+            catch { case _: Exception => }
+          case 'B' if i + 1 < s.length && s.charAt(i + 1) == 'T' =>
+            firstInBt = true
+            lineX = 0.0; lineY = 0.0; x = 0.0; y = 0.0
+            i += 2
+          case 'T' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+            newLine(0, -leading); i += 2
+          case 'T' if i + 1 < s.length &&
+            (s.charAt(i + 1) == 'd' || s.charAt(i + 1) == 'D') =>
+            val isTD = s.charAt(i + 1) == 'D'
+            precedingNumbers(s, i, 2) match {
+              case Some(Seq(tx, ty)) =>
+                if (isTD) leading = -ty
+                if (firstInBt) { lineX = tx; lineY = ty; x = tx; y = ty }
+                else newLine(tx, ty)
+              case _ =>
+            }
+            firstInBt = false
+            i += 2
+          case 'T' if i + 1 < s.length && s.charAt(i + 1) == 'm' =>
+            precedingNumbers(s, i, 2) match { // operands e f = position
+              case Some(Seq(e, f)) =>
+                lineX = e; lineY = f; x = e; y = f
+              case _ =>
+            }
+            firstInBt = false
+            i += 2
+          case '\'' =>
+            newLine(0, -leading); i += 1
+          case _ => i += 1
+        }
+      }
+    }
+    // reassemble: top-to-bottom lines (2pt y tolerance), left-to-right runs
+    val sorted = runs.sortBy(r => (-r.y, r.x))
+    val sb = new StringBuilder
+    var curY = Double.NaN
+    var curEndX = 0.0
+    sorted.foreach { r =>
+      if (curY.isNaN) curY = r.y
+      else if (curY - r.y > 2.0) { sb.append('\n'); curY = r.y; curEndX = 0.0 }
+      else if (sb.nonEmpty && sb.last != '\n' && sb.last != ' ' &&
+        r.x - curEndX > 1.5) sb.append(' ') // horizontal gap = word break
+      sb.append(r.text)
+      curEndX = r.endX
+    }
+    sb.toString
+  }
+
+  /** The last `n` numeric tokens immediately preceding the operator at
+    * `opIdx` (its trailing operands, in source order). */
+  private def precedingNumbers(
+      s: String, opIdx: Int, n: Int): Option[Seq[Double]] = {
+    val out = new Array[Double](n)
+    var j = opIdx - 1
+    var k = n - 1
+    while (k >= 0) {
+      while (j >= 0 && (s.charAt(j) == ' ' || s.charAt(j) == '\n' ||
+        s.charAt(j) == '\r' || s.charAt(j) == '\t')) j -= 1
+      val end = j + 1
+      while (j >= 0 && "0123456789.+-".indexOf(s.charAt(j)) >= 0) j -= 1
+      val tok = s.substring(j + 1, end)
+      if (tok.isEmpty) return None
+      try out(k) = tok.toDouble catch { case _: Exception => return None }
+      k -= 1
+    }
+    Some(out.toSeq)
   }
 
   // -------------------------------------------------------------- ToUnicode

@@ -315,6 +315,33 @@ class PdfParseSpec extends AnyFunSuite {
     assert(doc.pages(0).textLayer == "")
   }
 
+  test("second reader: geometric reassembly linearizes out-of-order " +
+    "emission the cursor reader gets wrong") {
+    // emitted bottom line FIRST (Tm y=680), top line second (Tm y=720),
+    // with the top line split into two runs emitted right-to-left
+    val ops = ("BT /F1 12 Tf " +
+      "1 0 0 1 72 680 Tm (second line of the page) Tj " +
+      "1 0 0 1 200 720 Tm (line tail) Tj " +
+      "1 0 0 1 72 720 Tm (first) Tj " +
+      "ET").getBytes(StandardCharsets.ISO_8859_1)
+    // cursor order: emission order, y-moves = line breaks
+    val cursor = PdfParse.extractTextOps(ops)
+    assert(cursor.startsWith("second line"), s"cursor view: $cursor")
+    // geometric order: top-to-bottom, left-to-right
+    val geom = PdfParse.extractTextGeom(Seq(ops))
+    assert(geom == "first line tail\nsecond line of the page", s"geom view: $geom")
+  }
+
+  test("second reader: alt layer only computed when requested (hot path " +
+    "pays nothing)") {
+    val bytes = PdfParse.writePdf(Seq(proseLines))
+    assert(PdfParse.parse(bytes).pages(0).altTextLayer.isEmpty)
+    val alt = PdfParse.parse(bytes, needAlt = true).pages(0).altTextLayer
+    assert(alt.isDefined)
+    // on a well-formed cursor-ordered document the two readers agree
+    assert(alt.get == proseLines.mkString("\n"))
+  }
+
   test("fuzz: mutated 1.5-style ObjStm bytes never escape the row contract") {
     val ex = new Extractor(ProbeConfig())
     val base = PdfParse.writePdfObjStm(Seq(proseLines, proseLines))

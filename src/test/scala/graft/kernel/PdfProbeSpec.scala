@@ -76,6 +76,42 @@ class PdfProbeSpec extends AnyFunSuite {
     assert(auto.extractText(longFitz)._2 == "fitz")
   }
 
+  test("X1 on REAL bytes: 'fitz' yields <20 chars on Form-XObject text, " +
+    "'auto' recovers it via the geometric second reader " +
+    "(_detector.py:277-287)") {
+    // page content stream only INVOKES the form; all text lives inside the
+    // Form XObject — the classic construct where real readers disagree
+    val formText = "The court heard the appeal and granted the petition in this case."
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /XObject << /Fm0 5 0 R >> >> >>\nendobj\n" +
+      "4 0 obj\n<< /Length 11 >>\nstream\nq /Fm0 Do Q\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] " +
+      s"/Length ${("BT 72 720 Td (" + formText + ") Tj ET").length} >>\nstream\n" +
+      s"BT 72 720 Td ($formText) Tj ET\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+
+    val doc = PdfParse.parse(pdf, needAlt = true)
+    assert(doc.pages.length == 1)
+    assert(doc.pages(0).textLayer.length < 20, // cursor reader sees no text
+      s"fitz view must be low-yield, got '${doc.pages(0).textLayer}'")
+    assert(doc.pages(0).altTextLayer.exists(_.contains(formText)))
+
+    val fitz = new PdfProbe(ProbeConfig()).extractText(doc.pages(0))
+    assert(fitz._1.length < 20 && fitz._2 == "fitz")
+    val auto = new PdfProbe(ProbeConfig(accuracyMode = true)).extractText(doc.pages(0))
+    assert(auto == ((formText, "pdfplumber")),
+      s"auto must rescue the page via the second reader, got $auto")
+
+    // end-to-end: accuracy mode classifies by the RESCUED text
+    val exFast = new Extractor(ProbeConfig()).extract(pdf)
+    val exAcc = new Extractor(ProbeConfig(accuracyMode = true)).extract(pdf)
+    assert(!exFast.extractedText.contains("court"))
+    assert(exAcc.extractedText.contains("court heard the appeal"))
+  }
+
   test("X2 background detection: coverage>0.8 or near-page dims") {
     val probe = new PdfProbe(ProbeConfig())
     val full = PdfImage(1000, 1000, Vector(PdfRect(0, 0, 612, 792)), Array.empty)
