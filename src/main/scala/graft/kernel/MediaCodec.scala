@@ -138,12 +138,120 @@ object MediaCodec {
 
   // -------------------------------------------------------------- rendering
 
-  /** Render a solid-white page raster as a COMPLETE, decodable PNG: IHDR +
-    * IDAT (deflated scanlines: filter byte 0 + RGB 0xFF per pixel) + IEND,
-    * real CRC32s throughout. Any PNG reader decodes it. Byte size grows
-    * with the pixel count (deflate of the scanline stream), so DPI-size
-    * monotonicity holds like a real rasterizer's output. */
-  def renderPng(width: Int, height: Int): Array[Byte] = {
+  /** Fixed 5×7 bitmap font for glyph ink: 7 row bitmasks per glyph, bit 4 =
+    * leftmost column. Lowercase maps to uppercase; unknown characters render
+    * blank. Enough for an OCR engine downstream to read the raster. */
+  private val GlyphBlank = Array(0, 0, 0, 0, 0, 0, 0)
+  private val Glyphs: Map[Char, Array[Int]] = Map(
+    'A' -> Array(0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    'B' -> Array(0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    'C' -> Array(0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    'D' -> Array(0x1E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x1E),
+    'E' -> Array(0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    'F' -> Array(0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    'G' -> Array(0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    'H' -> Array(0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    'I' -> Array(0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    'J' -> Array(0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    'K' -> Array(0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    'L' -> Array(0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    'M' -> Array(0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    'N' -> Array(0x11, 0x19, 0x15, 0x13, 0x11, 0x11, 0x11),
+    'O' -> Array(0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    'P' -> Array(0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    'Q' -> Array(0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    'R' -> Array(0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    'S' -> Array(0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    'T' -> Array(0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    'U' -> Array(0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    'V' -> Array(0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    'W' -> Array(0x11, 0x11, 0x11, 0x15, 0x15, 0x1B, 0x11),
+    'X' -> Array(0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    'Y' -> Array(0x11, 0x11, 0x0A, 0x04, 0x04, 0x04, 0x04),
+    'Z' -> Array(0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    '0' -> Array(0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    '1' -> Array(0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    '2' -> Array(0x0E, 0x11, 0x01, 0x06, 0x08, 0x10, 0x1F),
+    '3' -> Array(0x1F, 0x01, 0x02, 0x06, 0x01, 0x11, 0x0E),
+    '4' -> Array(0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    '5' -> Array(0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    '6' -> Array(0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    '7' -> Array(0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    '8' -> Array(0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    '9' -> Array(0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    '.' -> Array(0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C),
+    ',' -> Array(0x00, 0x00, 0x00, 0x00, 0x0C, 0x04, 0x08),
+    ':' -> Array(0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x0C, 0x00),
+    ';' -> Array(0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x04, 0x08),
+    '!' -> Array(0x04, 0x04, 0x04, 0x04, 0x04, 0x00, 0x04),
+    '?' -> Array(0x0E, 0x11, 0x01, 0x02, 0x04, 0x00, 0x04),
+    '-' -> Array(0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00),
+    '(' -> Array(0x02, 0x04, 0x08, 0x08, 0x08, 0x04, 0x02),
+    ')' -> Array(0x08, 0x04, 0x02, 0x02, 0x02, 0x04, 0x08),
+    '\'' -> Array(0x04, 0x04, 0x08, 0x00, 0x00, 0x00, 0x00),
+    '"' -> Array(0x0A, 0x0A, 0x00, 0x00, 0x00, 0x00, 0x00),
+    '/' -> Array(0x01, 0x01, 0x02, 0x04, 0x08, 0x10, 0x10))
+
+  private def glyphRows(c: Char): Array[Int] =
+    Glyphs.getOrElse(Character.toUpperCase(c), GlyphBlank)
+
+  /** Rasterize `lines` with the 5×7 font at `scale` (dpi/72), invoking
+    * `plot(x, y)` for every ink pixel inside the page. Char cell 6×9 font
+    * units, 4-unit margins; lines/chars overflowing the page are clipped —
+    * work is bounded by the pixel count, not the text length. */
+  private def drawText(lines: Seq[String], scale: Double,
+      width: Int, height: Int)(plot: (Int, Int) => Unit): Unit = {
+    val cellW = 6 * scale
+    val cellH = 9 * scale
+    val margin = 4 * scale
+    var li = 0
+    while (li < lines.length) {
+      val y0 = margin + li * cellH
+      if (y0 + 7 * scale >= height) return // below the page: clip the rest
+      val line = lines(li)
+      val maxChars = math.max(0, ((width - 2 * margin) / cellW).toInt)
+      var ci = 0
+      while (ci < line.length && ci < maxChars) {
+        val g = glyphRows(line.charAt(ci))
+        val x0 = margin + ci * cellW
+        var r = 0
+        while (r < 7) {
+          val bits = g(r)
+          if (bits != 0) {
+            var c = 0
+            while (c < 5) {
+              if ((bits & (1 << (4 - c))) != 0) {
+                val px0 = (x0 + c * scale).toInt
+                val px1 = math.max(px0 + 1, (x0 + (c + 1) * scale).toInt)
+                val py0 = (y0 + r * scale).toInt
+                val py1 = math.max(py0 + 1, (y0 + (r + 1) * scale).toInt)
+                var py = py0
+                while (py < py1 && py < height) {
+                  var px = px0
+                  while (px < px1 && px < width) { plot(px, py); px += 1 }
+                  py += 1
+                }
+              }
+              c += 1
+            }
+          }
+          r += 1
+        }
+        ci += 1
+      }
+      li += 1
+    }
+  }
+
+  /** Render a page raster as a COMPLETE, decodable PNG: IHDR + IDAT
+    * (deflated scanlines: filter byte 0 + RGB per pixel) + IEND, real
+    * CRC32s throughout. Any PNG reader decodes it. `lines` are drawn as
+    * black 5×7-font glyph ink at `scale` (= dpi/72), so ink coverage
+    * tracks the text layer and the payload is OCR-consumable; byte size
+    * grows with the pixel count, so DPI-size monotonicity holds like a
+    * real rasterizer's output. */
+  def renderPng(width: Int, height: Int, lines: Seq[String] = Seq.empty,
+      scale: Double = 1.0): Array[Byte] = {
     val w = math.max(1, width)
     val h = math.max(1, height)
     def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
@@ -162,19 +270,25 @@ object MediaCodec {
       while (i < end) { scanlines(i) = 0xFF.toByte; i += 1 }
       r += 1
     }
+    drawText(lines, scale, w, h) { (x, y) =>
+      val base = rowLen * y + 1 + 3 * x
+      scanlines(base) = 0; scanlines(base + 1) = 0; scanlines(base + 2) = 0
+    }
     val idat = deflateZlib(scanlines)
     PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.empty[Byte])
   }
 
-  /** Render a solid page raster as a COMPLETE, decodable baseline JPEG:
-    * JFIF APP0 + DQT + SOF0 (1 grayscale component) + two minimal canonical
+  /** Render a page raster as a COMPLETE, decodable baseline JPEG: JFIF
+    * APP0 + DQT + SOF0 (1 grayscale component) + two minimal canonical
     * Huffman tables (DC: {cat0→'0', cat6→'10'}; AC: {EOB→'0'}) + SOS + a
-    * real entropy-coded segment (first block carries a DC difference of
-    * +40, every later block is DC-diff-0 + EOB). Each 8×8 block costs a
-    * few bits, so byte size grows with the block count — DPI-size
-    * monotonicity again. */
-  def renderJpeg(width: Int, height: Int): Array[Byte] = {
+    * real entropy-coded segment. Glyph ink is carried at 8×8-block
+    * granularity: blocks touched by text render DARK (DC 0) and blank
+    * blocks WHITE (DC +40); per-block DC differences are therefore
+    * 0 / ±40 — cat0 or cat6, both in the table. Each block costs bits, so
+    * byte size grows with the block count — DPI-size monotonicity again. */
+  def renderJpeg(width: Int, height: Int, lines: Seq[String] = Seq.empty,
+      scale: Double = 1.0): Array[Byte] = {
     val w = math.max(1, width)
     val h = math.max(1, height)
     val out = new ByteArrayOutputStream()
@@ -214,11 +328,26 @@ object MediaCodec {
         k -= 1
       }
     }
-    val blocks = ((w + 7) / 8) * ((h + 7) / 8)
-    // first block: DC cat6 code '10' + 6 magnitude bits of +40, then EOB '0'
-    putBits(0x2, 2); putBits(40, 6); putBits(0, 1)
-    var b = 1
-    while (b < blocks) { putBits(0, 1); putBits(0, 1); b += 1 } // cat0 + EOB
+    val blocksW = (w + 7) / 8
+    val blocksH = (h + 7) / 8
+    val dark = new Array[Boolean](blocksW * blocksH)
+    drawText(lines, scale, w, h) { (x, y) =>
+      dark((y / 8) * blocksW + (x / 8)) = true
+    }
+    // per block: DC difference to the target level (white 40, ink 0) —
+    // diff ∈ {0, ±40}: cat0 code '0', or cat6 code '10' + 6 magnitude bits
+    // (negative values in one's-complement style: v + 2^6 − 1)
+    var pred = 0
+    var b = 0
+    while (b < blocksW * blocksH) {
+      val target = if (dark(b)) 0 else 40
+      val diff = target - pred
+      if (diff == 0) putBits(0, 1)
+      else { putBits(0x2, 2); putBits(if (diff > 0) diff else diff + 63, 6) }
+      pred = target
+      putBits(0, 1) // AC EOB
+      b += 1
+    }
     if (nbits > 0) { // pad final byte with 1s
       cur = (cur << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
       ent.write(cur)

@@ -237,16 +237,25 @@ final class PdfProbe(cfg: ProbeConfig) {
     * page at `imageDpi` into a REAL container (complete decodable PNG with
     * IDAT scanlines, or a real baseline JPEG) whose pixel dims are the
     * page geometry scaled by dpi/72 — matching the pixmap contract. The
-    * raster content is a solid blank page (no glyph/vector rasterizer
-    * ships offline — documented): magic bytes, container structure, dims
-    * and dpi-size monotonicity are all real; only ink is absent. */
+    * page's text layer is drawn as 5×7-bitmap-font glyph INK at dpi scale
+    * (MediaCodec.drawText), so the raster is non-uniform, ink coverage
+    * tracks text_length, and the payload is consumable by a downstream
+    * OCR engine. (No vector/embedded-font rasterizer ships offline, so
+    * positioning is line-grid rather than Td-exact — documented.) */
   private def renderPage(page: PdfPage): String = {
-    val w = math.max(1, math.round(page.width * cfg.imageDpi / 72.0).toInt)
-    val h = math.max(1, math.round(page.height * cfg.imageDpi / 72.0).toInt)
+    val scale = cfg.imageDpi / 72.0
+    val w = math.max(1, math.round(page.width * scale).toInt)
+    val h = math.max(1, math.round(page.height * scale).toInt)
+    // bounded: glyphs beyond the page clip anyway, so cap what we split
+    val lines: Seq[String] =
+      if (page.textLayer.isEmpty) Seq.empty
+      else page.textLayer.substring(0,
+        math.min(page.textLayer.length, 20000)).split("\n", -1).toSeq
     val bytes =
       if (cfg.imageFormat.equalsIgnoreCase("jpeg") ||
-        cfg.imageFormat.equalsIgnoreCase("jpg")) MediaCodec.renderJpeg(w, h)
-      else MediaCodec.renderPng(w, h)
+        cfg.imageFormat.equalsIgnoreCase("jpg"))
+        MediaCodec.renderJpeg(w, h, lines, scale)
+      else MediaCodec.renderPng(w, h, lines, scale)
     Base64.getEncoder.encodeToString(bytes)
   }
 

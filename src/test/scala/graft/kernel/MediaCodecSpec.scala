@@ -62,6 +62,90 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.wavPcmSamples(Array.fill(20)(1.toByte)).isEmpty)
   }
 
+  // ------------------------------------------------------------ glyph ink
+
+  /** Fully decode one of our PNGs (chunk walk, IDAT inflate, filter-0
+    * defilter) and count black pixels — an independent reader's view. */
+  private def pngInkPixels(png: Array[Byte]): Int = {
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+        ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+    var o = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    while (o + 8 <= png.length) {
+      val len = be32(png, o)
+      val typ = new String(png.slice(o + 4, o + 8), "US-ASCII")
+      if (typ == "IHDR") { w = be32(png, o + 8); h = be32(png, o + 12) }
+      if (typ == "IDAT") idat.write(png, o + 8, len)
+      o += 12 + len
+    }
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val rowLen = 1 + 3 * w
+    val raw = new Array[Byte](rowLen * h)
+    var off = 0
+    while (!inf.finished() && off < raw.length)
+      off += inf.inflate(raw, off, raw.length - off)
+    inf.end()
+    assert(off == raw.length, "IDAT must decode to full scanlines")
+    var ink = 0
+    for (r <- 0 until h) {
+      assert(raw(r * rowLen) == 0) // filter type None
+      for (c <- 0 until w)
+        if (raw(r * rowLen + 1 + 3 * c) == 0) ink += 1
+    }
+    ink
+  }
+
+  test("PNG glyph ink: decoded rasters are non-uniform and pixel-exact") {
+    assert(pngInkPixels(MediaCodec.renderPng(100, 100)) == 0) // blank page
+    // 'A' in the 5×7 font has exactly 18 set bits → 18 ink pixels at scale 1
+    assert(pngInkPixels(MediaCodec.renderPng(100, 100, Seq("A"))) == 18)
+    // lowercase maps to the same glyph; unknown chars render blank
+    assert(pngInkPixels(MediaCodec.renderPng(100, 100, Seq("a"))) == 18)
+    assert(pngInkPixels(MediaCodec.renderPng(100, 100, Seq("é"))) == 0)
+  }
+
+  test("PNG glyph ink: coverage correlates with text length and dpi scale") {
+    val short = pngInkPixels(MediaCodec.renderPng(612, 792, Seq("short line")))
+    val long = pngInkPixels(MediaCodec.renderPng(612, 792,
+      (1 to 20).map(_ => "a much longer body of page text per line")))
+    assert(short > 0 && long > short * 5)
+    // doubling the scale (2× dpi) roughly quadruples ink pixel area
+    val s1 = pngInkPixels(MediaCodec.renderPng(612, 792, Seq("INK AT SCALE")))
+    val s2 = pngInkPixels(MediaCodec.renderPng(1224, 1584, Seq("INK AT SCALE"), 2.0))
+    assert(s2 > s1 * 2, s"scale-2 ink $s2 vs scale-1 $s1")
+    // clipping bounds work, not text length: a line far wider than the
+    // page inks no more than the page width can hold
+    val clipped = pngInkPixels(MediaCodec.renderPng(60, 60, Seq("X" * 10000)))
+    assert(clipped <= 60 * 60)
+  }
+
+  test("JPEG glyph ink: text pages entropy-code dark blocks (bigger " +
+    "payload, same parsed dims)") {
+    val blank = MediaCodec.renderJpeg(128, 64)
+    val inked = MediaCodec.renderJpeg(128, 64, Seq("HELLO WORLD"))
+    val m = MediaCodec.parse(inked)
+    assert(m.kind == "image/jpeg" && m.width == 128 && m.height == 64)
+    assert(inked.length > blank.length,
+      s"ink must add entropy bits: ${inked.length} vs ${blank.length}")
+  }
+
+  test("S5 probe-level ink: a text page renders non-uniform, ink tracks " +
+    "text_length, blank for empty pages") {
+    val probe = new PdfProbe(ProbeConfig(includeImages = true, imageDpi = 72))
+    def inkOf(text: String): Int = {
+      val page = PdfPage(612, 792, text, None, Vector.empty)
+      val b64 = probe.getPageImageSmart(0, page, PageType.Text)
+      pngInkPixels(java.util.Base64.getDecoder.decode(b64))
+    }
+    assert(inkOf("") == 0)
+    val one = inkOf("one line of text")
+    val many = inkOf((1 to 15).map(_ => "line of body text here").mkString("\n"))
+    assert(one > 0 && many > one * 3)
+  }
+
   test("malformed payloads parse as unknown, never throw") {
     assert(MediaCodec.parse(null).kind == "unknown")
     assert(MediaCodec.parse(Array.empty[Byte]).kind == "unknown")
