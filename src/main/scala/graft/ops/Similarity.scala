@@ -110,11 +110,16 @@ object Similarity {
     *
     * The quantizer uses the standard random-sample training shortcut:
     * centroids are the `nlist` lowest-id corpus vectors, collected once
-    * (tiny, like loading a trained quantizer) and embedded as literal
-    * arrays so assignment is pure codegen. Ties break to the smallest
-    * centroid index; probing keeps every centroid scoring ≥ the
-    * nprobe-th best (rank-with-ties semantics) — all deterministic and
-    * replicated exactly by the DuckDB oracle (q41). */
+    * (tiny, like loading a trained quantizer) and shipped as ONE
+    * array<array<double>> literal (`typedlit`) that a higher-order
+    * `transform` iterates at runtime — so the PLAN stays O(1) in `nlist`
+    * and whole-stage codegen survives realistic parameters (per-centroid
+    * literal expressions would put nlist·dim literal nodes in the
+    * projection and hit the JVM 64KB codegen method limit around
+    * nlist ≈ hundreds; asserted at nlist=256 in OpsSpec). Ties break to
+    * the smallest centroid index; probing keeps every centroid scoring ≥
+    * the nprobe-th best (rank-with-ties semantics) — all deterministic
+    * and replicated exactly by the DuckDB oracle (q41). */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -128,8 +133,8 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"))
       .orderBy(col("id")).limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray)
-    def scoresFor(v: Column): Column =
-      array(cents.map(ct => cosine(v, array(ct.map(lit): _*))): _*)
+    val centsLit: Column = typedlit(cents.map(_.toSeq).toSeq)
+    def scoresFor(v: Column): Column = transform(centsLit, ct => cosine(v, ct))
 
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"),

@@ -88,6 +88,27 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("minhash LSH full recall holds at sf0.1 too (10× corpus — the q23 " +
+    "oracle premise is not an sf0.01 artifact)") {
+    val dir = new java.io.File("/root/testdata/sf0.1/documents.parquet")
+    assume(dir.exists(), "sf0.1 testdata not present")
+    val docs5k = spark.read.parquet(dir.toString)
+      .repartition(spark.sparkContext.defaultParallelism)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val lsh = pairSet(Dedup.minhashNearDups(docs5k, "doc_id", "text",
+      shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs5k, "doc_id", "text",
+      groupCols = Seq.empty, shingleK = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    assert(lsh == exact,
+      s"LSH recall broke at sf0.1: missing=${exact.diff(lsh).take(3)} " +
+        s"extra=${lsh.diff(exact).take(3)}")
+    assert(exact.nonEmpty)
+  }
+
   test("cosine similarity HOF: exact on known vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
@@ -189,6 +210,38 @@ class OpsSpec extends AnyFunSuite {
     val narrow = Similarity.ivfTopK(e, q, "vec_id", "embedding", 3,
       nlist = 8, nprobe = 2)
     assert(narrow.count() > 0 && narrow.count() <= brute.size)
+  }
+
+  test("IVF top-k at realistic nlist=256/dim=64: plan stays O(1) in nlist " +
+    "(single typedlit centroid literal, no 64KB codegen blowup), results " +
+    "match brute force when probing all lists") {
+    val e = spark.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => sin(col("id") * 0.7 + i.cast("double")).cast("float")).as("embedding"))
+    val q = e.filter($"vec_id" >= 500 && $"vec_id" < 503)
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 3,
+      nlist = 256, nprobe = 256)
+    // the centroids must be ONE literal node, not nlist×dim literal exprs:
+    // a per-centroid-literal plan at 256×64 carries ≥16k expression nodes
+    // whose generated code overflows the JVM 64KB codegen method limit.
+    // Count expression NODES (the literal's printed VALUE is long either
+    // way — that costs nothing at runtime)
+    val nExprNodes = ivf.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect { case _ => 1 }.size).sum
+    }.sum
+    assert(nExprNodes < 2000, s"plan is not O(1) in nlist: $nExprNodes nodes")
+    val ivfSel = ivf.select("query_id", "neighbor_id", "rank")
+    val got = ivfSel.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    // NOTE: HOF expressions (transform/aggregate/zip_with) are
+    // CodegenFallback in Spark, so this query has no WholeStageCodegen
+    // span with EITHER centroid mechanism — what the typedlit fix removes
+    // is the nlist×dim expression-node blowup (node-count assertion above)
+    // whose generated projection code overflowed the 64KB method limit.
   }
 
   test("langid guess on marker-bearing texts") {
