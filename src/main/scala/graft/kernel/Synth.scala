@@ -217,12 +217,17 @@ object Synth {
         val d = pdfScanned(rng, 5 + rng.nextInt(8))
         (PdfPayload.serialize(d), "")
       case 9 =>
-        rng.nextInt(4) match {
+        rng.nextInt(5) match {
           case 0 => (null: Array[Byte], "") // missing payload → error row
           case 1 => (Array.empty[Byte], "") // empty payload → error row
           case 2 => // truncated pdf payload → kernel error fallback
             val d = PdfPayload.serialize(pdfMixed(rng, 6))
             (d.take(d.length / 2), "")
+          case 3 => // encrypted real PDF → distinct error row naming
+            // encryption (X4 contract, PdfEncryptedException)
+            val d = pdfText(rng, 4)
+            (PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
+              encrypted = true), "")
           case _ =>
             val d = pdfMixed(rng, 6 + rng.nextInt(6))
             (PdfPayload.serialize(d), "")

@@ -55,6 +55,9 @@ class PipelineSpec extends AnyFunSuite {
     val errs = docs.filter(col("doc_kind") === "error")
     assert(errs.count() > 0)
     assert(errs.filter(col("status") =!= "true").count() == 0)
+    // encrypted PDFs surface as a DISTINCT error reason, not a generic
+    // degradation (X4 contract)
+    assert(errs.filter(col("error").contains("encrypted PDF")).count() > 0)
 
     // lineage: one row per bucket present in output; counters add up
     val lineage = ExtractJob.readLineage(spark, out)
