@@ -99,6 +99,7 @@ object PdfParse {
   private val PatColumns = Py.re("""/Columns\s+(\d+)""")
   private val PatColors = Py.re("""/Colors\s+(\d+)""")
   private val PatBpc = Py.re("""/BitsPerComponent\s+(\d+)""")
+  private val PatType0 = Py.re("""/Subtype\s*/Type0""")
 
   def isRealPdf(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= Header.length &&
@@ -259,6 +260,8 @@ object PdfParse {
             firstInBt = true
             lineX = 0.0; lineY = 0.0; x = 0.0; y = 0.0
             i += 2
+          case 'B' if isInlineImageStart(s, i) =>
+            i = skipInlineImage(s, i)
           case 'T' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
             newLine(0, -leading); i += 2
           case 'T' if i + 1 < s.length &&
@@ -330,9 +333,16 @@ object PdfParse {
   private[kernel] final case class FontCMap(
       bytesPerCode: Int, map: Map[Int, String])
 
-  /** Resolve the /Font dict of a resources dict into per-name CMaps. Fonts
-    * without a ToUnicode stream decode byte-identically (standard Latin
-    * encodings), which is correct for the simple-font subset. */
+  /** Resolve the /Font dict of a resources dict into per-name CMaps.
+    * Simple fonts without a ToUnicode stream decode byte-identically
+    * (standard Latin encodings) — correct for that subset. COMPOSITE
+    * (/Subtype /Type0, CID) fonts without ToUnicode are UNDECODABLE
+    * without the embedded font program: they are marked with an empty
+    * 2-byte CMap so their show strings yield NO text (instead of 1-byte
+    * mojibake that would inflate text_length and misroute the page as
+    * native text) — the page degrades to the needs-OCR path, the same
+    * conservative direction the reference's pipeline takes when the text
+    * layer is absent. */
   private def pageFonts(
       resources: String, objs: Map[Int, PdfObj],
       bytes: Array[Byte]): Map[String, FontCMap] = {
@@ -342,12 +352,18 @@ object PdfParse {
     val out = mutable.Map[String, FontCMap]()
     while (em.find()) {
       val name = em.group(1)
-      for {
-        fontObj <- objs.get(em.group(2).toInt)
-        tuRef <- firstRef(fontObj.body, PatToUnicodeRef)
-        tuObj <- objs.get(tuRef)
-        data <- streamData(tuObj, bytes)
-      } out(name) = parseCMap(new String(data, StandardCharsets.ISO_8859_1))
+      objs.get(em.group(2).toInt).foreach { fontObj =>
+        firstRef(fontObj.body, PatToUnicodeRef) match {
+          case Some(tuRef) =>
+            for {
+              tuObj <- objs.get(tuRef)
+              data <- streamData(tuObj, bytes)
+            } out(name) = parseCMap(new String(data, StandardCharsets.ISO_8859_1))
+          case None if PatType0.matcher(fontObj.body).find() =>
+            out(name) = FontCMap(2, Map.empty) // undecodable CID font
+          case None => // simple font: byte-identity decode, no entry
+        }
+      }
     }
     out.toMap
   }
@@ -412,6 +428,8 @@ object PdfParse {
   private def decodeString(rawStr: String, font: Option[FontCMap]): String =
     font match {
       case None => rawStr
+      case Some(f) if f.bytesPerCode == 2 && f.map.isEmpty =>
+        "" // undecodable CID font: degrade (1-byte fonts keep identity)
       case Some(f) if f.bytesPerCode == 1 =>
         val sb = new StringBuilder
         var i = 0
@@ -923,6 +941,8 @@ object PdfParse {
           } catch { case _: Exception => }
         case 'B' if i + 1 < s.length && s.charAt(i + 1) == 'T' =>
           firstPositionInBt = true; i += 2
+        case 'B' if isInlineImageStart(s, i) =>
+          i = skipInlineImage(s, i)
         case 'T' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
           newline(); i += 2
         case 'T' if i + 1 < s.length &&
@@ -951,6 +971,34 @@ object PdfParse {
       }
     }
     sb.toString
+  }
+
+  /** `BI` inline-image operator at `i`? (token-bounded: start of stream or
+    * whitespace/delimiter before, whitespace after `BI`). */
+  private def isInlineImageStart(s: String, i: Int): Boolean =
+    i + 1 < s.length && s.charAt(i + 1) == 'I' &&
+      (i + 2 >= s.length || s.charAt(i + 2).isWhitespace ||
+        s.charAt(i + 2) == '/') &&
+      (i == 0 || s.charAt(i - 1).isWhitespace || s.charAt(i - 1) == '>' ||
+        s.charAt(i - 1) == ']')
+
+  /** Skip an inline image (`BI <dict> ID <binary> EI`): the binary sample
+    * data can contain parens, `Tj`-like sequences and any other byte, so a
+    * text extractor that walks into it garbles output — real readers skip
+    * it, and so do we. The terminating `EI` must be token-bounded;
+    * unterminated data skips to end of stream. Returns the next index. */
+  private def skipInlineImage(s: String, biIdx: Int): Int = {
+    val id = s.indexOf("ID", biIdx + 2)
+    if (id < 0) return s.length
+    var j = id + 3 // ID + the single whitespace byte that follows it
+    while (j + 1 < s.length) {
+      if (s.charAt(j) == 'E' && s.charAt(j + 1) == 'I' &&
+        s.charAt(j - 1).isWhitespace &&
+        (j + 2 >= s.length || s.charAt(j + 2).isWhitespace))
+        return j + 2
+      j += 1
+    }
+    s.length
   }
 
   /** The numeric token immediately preceding the operator at `opIdx`

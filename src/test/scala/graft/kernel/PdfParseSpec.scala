@@ -315,6 +315,37 @@ class PdfParseSpec extends AnyFunSuite {
     assert(doc.pages(0).textLayer == "")
   }
 
+  test("CID/Type0 font WITHOUT ToUnicode degrades to an empty text layer " +
+    "(needs-OCR path), never 1-byte mojibake") {
+    val content = "BT /F1 12 Tf 72 720 Td <00480065006C006C006F> Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NoMap " +
+      "/Encoding /Identity-H >>\nendobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val doc = PdfParse.parse(pdf)
+    assert(doc.pages(0).textLayer == "",
+      s"undecodable CID text must yield nothing, got '${doc.pages(0).textLayer}'")
+    // end-to-end: the page flows down the OCR path, the conservative
+    // direction, instead of classifying garbage as native text
+    val d = new Extractor(ProbeConfig()).extract(pdf)
+    assert(d.status == "true" && d.pages == Vector(1))
+  }
+
+  test("inline images (BI … ID <binary> EI) are skipped by BOTH readers: " +
+    "sample bytes with parens/operators cannot garble text") {
+    val ops = ("BI /W 2 /H 2 /BPC 8 /CS /G ID ÿ(fake text) Tj  þ EI\n" +
+      "BT 72 720 Td (real text) Tj ET")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParse.extractTextOps(ops) == "real text")
+    val geom = PdfParse.extractTextGeom(Seq(ops))
+    assert(geom == "real text", s"geom view: $geom")
+  }
+
   test("second reader: geometric reassembly linearizes out-of-order " +
     "emission the cursor reader gets wrong") {
     // emitted bottom line FIRST (Tm y=680), top line second (Tm y=720),
