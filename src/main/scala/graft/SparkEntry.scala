@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data operator suite). EVERY query has an
-  * ANSI-SQL DuckDB oracle (42/42 — zero rows-only checks): engine-specific
+  * ANSI-SQL DuckDB oracle (45/45 — zero rows-only checks): engine-specific
   * values are made oracle-checkable by construction. Kernel 64-bit hashes
   * (minhash/simhash/fingerprints) are re-derived in DuckDB HUGEINT mod-2^64
   * SQL; LSH hyperplanes are MD5-derived so both engines compute them; dot
@@ -505,6 +505,43 @@ object SparkEntry {
         .toDF("doc_id", "n_samples", "rms", "zero_crossings", "duration_ms")
     }),
 
+    // Web-scale URL canonicalization (RFC 3986 normalization subset +
+    // utm-strip + param sort) — row-local Column exprs; the messy input
+    // URLs are synthesized from doc_id identically in both engines
+    "q43_url_canonicalize" -> ((s, dir) => {
+      val messy = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, "?utm_source=feed&b=2&a=1")
+          .when(col("doc_id") % 3 === 1, "?z=9&a=1&utm_campaign=x")
+          .otherwise(""),
+        when(col("doc_id") % 2 === 0, "#frag").otherwise(""))
+      t(s, dir, "documents").select(col("doc_id"), messy.as("url"),
+        graft.ops.WebOps.canonicalizeUrl(messy).as("canonical_url"))
+    }),
+
+    // Deterministic stratified sampling (training-data mixing): keep-rate
+    // per lang stratum via the splitmix64 row hash — replayable under
+    // retry, membership value-checked by the oracle's HUGEINT SQL
+    "q44_stratified_sample" -> ((s, dir) => {
+      graft.ops.ScalePatterns.stratifiedSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 150, "de" -> 600, "fr" -> 600),
+        defaultPerMille = 300)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Dedup endgame: connected components over the minhash near-dup pairs
+    // (min-label propagation; one representative per cluster) — oracle
+    // closes the same pair set with a recursive CTE
+    "q45_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(spread(t(s, dir, "documents")),
+        "doc_id", "text", shingleK = 3, numHashes = 32, numBands = 8,
+        threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("is_representative"))
+    }),
+
     // Classic relational aggregate (map-side combine; exact integer cents)
     "q35_lineitem_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -666,6 +703,37 @@ object SparkEntry {
 
   private def sqlStringList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
+
+  /** CTE chain producing `ver(id_a, id_b, j)` — the exact-Jaccard near-dup
+    * pairs found by prefix filtering (the q23 oracle's pair set, also the
+    * edge set the q45 connected-components oracle closes over). */
+  private def minhashPairsCtes: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN []
+      |         ELSE list_sort(list_distinct(list_transform(
+      |                range(1, len(toks) - 1),
+      |                i -> array_to_string(toks[i:i+2], ' ')))) END AS sh
+      |  FROM tok),
+      |nz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0 WHERE len(sh) > 0),
+      |pref AS (
+      |  SELECT doc_id, sz,
+      |    unnest(sh[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS tok
+      |  FROM nz),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pref a JOIN pref b
+      |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |   AND a.sz * 0.5 <= b.sz AND b.sz * 0.5 <= a.sz),
+      |ver AS (
+      |  SELECT id_a, id_b,
+      |    len(list_intersect(x.sh, y.sh)) * 1.0 /
+      |    len(list_distinct(list_concat(x.sh, y.sh))) AS j
+      |  FROM cand
+      |  JOIN nz x ON x.doc_id = id_a
+      |  JOIN nz y ON y.doc_id = id_b)""".stripMargin
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -916,32 +984,7 @@ object SparkEntry {
     // sf0.1; the naive quadratic oracle on q22 independently validates the
     // prefix principle.
     m += "q23_minhash_lsh" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN []
-        |         ELSE list_sort(list_distinct(list_transform(
-        |                range(1, len(toks) - 1),
-        |                i -> array_to_string(toks[i:i+2], ' ')))) END AS sh
-        |  FROM tok),
-        |nz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0 WHERE len(sh) > 0),
-        |pref AS (
-        |  SELECT doc_id, sz,
-        |    unnest(sh[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS tok
-        |  FROM nz),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM pref a JOIN pref b
-        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |   AND a.sz * 0.5 <= b.sz AND b.sz * 0.5 <= a.sz),
-        |ver AS (
-        |  SELECT id_a, id_b,
-        |    len(list_intersect(x.sh, y.sh)) * 1.0 /
-        |    len(list_distinct(list_concat(x.sh, y.sh))) AS j
-        |  FROM cand
-        |  JOIN nz x ON x.doc_id = id_a
-        |  JOIN nz y ON y.doc_id = id_b)
+      s"""WITH $minhashPairsCtes
         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM ver WHERE j >= 0.5"""
         .stripMargin
 
@@ -1348,6 +1391,78 @@ object SparkEntry {
         |  count(json_extract_string(props, '$.k')) AS k_count,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type""".stripMargin
+
+    // q43: the same messy URLs are synthesized from doc_id in both engines;
+    // canonicalization is replicated with DuckDB's regex/list functions.
+    m += "q43_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Path/' ||
+        |    doc_id ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |         WHEN doc_id % 3 = 1 THEN '?z=9&a=1&utm_campaign=x'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    coalesce(lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+        |    coalesce(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '') AS hostport,
+        |    coalesce(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS rawpath,
+        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+        |  FROM u),
+        |c2 AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(q, '&'),
+        |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '') AS sq
+        |  FROM c)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host || path ||
+        |  CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS canonical_url
+        |FROM c2""".stripMargin
+
+    // q44: sample membership value-checked — the splitmix64 row hash is
+    // re-derived in HUGEINT mod-2^64 SQL and the pmod bucket compared to
+    // the per-stratum quota.
+    m += "q44_stratified_sample" ->
+      s"""WITH h0 AS (
+        |  SELECT doc_id, lang, doc_id::HUGEINT AS h FROM documents),
+        |${mixCtes("s", "h0", "doc_id, lang")},
+        |b AS (SELECT doc_id, lang,
+        |    ((${u64ToSigned("h")} % 1000) + 1000) % 1000 AS bucket
+        |  FROM s5)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 600
+        |                         WHEN 'fr' THEN 600 ELSE 300 END"""
+        .stripMargin
+
+    // q45: transitive closure of the q23 pair set via a recursive CTE —
+    // component = min reachable id, exactly the fixpoint the Spark
+    // min-label propagation converges to.
+    m += "q45_dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, c) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
+        |comp AS (SELECT v AS doc_id, min(c) AS component FROM reach
+        |  GROUP BY v)
+        |SELECT doc_id, component,
+        |  doc_id = component AS is_representative
+        |FROM comp""".stripMargin
 
     m += "q36_validation_errors" ->
       """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,

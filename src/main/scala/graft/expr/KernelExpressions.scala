@@ -56,6 +56,28 @@ case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** splitmix64 finisher over a LONG column — the engine-independent row
+  * hash behind deterministic sampling (ScalePatterns.stratifiedSample):
+  * unlike `rand()` it is replayable under task retry, and unlike
+  * `xxhash64` it is re-derivable in the DuckDB oracle's HUGEINT mod-2^64
+  * SQL (the same mixCtes used by q33). */
+case class Mix64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a bigint argument")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+
+  override def nullSafeEval(input: Any): Any =
+    Hashing.mix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.kernel.Hashing.mix($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64Expr =
+    copy(child = newChild)
+}
+
 object KernelExpressions {
 
   /** Idempotent registration in the session's function registry; the
@@ -66,6 +88,8 @@ object KernelExpressions {
       exprs => SimHash64Expr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_fingerprint64",
       exprs => RollingFingerprintExpr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_mix64",
+      exprs => Mix64Expr(exprs.head), "built-in")
   }
 
   /** Column helpers (register + refer by name — version-stable across the
@@ -78,5 +102,10 @@ object KernelExpressions {
   def fingerprint64(spark: SparkSession, colName: String): Column = {
     register(spark)
     expr(s"graft_fingerprint64($colName)")
+  }
+
+  def mix64(spark: SparkSession, colName: String): Column = {
+    register(spark)
+    expr(s"graft_mix64($colName)")
   }
 }

@@ -35,6 +35,55 @@ object Dedup {
     df.join(reps, Seq(idCol), "left_semi")
   }
 
+  /** Connected components over a near-duplicate PAIR table — the dedup
+    * endgame: pairs become clusters and one representative (the min id)
+    * survives per cluster. Distributed min-label propagation: each round
+    * is one equi-join shuffle (labels onto edge endpoints) plus one
+    * map-side-combining `min` aggregate; labels converge to the minimum
+    * id reachable. Rounds = cluster DIAMETER, which for near-dup clusters
+    * is small (members pairwise-collide in some band, so clusters are
+    * dense — 2–4 rounds in practice); `maxIter` bounds pathological
+    * chains, and alternating small-star/large-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public)
+    * is the known O(log n) upgrade if chain-shaped graphs ever matter.
+    * `localCheckpoint` cuts lineage each round so the plan stays
+    * constant-size across iterations. Convergence is checked with one
+    * scalar aggregate per round (never a data collect).
+    *
+    * Returns (id, component): every vertex of the pair graph with the min
+    * reachable id as its component label — deterministic regardless of
+    * partitioning or iteration count past convergence. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val dirE = pairs.select(
+      col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = dirE.union(dirE.select(col("dst"), col("src")))
+      .distinct().localCheckpoint()
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborCand = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("cand")),
+          Seq("dst"))
+        .select(col("src").as("id"), col("cand"))
+      val updated = labels.select(col("id"), col("component").as("cand"))
+        .union(neighborCand)
+        .groupBy("id").agg(min("cand").as("component"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") < col("prev")).count()
+      labels = updated
+      done = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** k-word shingles of a token array (empty when fewer than k tokens). */
   def wordShingles(tokens: Column, k: Int): Column =
     when(size(tokens) < k, array().cast("array<string>"))

@@ -43,6 +43,32 @@ object ScalePatterns {
     * salt deterministic under whole-partition retry. (Duplicates within a
     * single partition still share a salt, but those are already reduced by
     * map-side combine before the shuffle.) */
+  /** Deterministic stratified sampling for training-data mixing: keep a
+    * row iff `pmod(mix64(id), 1000) < quotaPerMille(stratum)` — e.g.
+    * downsample the over-represented language while keeping all of a
+    * low-resource one. Properties that matter at 10^12 rows:
+    *
+    *   - row-local Column predicate (no shuffle, pushes past the scan's
+    *     other filters);
+    *   - hash-based, not `rand()`: replayable under task retry and
+    *     speculation, stable across runs and partitionings;
+    *   - engine-reproducible: the splitmix64 mixer is re-derived in the
+    *     DuckDB oracle's HUGEINT mod-2^64 SQL (q44), so the sample
+    *     membership itself is value-checked cross-engine;
+    *   - native codegen'd expression (Mix64Expr), not a UDF.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      quotasPerMille: Map[String, Int],
+      defaultPerMille: Int): DataFrame = {
+    val bucket = pmod(
+      graft.expr.KernelExpressions.mix64(df.sparkSession, idCol), lit(1000L))
+    val quota = quotasPerMille.foldLeft(lit(defaultPerMille).cast("long")) {
+      case (acc, (stratum, q)) =>
+        when(col(strataCol) === stratum, lit(q.toLong)).otherwise(acc)
+    }
+    df.filter(bucket < quota)
+  }
+
   def saltedCounts(df: DataFrame, keyCol: String, saltFactor: Int,
       sumCols: Seq[String] = Seq.empty): DataFrame = {
     val salt = pmod(

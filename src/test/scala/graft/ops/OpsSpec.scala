@@ -244,6 +244,63 @@ class OpsSpec extends AnyFunSuite {
     // whose generated projection code overflowed the 64KB method limit.
   }
 
+  test("connected components: min-label propagation finds the exact " +
+    "clusters, incl. a diameter-10 chain (multi-round convergence)") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), // triangle-ish cluster → comp 1
+      (10L, 11L), // pair → comp 10
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L) // cycle → comp 20
+    ) ++ (100L until 110L).map(i => (i, i + 1)) // chain of diameter 10
+    val pairs = edges.toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert((20L to 23L).forall(comp(_) == 20L))
+    assert((100L to 110L).forall(comp(_) == 100L), s"chain: $comp")
+    assert(comp.size == 3 + 2 + 4 + 11)
+    // determinism: a second run produces the identical labeling
+    val again = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == comp)
+  }
+
+  test("url canonicalization: scheme/host case, default ports, utm strip, " +
+    "param sort, fragment drop, empty path") {
+    def canon(u: String): String =
+      Seq(u).toDF("url")
+        .select(WebOps.canonicalizeUrl(col("url")).as("c"))
+        .collect()(0).getString(0)
+    assert(canon("HTTPS://WWW.Example.COM:443/Path/3?utm_source=x&b=2&a=1#f")
+      == "https://www.example.com/Path/3?a=1&b=2")
+    assert(canon("http://Host.org:80/") == "http://host.org/")
+    assert(canon("http://host.org:8080/x") == "http://host.org:8080/x") // non-default kept
+    assert(canon("https://h.example") == "https://h.example/") // empty path → /
+    assert(canon("https://h.example/p?utm_a=1&utm_b=2") == "https://h.example/p")
+    assert(canon("HTTPS://h.example/CaseKept") == "https://h.example/CaseKept")
+  }
+
+  test("stratified sampling: deterministic membership matching the kernel " +
+    "hash, per-stratum rates near quota") {
+    val df = spark.range(30000).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de")
+        .otherwise("xx").as("lang"))
+    val quotas = Map("en" -> 100, "de" -> 500)
+    val kept = ScalePatterns.stratifiedSample(df, "doc_id", "lang", quotas,
+      defaultPerMille = 250)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // membership is exactly the kernel-hash predicate (replayable, no RNG)
+    kept.foreach { case (id, lang) =>
+      val bucket = ((Hashing.mix(id) % 1000) + 1000) % 1000
+      assert(bucket < quotas.getOrElse(lang, 250), s"row $id/$lang escaped")
+    }
+    val counts = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    // 10k rows per stratum; binomial noise is tiny at these n
+    assert(math.abs(counts("en") - 1000) < 150, s"en=${counts.get("en")}")
+    assert(math.abs(counts("de") - 5000) < 350, s"de=${counts.get("de")}")
+    assert(math.abs(counts("xx") - 2500) < 250, s"xx=${counts.get("xx")}")
+  }
+
   test("langid guess on marker-bearing texts") {
     val df = Seq(
       (1L, "the cat and the dog is here"),
