@@ -44,6 +44,28 @@ object ApiDemo {
     println(s"[api] detectColumn: ${dc.getString(0)} → ${dc.getString(1)} " +
       s"(${dc.getAs[Seq[Int]](2).length} pages, ${dc.getString(4)})")
 
+    // --- training-data operator suite -------------------------------------
+    val docs = Seq(
+      (1L, "the court heard the appeal of the case", "en"),
+      (2L, "the court heard the appeal of the case", "en"), // dup of 1
+      (3L, "the court heard the appeal of this case", "en"), // near-dup
+      (4L, "der hund und die katze ist hier im haus", "de"),
+      (5L, "completely different text about pipelines", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Seq.empty, shingleK = 3, threshold = 0.5)
+    val comps = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => s"${r.getLong(0)}→${r.getLong(1)}").sorted
+    println(s"[api] dedup clusters: ${comps.mkString(" ")}")
+    val canon = docs.select(graft.ops.WebOps.canonicalizeUrl(
+      org.apache.spark.sql.functions.concat_ws("",
+        org.apache.spark.sql.functions.lit("HTTP://Site.ORG:80/d/"),
+        $"doc_id")).as("u")).collect()(0).getString(0)
+    println(s"[api] canonical url: $canon")
+    val sampled = graft.ops.ScalePatterns.stratifiedSample(docs, "doc_id",
+      "lang", Map("en" -> 500), defaultPerMille = 1000).count()
+    println(s"[api] stratified sample kept $sampled of 5")
+
     val in = java.nio.file.Files.createTempDirectory("api_demo_in_").toString
     val out = java.nio.file.Files.createTempDirectory("api_demo_out_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("api_demo_ckpt_").toString
