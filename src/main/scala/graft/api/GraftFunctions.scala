@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
+    // native Catalyst expressions (codegen'd — graft_simhash64,
+    // graft_fingerprint64, graft_mix64) register alongside the UDFs
+    graft.expr.KernelExpressions.register(spark)
     spark.udf.register("graft_quality_score",
       (text: String) => TextQuality.analyze(orEmpty(text)).ocrQualityScore)
     spark.udf.register("graft_text_density",

@@ -373,8 +373,10 @@ class PdfParseSpec extends AnyFunSuite {
     assert(alt.get == proseLines.mkString("\n"))
   }
 
-  test("fuzz: mutated 1.5-style ObjStm bytes never escape the row contract") {
-    val ex = new Extractor(ProbeConfig())
+  test("fuzz: mutated 1.5-style ObjStm bytes never escape the row contract " +
+    "— in BOTH performance and accuracy mode (geometric second reader)") {
+    val fast = new Extractor(ProbeConfig())
+    val acc = new Extractor(ProbeConfig(accuracyMode = true))
     val base = PdfParse.writePdfObjStm(Seq(proseLines, proseLines))
     val rng = new java.util.SplittableRandom(5678L)
     for (trial <- 0 until 100) {
@@ -384,9 +386,11 @@ class PdfParseSpec extends AnyFunSuite {
       }
       val payload =
         if (trial % 5 == 0) mutated.take(1 + rng.nextInt(mutated.length)) else mutated
-      val r = ex.extract(payload)
-      assert(Set("html", "pdf", "error").contains(r.docKind), s"trial $trial")
-      assert(Set("true", "false", "partial").contains(r.status), s"trial $trial")
+      for (ex <- Seq(fast, acc)) {
+        val r = ex.extract(payload)
+        assert(Set("html", "pdf", "error").contains(r.docKind), s"trial $trial")
+        assert(Set("true", "false", "partial").contains(r.status), s"trial $trial")
+      }
     }
   }
 }
