@@ -66,14 +66,7 @@ object Dedup {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val neighborCand = edges
-        .join(labels.select(col("id").as("dst"), col("component").as("cand")),
-          Seq("dst"))
-        .select(col("src").as("id"), col("cand"))
-      val updated = labels.select(col("id"), col("component").as("cand"))
-        .union(neighborCand)
-        .groupBy("id").agg(min("cand").as("component"))
-        .localCheckpoint()
+      val updated = ccRound(edges, labels).localCheckpoint()
       val changed = updated
         .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
         .filter(col("component") < col("prev")).count()
@@ -82,6 +75,19 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** One propagation round: new label(v) = min(label(v), min over
+    * neighbors u of label(u)) — one equi-join on the edge endpoint plus a
+    * map-side-combining min aggregate (plan shape locked in PlanSpec). */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborCand = edges
+      .join(labels.select(col("id").as("dst"), col("component").as("cand")),
+        Seq("dst"))
+      .select(col("src").as("id"), col("cand"))
+    labels.select(col("id"), col("component").as("cand"))
+      .union(neighborCand)
+      .groupBy("id").agg(min("cand").as("component"))
   }
 
   /** k-word shingles of a token array (empty when fewer than k tokens). */

@@ -121,4 +121,36 @@ class PlanSpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.001")
     assert(plan(fq).startsWith("*("), plan(fq).take(400))
   }
+
+  test("stratified sampling is a row-local codegen'd filter on the scan " +
+    "(no Exchange, no typed boundary, Mix64Expr inside codegen)") {
+    val docs = spark.read.parquet(s"/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.ops.ScalePatterns.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 150), defaultPerMille = 300))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("DeserializeToObject"), p.take(800))
+    assert(p.contains("graft_mix64"), p.take(800))
+    assert(p.startsWith("*("), "sampling filter must be codegen'd:\n" + p.take(400))
+  }
+
+  test("url canonicalization is row-local (no Exchange, no typed boundary)") {
+    val docs = spark.read.parquet(s"/root/testdata/sf0.001/documents.parquet")
+    val p = plan(docs.select(
+      graft.ops.WebOps.canonicalizeUrl(concat(lit("https://h.example/"),
+        col("doc_id").cast("string"))).as("u")))
+    assert(!p.contains("Exchange") && !p.contains("DeserializeToObject"),
+      p.take(800))
+  }
+
+  test("connected-components round: label join keyed on the edge endpoint, " +
+    "min agg has a partial (map-side) phase") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = edges.select(col("src").as("id"))
+      .withColumn("component", col("id"))
+    val p = plan(Dedup.ccRound(edges, labels))
+    assert(p.contains("partial_min"), // map-side combine on the min agg
+      p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+  }
 }
