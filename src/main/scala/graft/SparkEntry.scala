@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data operator suite). EVERY query has an
-  * ANSI-SQL DuckDB oracle (45/45 — zero rows-only checks): engine-specific
+  * ANSI-SQL DuckDB oracle (46/46 — zero rows-only checks): engine-specific
   * values are made oracle-checkable by construction. Kernel 64-bit hashes
   * (minhash/simhash/fingerprints) are re-derived in DuckDB HUGEINT mod-2^64
   * SQL; LSH hyperplanes are MD5-derived so both engines compute them; dot
@@ -540,6 +540,20 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"),
           (col("id") === col("component")).as("is_representative"))
+    }),
+
+    // PII scrubbing (emails / IPv4 / intl phone → placeholder tokens) —
+    // PII-bearing text is synthesized from doc_id identically in both
+    // engines, so the oracle checks the masking itself
+    "q46_pii_scrub" -> ((s, dir) => {
+      val withPii = concat(
+        lit("Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or admin@host"), (col("doc_id") % 5).cast("string"),
+        lit(".org from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or call +4915112345"), (col("doc_id") % 100).cast("string"),
+        lit(" today. "), col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.scrubPii(withPii).as("scrubbed"))
     }),
 
     // Classic relational aggregate (map-side combine; exact integer cents)
@@ -1463,6 +1477,26 @@ object SparkEntry {
         |SELECT doc_id, component,
         |  doc_id = component AS is_representative
         |FROM comp""".stripMargin
+
+    // q46: same synthesized PII text, same RE2 regexes with the 'g'
+    // (global) flag — DuckDB replaces only the first match otherwise.
+    m += "q46_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'Contact user' || doc_id || '@example.com or admin@host' ||
+        |    (doc_id % 5) || '.org from 10.0.' || (doc_id % 256) ||
+        |    '.7 or call +4915112345' || (doc_id % 100) || ' today. ' ||
+        |    text AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM p""".stripMargin
 
     m += "q36_validation_errors" ->
       """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,

@@ -60,6 +60,21 @@ object TextOps {
     least(least(stopRatio, lit(0.5)) + lenScore + digitScore, lit(1.0))
   }
 
+  /** PII scrubbing for training corpora: mask emails, IPv4 addresses and
+    * international-format phone numbers with typed placeholder tokens.
+    * A chain of codegen'd `regexp_replace` (row-local, no UDF); the
+    * patterns avoid lookaround so they are portable to RE2-based engines
+    * (the DuckDB oracle runs the same regexes with the 'g' flag). Order
+    * matters: emails first (an email's host part must not be half-eaten
+    * by another rule), then IPs, then phones. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+\\d{7,15}\\b", "<PHONE>")
+  }
+
   /** Full reference-semantics quality metrics via the kernel (Dataset map —
     * used when byte-identical F1–F7 values are required on a text column). */
   def kernelQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -301,6 +301,20 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(counts("xx") - 2500) < 250, s"xx=${counts.get("xx")}")
   }
 
+  test("pii scrub: emails, IPv4s and intl phones masked; near-misses kept") {
+    def scrub(s: String): String =
+      Seq(s).toDF("t").select(TextOps.scrubPii(col("t")).as("s"))
+        .collect()(0).getString(0)
+    assert(scrub("mail a.b+c@ex.co now") == "mail <EMAIL> now")
+    assert(scrub("ip 192.168.0.1 end") == "ip <IP> end")
+    assert(scrub("call +491511234567 pls") == "call <PHONE> pls")
+    assert(scrub("two u@ex.org v@ex.org") == "two <EMAIL> <EMAIL>")
+    // near-misses must survive: no TLD, version strings, short digit runs
+    assert(scrub("x@y stays") == "x@y stays")
+    assert(scrub("v1.2.3 stays") == "v1.2.3 stays")
+    assert(scrub("+123 stays") == "+123 stays")
+  }
+
   test("langid guess on marker-bearing texts") {
     val df = Seq(
       (1L, "the cat and the dog is here"),
