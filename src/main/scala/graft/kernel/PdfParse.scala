@@ -100,6 +100,8 @@ object PdfParse {
   private val PatColors = Py.re("""/Colors\s+(\d+)""")
   private val PatBpc = Py.re("""/BitsPerComponent\s+(\d+)""")
   private val PatType0 = Py.re("""/Subtype\s*/Type0""")
+  private val PatLen = Py.re("""/Length\s+(\d+)""")
+  private val PatLenIndirectTail = Py.re("""\s+\d+\s+R""")
 
   def isRealPdf(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= Header.length &&
@@ -157,8 +159,9 @@ object PdfParse {
       val alt =
         if (needAlt) {
           val formStreams = leaf.resources
-            .map(formXObjectStreams(_, objs, bytes)).getOrElse(Vector.empty)
-          Some(extractTextGeom(streams ++ formStreams, fonts))
+            .map(formXObjectStreams(_, objs, bytes, fonts))
+            .getOrElse(Vector.empty)
+          Some(extractTextGeomF(streams.map((_, fonts)) ++ formStreams))
         } else None
       val images = leaf.resources.map(xobjectImages(_, objs)).getOrElse(Vector.empty)
       PdfPage(w, h, text, altTextLayer = alt, images)
@@ -167,23 +170,32 @@ object PdfParse {
   }
 
   /** Decoded content streams of Form XObjects reachable from a resources
-    * dict (recursive, cycle-protected) — the standard place real readers
-    * diverge: the cursor-order primary only reads page content streams, so
-    * text drawn via `/Fm0 Do` is invisible to it. */
+    * dict (recursive, cycle-protected), each paired with its EFFECTIVE
+    * font map — the form's own /Resources fonts layered over the
+    * inherited page fonts, so a form-local Type0-without-ToUnicode font
+    * still hits the undecodable-CID degrade instead of decoding as 1-byte
+    * mojibake. This is the standard place real readers diverge: the
+    * cursor-order primary only reads page content streams, so text drawn
+    * via `/Fm0 Do` is invisible to it. */
   private def formXObjectStreams(
       resources: String, objs: Map[Int, PdfObj], bytes: Array[Byte],
-      visited: mutable.Set[Int] = mutable.Set.empty): Vector[Array[Byte]] = {
+      inheritedFonts: Map[String, FontCMap],
+      visited: mutable.Set[Int] = mutable.Set.empty)
+      : Vector[(Array[Byte], Map[String, FontCMap])] = {
     val m = PatXObjDict.matcher(resources)
     if (!m.find()) return Vector.empty
     val rm = PatRef.matcher(m.group(1))
-    val out = Vector.newBuilder[Array[Byte]]
+    val out = Vector.newBuilder[(Array[Byte], Map[String, FontCMap])]
     while (rm.find()) {
       val n = rm.group(1).toInt
       if (visited.add(n)) objs.get(n).foreach { o =>
         if (PatSubForm.matcher(o.body).find()) {
-          streamData(o, bytes).foreach(out += _)
-          resolveResources(o.body, objs)
-            .foreach(r => out ++= formXObjectStreams(r, objs, bytes, visited))
+          val formRes = resolveResources(o.body, objs)
+          val effective = inheritedFonts ++
+            formRes.map(pageFonts(_, objs, bytes)).getOrElse(Map.empty)
+          streamData(o, bytes).foreach(d => out += ((d, effective)))
+          formRes.foreach(r =>
+            out ++= formXObjectStreams(r, objs, bytes, effective, visited))
         }
       }
     }
@@ -202,10 +214,16 @@ object PdfParse {
     * reader never visits. */
   private[kernel] def extractTextGeom(
       streams: Seq[Array[Byte]],
-      fonts: Map[String, FontCMap] = Map.empty): String = {
+      fonts: Map[String, FontCMap] = Map.empty): String =
+    extractTextGeomF(streams.map((_, fonts)))
+
+  /** Per-stream font maps variant: form XObjects carry their own
+    * /Resources fonts layered over the page's. */
+  private[kernel] def extractTextGeomF(
+      streams: Seq[(Array[Byte], Map[String, FontCMap])]): String = {
     final case class Run(y: Double, x: Double, endX: Double, text: String)
     val runs = mutable.ArrayBuffer[Run]()
-    streams.foreach { data =>
+    streams.foreach { case (data, fonts) =>
       val s = new String(data, StandardCharsets.ISO_8859_1)
       var i = 0
       var lineX = 0.0; var lineY = 0.0 // start of current text line
@@ -216,16 +234,30 @@ object PdfParse {
       var bracketDepth = 0
       var lastName = ""
       var currentFont: Option[FontCMap] = None
+      var lastShowRun = -1 // runs index of the most recent show string
       def show(raw: String): Unit = {
         val dec = decodeString(raw, currentFont)
         if (dec.nonEmpty) {
           val adv = dec.length * fontSize * 0.5 // nominal glyph advance
           runs += Run(y, x, x + adv, dec)
+          lastShowRun = runs.length - 1
           x += adv
         }
       }
       def newLine(dx: Double, dy: Double): Unit = {
         lineX += dx; lineY += dy; x = lineX; y = lineY
+      }
+      // PDF ' and " semantics are move-to-next-line THEN show, but in the
+      // byte stream the operand STRING precedes the operator — so the run
+      // was already recorded at the previous line's position; relocate it.
+      def quoteOp(): Unit = {
+        newLine(0, -leading)
+        if (lastShowRun >= 0 && lastShowRun == runs.length - 1) {
+          val r = runs(lastShowRun)
+          val width = r.endX - r.x
+          runs(lastShowRun) = Run(y, x, x + width, r.text)
+          x += width
+        }
       }
       while (i < s.length) {
         s.charAt(i) match {
@@ -284,8 +316,8 @@ object PdfParse {
             }
             firstInBt = false
             i += 2
-          case '\'' =>
-            newLine(0, -leading); i += 1
+          case '\'' | '"' =>
+            quoteOp(); i += 1
           case _ => i += 1
         }
       }
@@ -511,11 +543,13 @@ object PdfParse {
     * ignored — last definition wins, like incremental-update semantics).
     *
     * Stream-payload-aware: when an object is a stream object, the payload
-    * byte range is located immediately (`stream`…`endstream`) and the
-    * scanner JUMPS past it — so binary payload bytes that happen to contain
-    * `N 0 obj` / `endobj` sequences can neither fabricate phantom objects
-    * nor truncate real ones, and dict regexes never run over payload
-    * bytes. */
+    * byte range is framed by the dict's DIRECT `/Length` when present and
+    * consistent (so payload bytes containing `endstream` cannot truncate
+    * the stream), with an `endstream` scan as the fallback for indirect
+    * or missing lengths — and the scanner JUMPS past the payload either
+    * way, so binary payload bytes that happen to contain `N 0 obj` /
+    * `endobj` sequences cannot fabricate phantom objects, and dict
+    * regexes never run over payload bytes. */
   private def scanObjects(raw: String): Map[Int, PdfObj] = {
     val m = PatObj.matcher(raw)
     val out = mutable.Map[Int, PdfObj]()
@@ -527,21 +561,31 @@ object PdfParse {
         val e0 = raw.indexOf("endobj", bodyStart)
         val s0 = streamKeywordAt(raw, bodyStart, e0)
         if (s0 >= 0) {
+          val dict = raw.substring(bodyStart, s0)
           var dataStart = s0 + "stream".length
           if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
           if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
-          val dataEnd = raw.indexOf("endstream", dataStart)
-          if (dataEnd >= 0) {
-            var trimmedEnd = dataEnd
-            if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\n') trimmedEnd -= 1
-            if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\r') trimmedEnd -= 1
-            out(num) = PdfObj(raw.substring(bodyStart, s0), bodyStart,
-              Some((dataStart, trimmedEnd)))
-            skipUntil = dataEnd + "endstream".length
-          } else {
-            // truncated stream: keep the dict, payload unusable
-            out(num) = PdfObj(raw.substring(bodyStart, s0), bodyStart, None)
-            skipUntil = dataStart
+          // exact framing via direct /Length, validated against the bytes
+          val exactEnd = directLength(dict)
+            .map(dataStart + _)
+            .filter(end => end <= raw.length && endstreamFollows(raw, end))
+          exactEnd match {
+            case Some(end) =>
+              out(num) = PdfObj(dict, bodyStart, Some((dataStart, end)))
+              skipUntil = raw.indexOf("endstream", end) + "endstream".length
+            case None =>
+              val dataEnd = raw.indexOf("endstream", dataStart)
+              if (dataEnd >= 0) {
+                var trimmedEnd = dataEnd
+                if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\n') trimmedEnd -= 1
+                if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\r') trimmedEnd -= 1
+                out(num) = PdfObj(dict, bodyStart, Some((dataStart, trimmedEnd)))
+                skipUntil = dataEnd + "endstream".length
+              } else {
+                // truncated stream: keep the dict, payload unusable
+                out(num) = PdfObj(dict, bodyStart, None)
+                skipUntil = dataStart
+              }
           }
         } else if (e0 >= 0) {
           out(num) = PdfObj(raw.substring(bodyStart, e0), bodyStart, None)
@@ -549,6 +593,25 @@ object PdfParse {
       }
     }
     out.toMap
+  }
+
+  /** The dict's `/Length` when it is a DIRECT integer (None for the
+    * indirect `/Length N 0 R` form, which this scan cannot resolve yet). */
+  private def directLength(dict: String): Option[Int] = {
+    val m = PatLen.matcher(dict)
+    if (!m.find()) return None
+    val tail = PatLenIndirectTail.matcher(dict)
+    tail.region(m.end(), dict.length)
+    if (tail.lookingAt()) None // indirect reference
+    else try Some(m.group(1).toInt) catch { case _: Exception => None }
+  }
+
+  /** Does `endstream` follow at `pos`, allowing the spec's optional EOL? */
+  private def endstreamFollows(raw: String, pos: Int): Boolean = {
+    var j = pos
+    if (j < raw.length && raw.charAt(j) == '\r') j += 1
+    if (j < raw.length && raw.charAt(j) == '\n') j += 1
+    raw.startsWith("endstream", j)
   }
 
   /** Index of this object's `stream` KEYWORD (not part of a name or of
@@ -617,13 +680,32 @@ object PdfParse {
   private def isEncrypted(raw: String, objs: Map[Int, PdfObj]): Boolean = {
     var i = raw.indexOf("trailer")
     while (i >= 0) {
-      // bounded window (trailer dicts are small but may nest << /ID … >>)
-      val end = math.min(i + 600, raw.length)
-      if (PatEncrypt.matcher(raw.substring(i, end)).find()) return true
+      // walk the FULL balanced trailer dict (may nest << /ID … >> and can
+      // exceed any fixed window — a missed /Encrypt would silently bypass
+      // the X4 encryption contract)
+      val dict = balancedDict(raw, i)
+      if (dict.nonEmpty && PatEncrypt.matcher(dict).find()) return true
       i = raw.indexOf("trailer", i + "trailer".length)
     }
     objs.values.exists(o => PatXRefType.matcher(o.body).find() &&
       PatEncrypt.matcher(o.body).find())
+  }
+
+  /** The balanced `<< … >>` dict starting at the first `<<` at/after
+    * `from` ("" when unbalanced/absent). */
+  private def balancedDict(raw: String, from: Int): String = {
+    val start = raw.indexOf("<<", from)
+    if (start < 0) return ""
+    var depth = 0
+    var j = start
+    while (j + 1 < raw.length) {
+      if (raw.charAt(j) == '<' && raw.charAt(j + 1) == '<') { depth += 1; j += 2 }
+      else if (raw.charAt(j) == '>' && raw.charAt(j + 1) == '>') {
+        depth -= 1; j += 2
+        if (depth == 0) return raw.substring(start, j)
+      } else j += 1
+    }
+    ""
   }
 
   private def isPageObject(body: String): Boolean =
@@ -907,18 +989,40 @@ object PdfParse {
     var bracketDepth = 0
     var lastName = ""
     var currentFont: Option[FontCMap] = None
+    var lastShowStart = -1 // sb offset of the most recent show string
+    var lastShowEnd = -1
     def newline(): Unit = {
       if (lineOpen) { sb.append('\n'); lineOpen = false }
+    }
+    def show(decoded: String): Unit = {
+      lastShowStart = sb.length
+      sb.append(decoded)
+      lastShowEnd = sb.length
+      lineOpen = true
+    }
+    // PDF ' and " semantics are move-to-next-line THEN show, but the
+    // operand string PRECEDES the operator in the byte stream — so the
+    // string was already appended to the current line; break the line
+    // BEFORE it (only when it is still the tail of the buffer).
+    def quoteOp(): Unit = {
+      if (lastShowStart > 0 && lastShowEnd > lastShowStart &&
+        sb.length == lastShowEnd && sb.charAt(lastShowStart - 1) != '\n') {
+        sb.insert(lastShowStart, '\n')
+        lineOpen = true
+      }
+      // else: the operand string is already at a line start (or there was
+      // no adjacent string) — the line break the quote implies is already
+      // materialized, so nothing to do
     }
     while (i < s.length) {
       s.charAt(i) match {
         case '(' =>
           val (str, next) = literalString(s, i)
-          sb.append(decodeString(str, currentFont)); lineOpen = true
+          show(decodeString(str, currentFont))
           i = next
         case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
           val (str, next) = hexString(s, i)
-          sb.append(decodeString(str, currentFont)); lineOpen = true
+          show(decodeString(str, currentFont))
           i = next
         case '/' =>
           val start = i + 1
@@ -965,8 +1069,8 @@ object PdfParse {
           }
           firstPositionInBt = false
           i += 2
-        case '\'' =>
-          newline(); i += 1
+        case '\'' | '"' =>
+          quoteOp(); i += 1
         case _ => i += 1
       }
     }
@@ -1183,7 +1287,7 @@ object PdfParse {
   /** Assemble a PDF 1.5-STYLE real file: the catalog, page-tree node and
     * page dicts live inside a Flate-compressed `/Type /ObjStm` object
     * stream; content streams are regular stream objects; the cross-
-    * reference is a binary `/Type /XRef` stream (W [1 2 1], FlateDecode,
+    * reference is a binary `/Type /XRef` stream (W [1 3 1], FlateDecode,
     * honest type-1/type-2 entries) and there is NO classic xref table or
     * `trailer` keyword — the layout modern writers emit. Exercises ObjStm
     * expansion, the binary-payload phantom guard, and xref-stream

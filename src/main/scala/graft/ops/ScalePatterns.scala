@@ -27,22 +27,6 @@ object ScalePatterns {
       keyCol: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(keyCol))
 
-  /** Two-phase salted aggregation for skewed grouping keys (the hot-host
-    * case): phase 1 aggregates on (key, salt) — the hot key's rows spread
-    * over `saltFactor` reducers — phase 2 merges the partials per key.
-    * Generalizes to any algebraic aggregate; count/sum provided.
-    *
-    * The salt mixes a content hash of the full row WITH the partition id,
-    * NOT monotonically_increasing_id: a retried/speculated task re-reads
-    * the same partition (same id, same rows) and re-hashes to the same
-    * salts, so phase-1 partials are replayable — identical across runs
-    * (asserted in ScalePatternsSpec). The partition-id term matters for
-    * duplicate-heavy hot keys: a content hash alone maps identical rows to
-    * ONE salt, collapsing the very case salting targets; mixing the
-    * partition id spreads cross-partition duplicates while keeping the
-    * salt deterministic under whole-partition retry. (Duplicates within a
-    * single partition still share a salt, but those are already reduced by
-    * map-side combine before the shuffle.) */
   /** Deterministic stratified sampling for training-data mixing: keep a
     * row iff `pmod(mix64(id), 1000) < quotaPerMille(stratum)` — e.g.
     * downsample the over-represented language while keeping all of a
@@ -69,6 +53,22 @@ object ScalePatterns {
     df.filter(bucket < quota)
   }
 
+  /** Two-phase salted aggregation for skewed grouping keys (the hot-host
+    * case): phase 1 aggregates on (key, salt) — the hot key's rows spread
+    * over `saltFactor` reducers — phase 2 merges the partials per key.
+    * Generalizes to any algebraic aggregate; count/sum provided.
+    *
+    * The salt mixes a content hash of the full row WITH the partition id,
+    * NOT monotonically_increasing_id: a retried/speculated task re-reads
+    * the same partition (same id, same rows) and re-hashes to the same
+    * salts, so phase-1 partials are replayable — identical across runs
+    * (asserted in ScalePatternsSpec). The partition-id term matters for
+    * duplicate-heavy hot keys: a content hash alone maps identical rows to
+    * ONE salt, collapsing the very case salting targets; mixing the
+    * partition id spreads cross-partition duplicates while keeping the
+    * salt deterministic under whole-partition retry. (Duplicates within a
+    * single partition still share a salt, but those are already reduced by
+    * map-side combine before the shuffle.) */
   def saltedCounts(df: DataFrame, keyCol: String, saltFactor: Int,
       sumCols: Seq[String] = Seq.empty): DataFrame = {
     val salt = pmod(

@@ -21,8 +21,9 @@ object WebOps {
     *     `?a=1&b=2` ≡ `?b=2&a=1` for dedup purposes).
     *
     * Path case and non-utm params are preserved (paths ARE case-sensitive).
-    * Malformed URLs (no scheme) pass through with only the fragment/query
-    * handling applied to whatever matches. */
+    * Scheme-less / malformed URLs pass through UNCHANGED except for the
+    * fragment drop — never collapsed into a shared canonical form, so
+    * URL-level dedup cannot merge distinct malformed URLs. */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
@@ -35,7 +36,8 @@ object WebOps {
     val params = filter(split(query, "&"),
       p => !(p.startsWith("utm_") || p === ""))
     val sortedQuery = array_join(array_sort(params), "&")
-    concat(scheme, lit("://"), host, path,
-      when(sortedQuery === "", lit("")).otherwise(concat(lit("?"), sortedQuery)))
+    when(scheme === "", regexp_replace(url, "#.*$", ""))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(sortedQuery === "", lit("")).otherwise(concat(lit("?"), sortedQuery))))
   }
 }

@@ -346,6 +346,70 @@ class PdfParseSpec extends AnyFunSuite {
     assert(geom == "real text", s"geom view: $geom")
   }
 
+  test("quote operator: PDF ' is move-to-next-line THEN show — the operand " +
+    "string lands on the NEW line in BOTH readers") {
+    val ops = "BT 72 720 Td (Header) Tj (Body line) ' ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParse.extractTextOps(ops) == "Header\nBody line")
+    assert(PdfParse.extractTextGeom(Seq(ops)) == "Header\nBody line")
+    // bare quote directly after Td-positioned show; and " behaves like '
+    val ops2 = "BT 72 720 Td (One) ' (Two) \" ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParse.extractTextOps(ops2) == "One\nTwo")
+  }
+
+  test("form XObject with its OWN undecodable CID font degrades to empty " +
+    "alt text (form-local /Resources fonts are honored)") {
+    val formOps = "BT /F1 12 Tf 72 720 Td <00480065006C006C006F> Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /XObject << /Fm0 5 0 R >> >> >>\nendobj\n" +
+      "4 0 obj\n<< /Length 11 >>\nstream\nq /Fm0 Do Q\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 6 0 R >> >> " +
+      s"/Length ${formOps.length} >>\nstream\n$formOps\nendstream\nendobj\n" +
+      "6 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NoMap " +
+      "/Encoding /Identity-H >>\nendobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val doc = PdfParse.parse(pdf, needAlt = true)
+    assert(doc.pages(0).textLayer == "")
+    assert(doc.pages(0).altTextLayer == Some(""),
+      s"form-local CID font must degrade, got ${doc.pages(0).altTextLayer}")
+  }
+
+  test("stream payloads containing 'endstream' are framed by the direct " +
+    "/Length — no truncation, no phantom re-scan") {
+    val payload = "BT (before) Tj ET endstream trap 999 0 obj " +
+      "<< /Type /Page >> endobj BT (after) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${payload.length} >>\nstream\n$payload\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val doc = PdfParse.parse(pdf)
+    assert(doc.pages.length == 1, "no phantom page from the payload")
+    assert(doc.pages(0).textLayer.contains("before") &&
+      doc.pages(0).textLayer.contains("after"),
+      s"payload truncated: '${doc.pages(0).textLayer}'")
+  }
+
+  test("encrypted detection survives a trailer with a large /ID before " +
+    "/Encrypt (no fixed-window miss)") {
+    val bigId = "D" * 900
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>\nendobj\n" +
+      s"trailer\n<< /Size 4 /Root 1 0 R /ID [<$bigId> <$bigId>] " +
+      "/Encrypt 9 0 R >>\nstartxref\n0\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    intercept[PdfEncryptedException](PdfParse.parse(pdf))
+  }
+
   test("second reader: geometric reassembly linearizes out-of-order " +
     "emission the cursor reader gets wrong") {
     // emitted bottom line FIRST (Tm y=680), top line second (Tm y=720),

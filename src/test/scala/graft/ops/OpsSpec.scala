@@ -278,6 +278,12 @@ class OpsSpec extends AnyFunSuite {
     assert(canon("https://h.example") == "https://h.example/") // empty path → /
     assert(canon("https://h.example/p?utm_a=1&utm_b=2") == "https://h.example/p")
     assert(canon("HTTPS://h.example/CaseKept") == "https://h.example/CaseKept")
+    // scheme-less / malformed inputs must NOT collapse into one canonical
+    // form (URL-level dedup would merge distinct documents) — they pass
+    // through with only the fragment dropped
+    assert(canon("example.com/a?x=1") == "example.com/a?x=1")
+    assert(canon("other.org/b#frag") == "other.org/b")
+    assert(canon("not a url at all") == "not a url at all")
   }
 
   test("stratified sampling: deterministic membership matching the kernel " +
