@@ -104,19 +104,27 @@ object Html {
           while (i < n && isNameChar(html.charAt(i))) i += 1
           val name = html.substring(nameStart, i).toLowerCase
           var selfClosing = false
-          // skip attributes, honoring quotes
+          // skip attributes, honoring quotes — but a quote only OPENS a
+          // quoted value right after '=' (like the HTML5 before-attribute-
+          // value state); a stray quote inside an unquoted value (alt=don't)
+          // must not swallow the rest of the document
           var done = false
+          var prevNonWs = ' '
           while (i < n && !done) {
             val a = html.charAt(i)
-            if (a == '"' || a == '\'') {
+            if ((a == '"' || a == '\'') && prevNonWs == '=') {
               i += 1
               while (i < n && html.charAt(i) != a) i += 1
               if (i < n) i += 1
+              prevNonWs = a
             } else if (a == '>') {
               selfClosing = i > tagStart && html.charAt(i - 1) == '/'
               i += 1
               done = true
-            } else i += 1
+            } else {
+              if (!a.isWhitespace) prevNonWs = a
+              i += 1
+            }
           }
           events += StartTag(name, selfClosing || voidTags.contains(name), tagStart, i)
           if (rawText.contains(name) && !selfClosing) {
@@ -261,7 +269,10 @@ object Html {
         if (blockTags.contains(name)) flushBlock()
         if (!selfClosing) {
           if (dropSubtree.contains(name)) dropDepth += 1
-          if (boilerTags.contains(name)) { boilerDepth += 1; blockBoiler = blockBoiler || words == 0 }
+          // every boilerTag is also a blockTag, so flushBlock() above has
+          // already reset the block state — the unconditional mark below
+          // covers the new block
+          if (boilerTags.contains(name)) boilerDepth += 1
           if (name == "a") anchorDepth += 1
           if (name == "title") inTitle = true
         }

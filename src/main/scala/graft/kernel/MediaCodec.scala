@@ -101,9 +101,10 @@ object MediaCodec {
     while (o + 8 <= bytes.length) {
       val id = new String(bytes.slice(o, o + 4), StandardCharsets.US_ASCII)
       val len = rdLe32(bytes, o + 4)
+      if (len < 0 || len > bytes.length) return Array.empty // malformed length
       if (id == "data") {
         val end = math.min(o + 8 + len, bytes.length)
-        val n = (end - (o + 8)) / 2
+        val n = math.max(0, (end - (o + 8)) / 2)
         return Array.tabulate(n) { k =>
           val v = rdLe16(bytes, o + 8 + 2 * k)
           if (v >= 0x8000) v - 0x10000 else v
@@ -133,7 +134,8 @@ object MediaCodec {
       k += 1
     }
     AudioFeatures(n, math.sqrt(ss.toDouble / n), zc,
-      n * 1000 / sampleRate)
+      (n.toLong * 1000 / sampleRate).toInt) // Long math: n·1000 overflows
+      // Int past ~2.1M samples (~49 s at 44.1 kHz)
   }
 
   // -------------------------------------------------------------- rendering
@@ -396,10 +398,12 @@ object MediaCodec {
 
   private def parsePng(b: Array[Byte]): MediaMeta = {
     // walk chunks from offset 8 until IHDR (must be first per spec, but walk
-    // defensively)
+    // defensively). Chunk lengths are attacker-controlled: a negative or
+    // oversized length must parse as unknown, never loop or throw.
     var o = 8
     while (o + 8 <= b.length) {
       val len = rdBe32(b, o)
+      if (len < 0 || len > b.length) return MediaMeta("unknown", 0, 0, 0, 0)
       val typ = new String(b.slice(o + 4, o + 8), StandardCharsets.US_ASCII)
       if (typ == "IHDR" && o + 8 + 8 <= b.length)
         return MediaMeta("image/png", rdBe32(b, o + 8), rdBe32(b, o + 12), 1, 0)
@@ -410,13 +414,23 @@ object MediaCodec {
 
   private def parseJpeg(b: Array[Byte]): MediaMeta = {
     var o = 2
-    while (o + 4 <= b.length && (b(o) & 0xFF) == 0xFF) {
-      val marker = b(o + 1) & 0xFF
+    while (o + 1 < b.length && (b(o) & 0xFF) == 0xFF) {
+      // ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a marker
+      var mk = o + 1
+      while (mk < b.length && (b(mk) & 0xFF) == 0xFF) mk += 1
+      if (mk >= b.length) return MediaMeta("unknown", 0, 0, 0, 0)
+      val marker = b(mk) & 0xFF
       if (marker == 0xD9) return MediaMeta("unknown", 0, 0, 0, 0) // EOI before SOF
-      val len = rdBe16(b, o + 2)
-      if (marker >= 0xC0 && marker <= 0xC3 && o + 9 <= b.length)
-        return MediaMeta("image/jpeg", rdBe16(b, o + 7), rdBe16(b, o + 5), 1, 0)
-      o += 2 + len
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        o = mk + 1 // standalone markers carry no length
+      } else {
+        if (mk + 3 > b.length) return MediaMeta("unknown", 0, 0, 0, 0)
+        val len = rdBe16(b, mk + 1)
+        if (len < 2) return MediaMeta("unknown", 0, 0, 0, 0)
+        if (marker >= 0xC0 && marker <= 0xC3 && mk + 8 <= b.length)
+          return MediaMeta("image/jpeg", rdBe16(b, mk + 6), rdBe16(b, mk + 4), 1, 0)
+        o = mk + 1 + len
+      }
     }
     MediaMeta("unknown", 0, 0, 0, 0)
   }
@@ -430,6 +444,7 @@ object MediaCodec {
     while (o + 8 <= b.length) {
       val id = new String(b.slice(o, o + 4), StandardCharsets.US_ASCII)
       val len = rdLe32(b, o + 4)
+      if (len < 0 || len > b.length) return MediaMeta("unknown", 0, 0, 0, 0)
       if (id == "fmt " && o + 24 <= b.length) {
         channels = math.max(1, rdLe16(b, o + 10))
         sampleRate = rdLe32(b, o + 12)
@@ -439,7 +454,7 @@ object MediaCodec {
       }
       o += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
-    if (sampleRate == 0 || dataLen < 0) return MediaMeta("unknown", 0, 0, 0, 0)
+    if (sampleRate <= 0 || dataLen < 0) return MediaMeta("unknown", 0, 0, 0, 0)
     val frames = dataLen / (channels * (bits / 8))
     MediaMeta("audio/wav", 0, 0, frames, sampleRate)
   }

@@ -1139,8 +1139,12 @@ object PdfParse {
               while (k < s.length && n < 3 && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
                 v = v * 8 + (s.charAt(k) - '0'); k += 1; n += 1
               }
-              sb.append(v.toChar); i = k
+              // §7.3.4.2: high-order overflow of \ddd is ignored (mod 256)
+              sb.append((v & 0xFF).toChar); i = k
             case '\n' => i += 2 // line continuation
+            case '\r' => // line continuation: backslash + CR or CRLF
+              i += 2
+              if (i < s.length && s.charAt(i) == '\n') i += 1
             case other => sb.append(other); i += 2
           }
         case '(' => depth += 1; sb.append('('); i += 1

@@ -75,6 +75,9 @@ final class PdfProbe(cfg: ProbeConfig) {
   /** X1 — `_extract_text_optimized` (_detector.py:250-296): strategy
     * dispatch with fallback-on-low-yield (<20 chars) in performance mode. */
   def extractText(page: PdfPage): (String, String) = {
+    // length comparisons are CPython len() = CODE POINTS (the reference
+    // compares len(text) at _detector.py:277-296); UTF-16 .length would
+    // double-count astral chars and flip strategy decisions
     def fitzText = Py.strip(page.textLayer)
     def plumberText = Py.strip(page.altTextLayer.getOrElse(""))
     cfg.textExtractionMethod match {
@@ -82,17 +85,17 @@ final class PdfProbe(cfg: ProbeConfig) {
       case "pdfplumber" => (plumberText, "pdfplumber")
       case "both" =>
         val (f, p) = (fitzText, plumberText)
-        if (f.length > p.length) (f, "fitz") else (p, "pdfplumber")
+        if (Py.len(f) > Py.len(p)) (f, "fitz") else (p, "pdfplumber")
       case _ => // "auto"
         val f = fitzText
         if (cfg.performanceMode) {
-          if (f.length < 20) {
+          if (Py.len(f) < 20) {
             val p = plumberText
-            if (p.length > f.length) (p, "pdfplumber") else (f, "fitz")
+            if (Py.len(p) > Py.len(f)) (p, "pdfplumber") else (f, "fitz")
           } else (f, "fitz")
         } else {
           val p = plumberText
-          if (f.length > p.length) (f, "fitz") else (p, "pdfplumber")
+          if (Py.len(f) > Py.len(p)) (f, "fitz") else (p, "pdfplumber")
         }
     }
   }
@@ -166,8 +169,10 @@ final class PdfProbe(cfg: ProbeConfig) {
     val (pageType, confidence) =
       Classifier.classifyFast(textLength, imageCount, estTextRatio, estImageRatio)
 
-    val preview = // fast preview truncates at 100 (_detector.py:491-493)
-      if (extractedText.length > 100) extractedText.substring(0, 100) + "..."
+    val preview = // fast preview truncates at 100 CODE POINTS like
+      // CPython's text[:100] (_detector.py:491-493) — UTF-16 substring
+      // would cut astral chars mid-surrogate-pair
+      if (textLength > 100) Py.sliceCp(extractedText, 100) + "..."
       else extractedText
 
     PageAnalysis(pageNum, pageType, confidence, estTextRatio, estImageRatio,

@@ -87,7 +87,10 @@ object Synth {
     sb.append("<script>var tracker = 'should never appear';</script>\n")
     sb.append("</head>\n<body>\n<header>\n<h1>Example Site</h1>\n<nav><ul>\n")
     (0 until 6).foreach { i =>
-      sb.append(s"""<li><a href="/${navWords(i % navWords.length).toLowerCase}">${navWords((i + idx.toInt) % navWords.length)}</a></li>\n""")
+      // modulo on Long BEFORE narrowing: idx.toInt goes negative past 2^31
+      // rows and a negative index would kill corpus generation at scale
+      val nav = navWords(((i + idx) % navWords.length).toInt)
+      sb.append(s"""<li><a href="/${navWords(i % navWords.length).toLowerCase}">$nav</a></li>\n""")
     }
     sb.append("</ul></nav>\n</header>\n<div class=\"layout\">\n<aside>\n<ul>\n")
     (0 until 5).foreach { i =>

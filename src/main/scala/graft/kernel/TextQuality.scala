@@ -194,16 +194,11 @@ object TextQuality {
     math.min(score, 1.0)
   }
 
-  /** F6 — `_calculate_text_density` (_analyzer.py:308-324). */
-  def calculateTextDensity(text: String, lines: Array[String]): Double = {
-    if (text.isEmpty || lines.isEmpty) return 0.0
-    val nonEmptyLines = lines.count(l => Py.strip(l).nonEmpty)
-    if (nonEmptyLines == 0) return 0.0
-    val totalWords = Py.countMatches(wordPat, text)
-    val avgWordsPerLine = totalWords.toDouble / nonEmptyLines
-    if (avgWordsPerLine >= 5) math.min(avgWordsPerLine / 15, 1.0)
-    else avgWordsPerLine / 5
-  }
+  /** F6 — `_calculate_text_density` (_analyzer.py:308-324). Delegates to
+    * the shared counts-based body so the pipeline metric and this public
+    * API cannot diverge. */
+  def calculateTextDensity(text: String, lines: Array[String]): Double =
+    textDensityFromCounts(Py.countMatches(wordPat, text), lines, text)
 
   /** F7 — `_analyze_formatting_consistency` (_analyzer.py:327-364). */
   def analyzeFormattingConsistency(text: String, lines: Array[String]): Double = {

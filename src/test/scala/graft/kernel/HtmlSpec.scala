@@ -32,6 +32,20 @@ class HtmlSpec extends AnyFunSuite {
     assert(texts == List("link", " rest"))
   }
 
+  test("tokenizer: stray quote in an UNQUOTED attribute value does not " +
+    "swallow the document (quotes only open values right after '=')") {
+    val html = """<p><img alt=don't src=x.png> visible text</p><p>more</p>"""
+    val ev = Html.tokenize(html).toList
+    val texts = ev.collect { case TextRun(s, e) => html.substring(s, e) }
+    assert(texts.exists(_.contains("visible text")), s"texts=$texts")
+    assert(texts.exists(_.contains("more")), s"texts=$texts")
+    // properly quoted values still honor quotes (incl. '>' inside)
+    val ok = """<img alt="a > don't b"><p>tail</p>"""
+    val tx2 = Html.tokenize(ok).toList
+      .collect { case TextRun(s, e) => ok.substring(s, e) }
+    assert(tx2 == List("tail"))
+  }
+
   test("tokenizer: unclosed tag / bare < are lenient") {
     val ev1 = Html.tokenize("a < b and c")
     assert(ev1.collect { case t: TextRun => t }.nonEmpty)

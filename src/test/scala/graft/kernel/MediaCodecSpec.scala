@@ -158,6 +158,36 @@ class MediaCodecSpec extends AnyFunSuite {
       .kind == "unknown")
   }
 
+  test("hostile chunk lengths never hang or throw (negative / oversized)") {
+    // PNG with a chunk length of 0xFFFFFFF4 (-12): o += 12 + len would
+    // advance by 0 and spin forever without the sanity check
+    val badPng = MediaCodec.encodePng(5, 5).clone()
+    badPng(8) = 0xFF.toByte; badPng(9) = 0xFF.toByte
+    badPng(10) = 0xFF.toByte; badPng(11) = 0xF4.toByte
+    assert(MediaCodec.parse(badPng).kind == "unknown")
+    // WAV with a negative fmt-chunk length
+    val badWav = MediaCodec.encodeWav(8000, 4).clone()
+    badWav(16) = 0xF8.toByte; badWav(17) = 0xFF.toByte
+    badWav(18) = 0xFF.toByte; badWav(19) = 0xFF.toByte
+    assert(MediaCodec.parse(badWav).kind == "unknown")
+    assert(MediaCodec.wavPcmSamples(badWav).isEmpty)
+  }
+
+  test("JPEG fill bytes before markers are legal (ITU T.81 B.1.1.2)") {
+    val b = MediaCodec.encodeJpeg(320, 200)
+    // inject extra 0xFF fill bytes before the APP0 marker
+    val filled = b.take(2) ++ Array(0xFF.toByte, 0xFF.toByte) ++ b.drop(2)
+    val m = MediaCodec.parse(filled)
+    assert(m.kind == "image/jpeg" && m.width == 320 && m.height == 200)
+  }
+
+  test("audio duration uses Long math (no Int overflow past ~2.1M samples)") {
+    val samples = Array.fill(2200000)(100) // 49.9 s at 44.1 kHz
+    val f = MediaCodec.audioFeatures(samples, 44100)
+    assert(f.durationMs == 2200000L * 1000 / 44100)
+    assert(f.durationMs > 0)
+  }
+
   test("synthesize: formulas match the parsed facts for all three kinds") {
     for (id <- 0L until 30L) {
       val b = MediaCodec.synthesize(id)

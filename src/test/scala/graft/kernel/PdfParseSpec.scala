@@ -48,6 +48,12 @@ class PdfParseSpec extends AnyFunSuite {
     // octal + hex string via a hand-built content stream
     val ops = "BT (A\\101\\102) Tj <48454C4C4F> Tj ET".getBytes(StandardCharsets.ISO_8859_1)
     assert(PdfParse.extractTextOps(ops) == "AABHELLO")
+    // §7.3.4.2: octal overflow wraps mod 256 (\777 = 0xFF, not U+01FF)
+    val hi = "BT (x\\777y) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParse.extractTextOps(hi) == "xÿy")
+    // backslash + CR / CRLF are line continuations (nothing emitted)
+    val cont = "BT (ab\\\r\ncd\\\ref) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParse.extractTextOps(cont) == "abcdef")
   }
 
   test("multi-page PDFs parse page-by-page; image XObjects surface") {
