@@ -77,6 +77,20 @@ object Dedup {
     labels
   }
 
+  /** Apply-side of near-dup clustering: drop every row whose id belongs
+    * to a cluster but is not its representative (the min id). One
+    * left-anti equi-join against the non-representative members — the
+    * components table is tiny relative to the corpus (only ids that
+    * appeared in some pair), so the join broadcasts at scale. */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** One propagation round: new label(v) = min(label(v), min over
     * neighbors u of label(u)) — one equi-join on the edge endpoint plus a
     * map-side-combining min aggregate (plan shape locked in PlanSpec). */

@@ -263,6 +263,17 @@ class OpsSpec extends AnyFunSuite {
     val again = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == comp)
+
+    // apply-side: only cluster representatives (and untouched rows) survive
+    val corpus = (0L to 120L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val kept = Dedup.dropNearDuplicates(corpus, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(10L) && !kept.contains(11L))
+    assert(kept.contains(20L) && !(21L to 23L).exists(kept.contains))
+    assert(kept.contains(100L) && !(101L to 110L).exists(kept.contains))
+    assert(kept.contains(50L)) // untouched rows survive
+    assert(kept.size == 121 - (2 + 1 + 3 + 10))
   }
 
   test("url canonicalization: scheme/host case, default ports, utm strip, " +
