@@ -25,6 +25,35 @@ class PipelineSpec extends AnyFunSuite {
 
   private val N = 300L
 
+  test("WARC source: CC-style gzip response records become Page rows and " +
+    "extract end-to-end through the same kernel") {
+    val dir = tmp()
+    val rng = new java.util.SplittableRandom(5)
+    val recs = (0 until 20).map { i =>
+      (Map(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"https://h$i.example/doc/$i",
+        "WARC-Date" -> "2025-01-01T00:00:00Z"),
+        graft.kernel.Warc.httpResponse(
+          graft.kernel.Synth.htmlArticle(rng, i.toLong, 4).getBytes("UTF-8")))
+    } :+ (Map("WARC-Type" -> "request",
+      "WARC-Target-URI" -> "https://h0.example/doc/0"),
+      "GET / HTTP/1.1\r\n\r\n".getBytes("US-ASCII"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.warc.gz"),
+      graft.kernel.Warc.write(recs, gzipPerRecord = true))
+
+    val pages = WarcSource.pages(spark, dir)
+    assert(pages.count() == 20) // request records filtered out
+    val docs = ExtractJob.transform(spark, pages.toDF(), JobConfig(buckets = 4))
+      .collect()
+    assert(docs.length == 20)
+    assert(docs.forall(_.doc_kind == "html"))
+    assert(docs.forall(_.url.startsWith("https://h")))
+    assert(docs.count(_.extracted_text.nonEmpty) == 20)
+    assert(docs.forall(_.warc_ts.getTime == 1735689600000L))
+  }
+
   test("end-to-end: statuses, spans, counters, lineage") {
     val out = tmp()
     val input = SynthSource.pages(spark, N, seed = 42L).toDF()
