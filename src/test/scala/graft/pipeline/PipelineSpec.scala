@@ -54,6 +54,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(docs.forall(_.warc_ts.getTime == 1735689600000L))
   }
 
+  test("WET sink: extraction results round-trip through WARC conversion " +
+    "records (source AND sink in the CC format)") {
+    val dir = tmp()
+    val input = SynthSource.pages(spark, 60L, seed = 9L).toDF()
+    val docs = ExtractJob.transform(spark, input, JobConfig(buckets = 4))
+    WarcSink.writeWet(docs, dir)
+    // read every part file back through the WARC parser
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
+    val recs = files.flatMap(f => graft.kernel.Warc.records(
+      java.nio.file.Files.readAllBytes(f.toPath)).toVector)
+    assert(recs.length == 60)
+    assert(recs.forall(_.warcType == "conversion"))
+    val expected = docs.collect().map(d => d.url -> d.extracted_text).toMap
+    recs.foreach { r =>
+      val got = new String(r.httpPayload, "UTF-8")
+      assert(expected(r.targetUri) == got, s"text mismatch for ${r.targetUri}")
+    }
+  }
+
   test("end-to-end: statuses, spans, counters, lineage") {
     val out = tmp()
     val input = SynthSource.pages(spark, N, seed = 42L).toDF()
