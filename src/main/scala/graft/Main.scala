@@ -47,10 +47,24 @@ object Main {
           resume = opts.contains("resume"),
           langFilter = opts.get("lang"),
           runId = opts.getOrElse("run-id", s"run-${spark.sparkContext.applicationId}"))
-        val stats = ExtractJob.run(spark, spark.read.parquet(input), output, cfg)
+        // input: parquet Page table by default; --warc reads CC-style
+        // WARC files through WarcSource instead
+        val pages =
+          if (opts.contains("warc"))
+            graft.pipeline.WarcSource.pages(spark, input).toDF()
+          else spark.read.parquet(input)
+        val stats = ExtractJob.run(spark, pages, output, cfg)
         println(s"[graft] docs=${stats.docs} pages=${stats.pages} " +
           s"ocr_needed=${stats.ocrNeeded} empty=${stats.emptyExtractions} " +
           s"bytes_in=${stats.bytesIn} bytes_out=${stats.bytesOut}")
+        // optional WET output alongside the parquet table
+        opts.get("wet").filter(_ != "true").orElse(
+          if (opts.contains("wet")) Some(s"$output/wet") else None
+        ).foreach { wetDir =>
+          graft.pipeline.WarcSink.writeWet(
+            ExtractJob.readDocsTyped(spark, output), wetDir)
+          println(s"[graft] wrote WET conversion records to $wetDir")
+        }
 
       case "synth" =>
         val n = opts.getOrElse("n", "10000").toLong
@@ -92,6 +106,8 @@ object Main {
     """usage: graft.Main <command> [options]
       |  extract --input P --output P [--buckets N] [--salt N] [--tasks N]
       |          [--resume] [--lang L] [--threshold T] [--accuracy] [--images]
+      |          [--warc] (input is CC-style WARC files, not a parquet table)
+      |          [--wet [DIR]] (also write WARC conversion records)
       |  synth   --n N --output P [--seed S]
       |  summary --output P""".stripMargin)
 }

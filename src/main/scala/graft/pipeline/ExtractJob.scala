@@ -162,6 +162,12 @@ object ExtractJob {
   def readDocs(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/docs")
 
+  /** Typed view of the output table (e.g. for the WET sink). */
+  def readDocsTyped(spark: SparkSession, outDir: String): Dataset[DocResult] = {
+    import spark.implicits._
+    readDocs(spark, outDir).as[DocResult]
+  }
+
   def readLineage(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/lineage")
 
