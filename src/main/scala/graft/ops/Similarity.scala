@@ -127,12 +127,13 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 2): DataFrame = {
-    val cents: Array[Array[Double]] = corpus
+      nprobe: Int = 2,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents: Array[Array[Double]] = centroids.getOrElse(corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .orderBy(col("id")).limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map(_.getSeq[Double](1).toArray))
     val centsLit: Column = typedlit(cents.map(_.toSeq).toSeq)
     def scoresFor(v: Column): Column = transform(centsLit, ct => cosine(v, ct))
 
@@ -162,6 +163,61 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Train a REAL coarse quantizer for `ivfTopK` with Lloyd's iterations
+    * (spherical k-means under the cosine measure): initialize from the
+    * `nlist` lowest-id corpus vectors (deterministic), then per iteration
+    * assign every vector to its argmax-cosine centroid (the single
+    * `typedlit` literal — plan O(1) in nlist) and recompute each centroid
+    * as the mean of its members. The per-iteration aggregate is ONE
+    * map-side-combining shuffle of (cluster → dim partial sums) — `dim`
+    * sum expressions, constant in both nlist and corpus size — and the
+    * driver only ever holds nlist×dim doubles ("a trained quantizer").
+    * Empty clusters keep their previous centroid. Assignment ties break
+    * to the smallest centroid index (deterministic); the floating-point
+    * partial-sum order is partition-dependent, so trained centroids are
+    * run-deterministic only up to summation order — fine for a trainer,
+    * which is why q41's oracle keeps the deterministic sample quantizer. */
+  def trainQuantizer(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      dim: Int,
+      iterations: Int = 5): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val base = corpus.select(col(vecCol).cast("array<double>").as("cv"))
+    var iter = 0
+    while (iter < iterations) {
+      val centsLit: Column = typedlit(cents.map(_.toSeq).toSeq)
+      val assigned = base
+        .withColumn("scores", transform(centsLit, ct => cosine(col("cv"), ct)))
+        .withColumn("cluster",
+          array_position(col("scores"), array_max(col("scores"))))
+        .drop("scores")
+      val aggs: Seq[Column] = count(lit(1)).as("n") +:
+        (0 until dim).map(d => sum(element_at(col("cv"), d + 1)).as(s"s$d"))
+      val stats = assigned.groupBy(col("cluster"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { row =>
+        val c = row.getLong(0).toInt - 1 // array_position is 1-based
+        val n = row.getLong(1)
+        if (c >= 0 && c < nlist && n > 0) {
+          var d = 0
+          while (d < dim) { next(c)(d) = row.getDouble(2 + d) / n; d += 1 }
+        }
+      }
+      cents = next
+      iter += 1
+    }
+    cents
   }
 
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH.

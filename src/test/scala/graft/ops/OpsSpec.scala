@@ -332,6 +332,37 @@ class OpsSpec extends AnyFunSuite {
     assert(scrub("+123 stays") == "+123 stays")
   }
 
+  test("trained IVF quantizer: Lloyd's iterations separate direction " +
+    "clusters; nprobe=1 with the trained quantizer achieves exact recall " +
+    "on separable data") {
+    // three well-separated direction clusters of 60 vectors each
+    val dim = 8
+    val e = spark.range(180).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val axis = col("id") % 3 // cluster's dominant axis: 0, 1 or 2
+        (when(i === axis, 10.0).otherwise(0.0) +
+          sin(col("id") * 0.37 + i.cast("double")) * 0.3).cast("float")
+      }).as("embedding"))
+    val cents = Similarity.trainQuantizer(e, "vec_id", "embedding",
+      nlist = 3, dim = dim, iterations = 5)
+    assert(cents.length == 3)
+    // each trained centroid points along exactly one dominant axis, and
+    // all three axes are covered
+    val axes = cents.map(c => c.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1, 2), s"axes=$axes cents=${cents.map(_.mkString(",")).mkString(" | ")}")
+
+    // with the trained quantizer, probing ONE list reproduces brute force
+    // exactly on this separable corpus
+    val q = e.filter($"vec_id" < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = rows(Similarity.ivfTopK(e, q, "vec_id", "embedding", 3,
+      nlist = 3, nprobe = 1, centroids = Some(cents)))
+    val brute = rows(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3))
+    assert(ivf == brute)
+  }
+
   test("langid guess on marker-bearing texts") {
     val df = Seq(
       (1L, "the cat and the dog is here"),
