@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data operator suite). EVERY query has an
-  * ANSI-SQL DuckDB oracle (46/46 — zero rows-only checks): engine-specific
+  * ANSI-SQL DuckDB oracle (47/47 — zero rows-only checks): engine-specific
   * values are made oracle-checkable by construction. Kernel 64-bit hashes
   * (minhash/simhash/fingerprints) are re-derived in DuckDB HUGEINT mod-2^64
   * SQL; LSH hyperplanes are MD5-derived so both engines compute them; dot
@@ -554,6 +554,12 @@ object SparkEntry {
         lit(" today. "), col("text"))
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.scrubPii(withPii).as("scrubbed"))
+    }),
+
+    // Vocabulary heavy-hitters (tokenizer-training substrate): top-50
+    // tokens by occurrence, deterministic ties (count desc, token asc)
+    "q47_vocab_topk" -> ((s, dir) => {
+      TextOps.topVocabulary(t(s, dir, "documents"), "text", k = 50)
     }),
 
     // Classic relational aggregate (map-side combine; exact integer cents)
@@ -1497,6 +1503,14 @@ object SparkEntry {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}\b', '<PHONE>', 'g') AS scrubbed
         |FROM p""".stripMargin
+
+    m += "q47_vocab_topk" ->
+      """SELECT token, count(*) AS occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY occurrences DESC, token ASC
+        |LIMIT 50""".stripMargin
 
     m += "q36_validation_errors" ->
       """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,

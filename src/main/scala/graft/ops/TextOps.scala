@@ -60,6 +60,21 @@ object TextOps {
     least(least(stopRatio, lit(0.5)) + lenScore + digitScore, lit(1.0))
   }
 
+  /** Corpus vocabulary: the k most frequent whitespace tokens with doc
+    * frequencies — the heavy-hitters substrate of tokenizer/vocab training.
+    * Shuffle story: explode is row-local; the groupBy aggregates with
+    * map-side combine (distinct tokens per partition, not token
+    * occurrences, cross the wire); the final top-k is a TakeOrdered over
+    * the aggregated (≈ vocabulary-sized) table, not the corpus.
+    * Deterministic ties: count DESC, then token ASC. */
+  def topVocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("token").asc)
+      .limit(k)
+
   /** PII scrubbing for training corpora: mask emails, IPv4 addresses and
     * international-format phone numbers with typed placeholder tokens.
     * A chain of codegen'd `regexp_replace` (row-local, no UDF); the

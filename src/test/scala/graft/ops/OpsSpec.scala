@@ -363,6 +363,15 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("vocabulary top-k: counts, deterministic ties, empty-token filter") {
+    val df = Seq(
+      (1L, "b a a"), (2L, "a  c b"), (3L, "c b")).toDF("id", "text")
+    val got = TextOps.topVocabulary(df, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a:3 b:3 c:2 — tie between a and b breaks to token asc
+    assert(got == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("langid guess on marker-bearing texts") {
     val df = Seq(
       (1L, "the cat and the dog is here"),
