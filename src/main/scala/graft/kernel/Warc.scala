@@ -17,8 +17,12 @@ final case class WarcRecord(headers: Map[String, String], body: Array[Byte]) {
     catch { case _: Exception => 0L }
 
   /** For `response` records the body is an HTTP message: strip the status
-    * line + headers (terminated by CRLFCRLF) and return the entity bytes.
-    * Non-HTTP bodies are returned as-is. */
+    * line + headers (terminated by CRLFCRLF) and return the DECODED entity
+    * bytes — `Transfer-Encoding: chunked` is de-chunked and
+    * `Content-Encoding: gzip` is decompressed (both routine in real
+    * Common Crawl captures; handing them through raw would feed chunk-size
+    * lines or deflate bytes to the HTML kernel). Malformed encodings fall
+    * back to the undecoded entity. Non-HTTP bodies are returned as-is. */
   def httpPayload: Array[Byte] = {
     if (body.length < 5 ||
       !new String(body, 0, 5, StandardCharsets.US_ASCII).startsWith("HTTP/"))
@@ -26,8 +30,16 @@ final case class WarcRecord(headers: Map[String, String], body: Array[Byte]) {
     var i = 0
     while (i + 3 < body.length) {
       if (body(i) == '\r' && body(i + 1) == '\n' &&
-        body(i + 2) == '\r' && body(i + 3) == '\n')
-        return java.util.Arrays.copyOfRange(body, i + 4, body.length)
+        body(i + 2) == '\r' && body(i + 3) == '\n') {
+        val head = new String(body, 0, i, StandardCharsets.ISO_8859_1)
+          .toLowerCase
+        var entity = java.util.Arrays.copyOfRange(body, i + 4, body.length)
+        if (head.contains("transfer-encoding: chunked"))
+          entity = Warc.dechunk(entity).getOrElse(entity)
+        if (head.contains("content-encoding: gzip"))
+          entity = Warc.gunzip(entity).getOrElse(entity)
+        return entity
+      }
       i += 1
     }
     body
@@ -119,6 +131,53 @@ object Warc {
     sb.toString
   }
 
+  /** Decode an HTTP/1.1 chunked transfer coding (RFC 9112 §7.1): hex
+    * chunk-size lines (extensions after ';' ignored), CRLF-framed data,
+    * terminated by a zero-size chunk. None on malformed framing. */
+  private[kernel] def dechunk(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new ByteArrayOutputStream(data.length)
+      var i = 0
+      while (i < data.length) {
+        val lineEnd = indexOfCrlf(data, i)
+        if (lineEnd < 0) return None
+        val sizeLine = new String(data, i, lineEnd - i, StandardCharsets.US_ASCII)
+        val hex = sizeLine.takeWhile(c => c != ';').trim
+        val size = java.lang.Integer.parseInt(hex, 16)
+        if (size < 0) return None
+        if (size == 0) return Some(out.toByteArray) // last-chunk (trailers ignored)
+        val dataStart = lineEnd + 2
+        if (dataStart + size > data.length) return None
+        out.write(data, dataStart, size)
+        i = dataStart + size + 2 // skip the chunk's trailing CRLF
+      }
+      None // missing last-chunk
+    } catch { case _: Exception => None }
+  }
+
+  private def indexOfCrlf(data: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < data.length) {
+      if (data(i) == '\r' && data(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Tolerant gunzip (Content-Encoding: gzip entities). */
+  private[kernel] def gunzip(data: Array[Byte]): Option[Array[Byte]] = {
+    if (data.length < 2 || data(0) != GzipMagic(0) || data(1) != GzipMagic(1))
+      return None
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(data), 1 << 16)
+      val out = new ByteArrayOutputStream(data.length * 3)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
   // --------------------------------------------------------------- writing
 
   /** Assemble a WARC file from (headers, body) records — used by fixtures
@@ -132,7 +191,11 @@ object Warc {
       val rec = new ByteArrayOutputStream()
       val crlf = "\r\n"
       val head = new StringBuilder("WARC/1.0").append(crlf)
-      headers.foreach { case (k, v) => head.append(s"$k: $v").append(crlf) }
+      // the writer owns Content-Length (it must match THIS body) — a
+      // caller-supplied one (e.g. round-tripping a parsed record whose
+      // header map includes it) would duplicate/conflict and desync readers
+      headers.filterNot(_._1.equalsIgnoreCase("Content-Length"))
+        .foreach { case (k, v) => head.append(s"$k: $v").append(crlf) }
       head.append(s"Content-Length: ${body.length}").append(crlf).append(crlf)
       rec.write(head.toString.getBytes(StandardCharsets.US_ASCII))
       rec.write(body)
@@ -140,7 +203,11 @@ object Warc {
       if (gzipPerRecord) {
         val gz = new GZIPOutputStream(out)
         gz.write(rec.toByteArray)
-        gz.finish() // one gzip MEMBER per record, concatenated
+        gz.finish()
+        gz.close() // releases the native Deflater NOW (close of the
+        // underlying ByteArrayOutputStream is a no-op) — this runs once
+        // per record in the WET sink, so GC-deferred release would accrue
+        // unbounded off-heap buffers
       } else out.write(rec.toByteArray)
     }
     out.toByteArray

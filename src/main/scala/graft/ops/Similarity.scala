@@ -129,11 +129,8 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 2,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val cents: Array[Array[Double]] = centroids.getOrElse(corpus
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .orderBy(col("id")).limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray))
+    val cents: Array[Array[Double]] =
+      centroids.getOrElse(sampleCentroids(corpus, idCol, vecCol, nlist))
     val centsLit: Column = typedlit(cents.map(_.toSeq).toSeq)
     def scoresFor(v: Column): Column = transform(centsLit, ct => cosine(v, ct))
 
@@ -179,6 +176,18 @@ object Similarity {
     * partial-sum order is partition-dependent, so trained centroids are
     * run-deterministic only up to summation order — fine for a trainer,
     * which is why q41's oracle keeps the deterministic sample quantizer. */
+  /** The deterministic sample quantizer both `ivfTopK` (default) and
+    * `trainQuantizer` (init) use — ONE definition so the trained
+    * quantizer cannot silently initialize differently from the
+    * oracle-checked sample one. */
+  def sampleCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[Array[Double]] = corpus
+    .select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    .orderBy(col("id")).limit(nlist)
+    .collect().map(_.getSeq[Double](1).toArray)
+
   def trainQuantizer(
       corpus: DataFrame,
       idCol: String,
@@ -186,12 +195,13 @@ object Similarity {
       nlist: Int,
       dim: Int,
       iterations: Int = 5): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = corpus
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .orderBy(col("id")).limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray)
+    var cents = sampleCentroids(corpus, idCol, vecCol, nlist)
+    // persist the cast vectors: Lloyd's re-reads the corpus every
+    // iteration, and caching also MATERIALIZES the array<double> cast so
+    // column pruning cannot re-inline it into the per-centroid transform
+    // lambda (the measured HOF re-evaluation trap)
     val base = corpus.select(col(vecCol).cast("array<double>").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     while (iter < iterations) {
       val centsLit: Column = typedlit(cents.map(_.toSeq).toSeq)
@@ -217,6 +227,7 @@ object Similarity {
       cents = next
       iter += 1
     }
+    base.unpersist()
     cents
   }
 

@@ -67,6 +67,51 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.records(null).isEmpty)
   }
 
+  test("HTTP chunked transfer coding is decoded (RFC 9112 framing)") {
+    val entity = "5\r\nHello\r\n7\r\n, chunk\r\n3;ext=1\r\ned!\r\n0\r\n\r\n"
+      .getBytes(StandardCharsets.US_ASCII)
+    val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n").getBytes(StandardCharsets.US_ASCII) ++ entity
+    val rec = WarcRecord(Map("WARC-Type" -> "response"), body)
+    assert(new String(rec.httpPayload, StandardCharsets.US_ASCII) == "Hello, chunked!")
+    // malformed chunk framing falls back to the raw entity, never throws
+    val bad = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZZ not chunks")
+      .getBytes(StandardCharsets.US_ASCII)
+    assert(new String(WarcRecord(Map.empty, bad).httpPayload)
+      .contains("ZZZ not chunks"))
+  }
+
+  test("HTTP Content-Encoding: gzip entities are decompressed") {
+    val html = "<html><body>compressed page text here</body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(html); g.close()
+      bos.toByteArray
+    }
+    val body = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Content-Type: text/html\r\n\r\n").getBytes(StandardCharsets.US_ASCII) ++ gz
+    val rec = WarcRecord(Map("WARC-Type" -> "response"), body)
+    assert(new String(rec.httpPayload, StandardCharsets.UTF_8)
+      .contains("compressed page text"))
+  }
+
+  test("write round trip of a PARSED record does not duplicate " +
+    "Content-Length (the writer owns it)") {
+    val original = Warc.write(Seq(responseRecord(0)))
+    val parsed = Warc.records(original).toVector.head
+    // parsed.headers INCLUDES Content-Length; re-write with a longer body
+    val rewritten = Warc.write(Seq((parsed.headers, parsed.body ++ " tail".getBytes)))
+    val s = new String(rewritten, StandardCharsets.ISO_8859_1)
+    val warcHead = s.substring(0, s.indexOf("\r\n\r\n")) // WARC block only
+    // (the HTTP headers inside the BODY legitimately carry their own)
+    assert("Content-Length".r.findAllIn(warcHead).length == 1, warcHead)
+    val reparsed = Warc.records(rewritten).toVector
+    assert(reparsed.length == 1)
+    assert(reparsed.head.body.length == parsed.body.length + 5)
+  }
+
   test("non-HTTP bodies pass through httpPayload unchanged") {
     val raw = (Map("WARC-Type" -> "metadata"), "key: value\n".getBytes)
     val recs = Warc.records(Warc.write(Seq(raw))).toVector
