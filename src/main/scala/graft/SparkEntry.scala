@@ -562,6 +562,58 @@ object SparkEntry {
       TextOps.topVocabulary(t(s, dir, "documents"), "text", k = 50)
     }),
 
+    // Gopher-style repetition signals (top-bigram coverage + singleton
+    // bigrams) — row-local single-pass fold, no shuffle; the oracle
+    // recomputes the same statistics with unnest + GROUP BY
+    "q48_repetition_signals" -> ((s, dir) => {
+      TextOps.repetitionSignals(spread(t(s, dir, "documents")), "text")
+        .select(col("doc_id"), col("n_words"), col("n_bigrams"),
+          col("top_count"), col("top_bigram"), col("single_bigrams"),
+          col("top_ppm"), col("repetitive"))
+    }),
+
+    // Common-Crawl recrawl dedup: canonicalize the capture URL, keep only
+    // the NEWEST capture per canonical URL. One shuffle on the canonical
+    // key with map-side combine (max_by/count partials) — the shape that
+    // holds when one URL has millions of recrawls. URL + timestamp are
+    // synthesized from doc_id identically in both engines.
+    "q49_latest_capture" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://Host"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.COM/page/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 3 === 0, "?utm_source=crawl&v=1")
+          .when(col("doc_id") % 3 === 1, "?v=1&utm_medium=cc")
+          .otherwise("?v=1"),
+        when(col("doc_id") % 2 === 0, "#sec").otherwise(""))
+      val ts = lit(1600000000L) + (col("doc_id") * 37) % 100000
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.WebOps.canonicalizeUrl(url).as("canonical_url"),
+          ts.as("ts_epoch"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_captures"),
+          max_by(col("doc_id"), col("ts_epoch")).as("latest_doc_id"),
+          max(col("ts_epoch")).as("latest_ts"))
+    }),
+
+    // Quality-filter funnel (FineWeb-style composed keep/drop): first
+    // failing filter wins, per-reason drop counts + surviving chars.
+    // Filters: length → language → quality proxy → Gopher repetition.
+    // Everything before the one tiny groupBy is row-local.
+    "q50_filter_funnel" -> ((s, dir) => {
+      val docs = TextOps.repetitionSignals(spread(t(s, dir, "documents")),
+        "text")
+      val reason = when(col("n_chars") < 120, "too_short")
+        .when(!col("lang").isin("en", "de", "fr"), "lang_filter")
+        .when(col("doc_id") % 100 < 5, "low_quality")
+        .when(col("top_ppm") > 60000L, "repetitive")
+        .otherwise("kept")
+      docs.select(reason.as("verdict"), col("n_chars"))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+    }),
+
     // Classic relational aggregate (map-side combine; exact integer cents)
     "q35_lineitem_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1511,6 +1563,120 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY occurrences DESC, token ASC
         |LIMIT 50""".stripMargin
+
+    // q48: the same bigram statistics recomputed relationally — unnest the
+    // bigram list, GROUP BY (doc, bigram), then per-doc max / min-filter /
+    // singleton counts. DuckDB lists are 1-indexed; range(1, len) yields
+    // i = 1..len-1 so words[i] || ' ' || words[i+1] enumerates exactly the
+    // adjacent pairs the Spark zip_with builds. top_ppm is exact integer
+    // floor division in both engines.
+    m += "q48_repetition_signals" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |b AS (
+        |  SELECT doc_id, len(words)::BIGINT AS n_words,
+        |    greatest(len(words) - 1, 0)::BIGINT AS n_bigrams,
+        |    list_transform(range(1, len(words)),
+        |      i -> words[i] || ' ' || words[i+1]) AS bigrams
+        |  FROM w),
+        |u AS (SELECT doc_id, unnest(bigrams) AS g FROM b),
+        |c AS (SELECT doc_id, g, count(*)::BIGINT AS cnt FROM u GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, g, cnt,
+        |         max(cnt) OVER (PARTITION BY doc_id) AS mx FROM c),
+        |agg AS (SELECT doc_id,
+        |          any_value(mx) AS top_count,
+        |          min(g) FILTER (WHERE cnt = mx) AS top_bigram,
+        |          count(*) FILTER (WHERE cnt = 1)::BIGINT AS single_bigrams
+        |        FROM c2 GROUP BY 1)
+        |SELECT b.doc_id, b.n_words, b.n_bigrams,
+        |  coalesce(agg.top_count, 0)::BIGINT AS top_count,
+        |  coalesce(agg.top_bigram, '') AS top_bigram,
+        |  coalesce(agg.single_bigrams, 0)::BIGINT AS single_bigrams,
+        |  CASE WHEN b.n_bigrams = 0 THEN 0
+        |       ELSE coalesce(agg.top_count, 0) * 1000000 // b.n_bigrams
+        |  END::BIGINT AS top_ppm,
+        |  CASE WHEN b.n_bigrams = 0 THEN FALSE
+        |       ELSE coalesce(agg.top_count, 0) * 1000000 // b.n_bigrams > 60000
+        |  END AS repetitive
+        |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id""".stripMargin
+
+    // q49: same URL + timestamp synthesis, q43's canonicalization SQL,
+    // then latest-capture-per-canonical-URL via arg_max (timestamps are
+    // distinct within a canonical group by construction: members differ by
+    // 175 in doc_id and 37*175*k % 100000 = 0 first at k = 4000).
+    m += "q49_latest_capture" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://Host' || (doc_id % 7) || '.Example.COM/page/' ||
+        |    (doc_id % 25) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=crawl&v=1'
+        |         WHEN doc_id % 3 = 1 THEN '?v=1&utm_medium=cc'
+        |         ELSE '?v=1' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END AS url,
+        |    1600000000 + (doc_id * 37) % 100000 AS ts_epoch
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ts_epoch,
+        |    coalesce(lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+        |    coalesce(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '') AS hostport,
+        |    coalesce(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS rawpath,
+        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+        |  FROM u),
+        |c2 AS (
+        |  SELECT doc_id, ts_epoch, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(q, '&'),
+        |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '') AS sq
+        |  FROM c),
+        |canon AS (
+        |  SELECT doc_id, ts_epoch,
+        |    scheme || '://' || host || path ||
+        |    CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS canonical_url
+        |  FROM c2)
+        |SELECT canonical_url, count(*)::BIGINT AS n_captures,
+        |  arg_max(doc_id, ts_epoch) AS latest_doc_id,
+        |  max(ts_epoch)::BIGINT AS latest_ts
+        |FROM canon GROUP BY 1""".stripMargin
+
+    // q50: the funnel CASE is restated verbatim; top_ppm is re-derived with
+    // the q48 relational recomputation.
+    m += "q50_filter_funnel" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    greatest(len(words) - 1, 0)::BIGINT AS n_bigrams,
+        |    list_transform(range(1, len(words)),
+        |      i -> words[i] || ' ' || words[i+1]) AS bigrams
+        |  FROM w),
+        |u AS (SELECT doc_id, unnest(bigrams) AS g FROM b),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM u GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(cnt) AS top_count FROM c GROUP BY 1),
+        |f AS (
+        |  SELECT b.doc_id, b.lang, b.n_chars,
+        |    CASE WHEN b.n_bigrams = 0 THEN 0
+        |         ELSE coalesce(agg.top_count, 0) * 1000000 // b.n_bigrams
+        |    END AS top_ppm
+        |  FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id),
+        |v AS (
+        |  SELECT n_chars,
+        |    CASE WHEN n_chars < 120 THEN 'too_short'
+        |         WHEN lang NOT IN ('en', 'de', 'fr') THEN 'lang_filter'
+        |         WHEN doc_id % 100 < 5 THEN 'low_quality'
+        |         WHEN top_ppm > 60000 THEN 'repetitive'
+        |         ELSE 'kept' END AS verdict
+        |  FROM f)
+        |SELECT verdict, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM v GROUP BY 1""".stripMargin
 
     m += "q36_validation_errors" ->
       """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,

@@ -90,6 +90,71 @@ object TextOps {
     regexp_replace(ip, "\\+\\d{7,15}\\b", "<PHONE>")
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, public paper):
+    * per-document word-bigram statistics that flag boilerplate / template
+    * spam — the fraction of bigram occurrences taken by the single most
+    * frequent bigram, and how many bigrams occur exactly once. Entirely
+    * row-local (no shuffle): bigrams are built with `zip_with` over two
+    * `slice`s so the `split` is evaluated per ROW, not per element (the
+    * SCALE.md HOF re-evaluation trap), and the counts come from ONE
+    * run-length `aggregate` pass over the sorted bigram list — O(n log n)
+    * per document instead of an explode + per-doc groupBy shuffle, which
+    * is the right shape when the signal is consumed as a per-row filter
+    * at corpus scale. Ties for the top bigram go to the lexicographically
+    * smallest (the sorted fold closes runs in order with a strict `>`).
+    *
+    * `top_ppm` = floor(top_count * 1e6 / n_bigrams) — an exact integer in
+    * both engines, so the DuckDB oracle matches bit-for-bit. */
+  def repetitionSignals(df: DataFrame, textCol: String,
+      repetitiveTopPpm: Long = 60000L): DataFrame = {
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val sorted = array_sort(bigrams)
+    // run-length fold state: current run (prev, run) + best-so-far
+    // (best, bestg) + count of runs of length exactly 1 (singles).
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit("").as("bestg"), lit(0L).as("singles"))
+    def closed(acc: Column, field: String): Column = {
+      val better = acc.getField("run") > acc.getField("best")
+      if (field == "best")
+        when(better, acc.getField("run")).otherwise(acc.getField("best"))
+      else when(better, acc.getField("prev")).otherwise(acc.getField("bestg"))
+    }
+    def singlesAfter(acc: Column): Column =
+      acc.getField("singles") +
+        when(acc.getField("run") === 1L, 1L).otherwise(0L)
+    val folded = aggregate(sorted, zero,
+      (acc, x) =>
+        when(x === acc.getField("prev"), struct(
+          acc.getField("prev").as("prev"),
+          (acc.getField("run") + 1L).as("run"),
+          acc.getField("best").as("best"),
+          acc.getField("bestg").as("bestg"),
+          acc.getField("singles").as("singles")))
+        .otherwise(struct(
+          x.as("prev"), lit(1L).as("run"),
+          closed(acc, "best").as("best"),
+          closed(acc, "bestg").as("bestg"),
+          singlesAfter(acc).as("singles"))),
+      acc => struct(
+        closed(acc, "best").as("top_count"),
+        closed(acc, "bestg").as("top_bigram"),
+        singlesAfter(acc).as("single_bigrams")))
+    df.withColumn("n_words", n.cast("long"))
+      .withColumn("n_bigrams", greatest(n - 1, lit(0)).cast("long"))
+      .withColumn("rep", folded)
+      .withColumn("top_count", col("rep.top_count"))
+      .withColumn("top_bigram", col("rep.top_bigram"))
+      .withColumn("single_bigrams", col("rep.single_bigrams"))
+      .drop("rep")
+      .withColumn("top_ppm", when(col("n_bigrams") === 0L, 0L)
+        .otherwise(expr("top_count * 1000000 DIV n_bigrams")))
+      .withColumn("repetitive", col("top_ppm") > repetitiveTopPpm)
+  }
+
   /** Full reference-semantics quality metrics via the kernel (Dataset map —
     * used when byte-identical F1–F7 values are required on a text column). */
   def kernelQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -372,6 +372,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("repetition signals: top-bigram run, ties lexicographic, " +
+      "singletons, edge cases") {
+    val df = Seq(
+      (1L, "a b c a b"),   // "a b":2, "b c":1, "c a":1
+      (2L, "x y x z"),     // all bigrams once; tie -> "x y" (lexic. min)
+      (3L, "solo"),        // no bigrams
+      (4L, (1 to 21).map(i => s"w$i").mkString(" ")) // 20 unique bigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(df, "text")
+      .select("doc_id", "n_words", "n_bigrams", "top_count", "top_bigram",
+        "single_bigrams", "top_ppm", "repetitive")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))).toMap
+    assert(got(1L) == ((5L, 4L, 2L, "a b", 2L, 500000L, true)))
+    assert(got(2L) == ((4L, 3L, 1L, "x y", 3L, 333333L, true)))
+    assert(got(3L) == ((1L, 0L, 0L, "", 0L, 0L, false)))
+    // 21 distinct words: every bigram is a singleton, 1e6/20 = 50000 ppm
+    // sits below the 60000 default threshold -> not repetitive
+    assert(got(4L) == ((21L, 20L, 1L, "w1 w2", 20L, 50000L, false)))
+  }
+
   test("langid guess on marker-bearing texts") {
     val df = Seq(
       (1L, "the cat and the dog is here"),

@@ -142,6 +142,27 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("repetition signals are row-local: no Exchange, no typed boundary, " +
+    "one codegen'd projection") {
+    val docs = spark.read.parquet(s"/root/testdata/sf0.001/documents.parquet")
+    val p = plan(graft.ops.TextOps.repetitionSignals(docs, "text"))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("DeserializeToObject"), p.take(800))
+  }
+
+  test("latest-capture dedup: exactly one shuffle, on the canonical key, " +
+    "with a partial (map-side) max_by/count phase") {
+    val p = plan(graft.SparkEntry.queries("q49_latest_capture")(
+      spark, "/root/testdata/sf0.001"))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "expected exactly one shuffle:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("hashpartitioning(canonical_url"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+  }
+
   test("connected-components round: label join keyed on the edge endpoint, " +
     "min agg has a partial (map-side) phase") {
     import spark.implicits._
