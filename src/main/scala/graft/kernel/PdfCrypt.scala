@@ -1,0 +1,341 @@
+package graft.kernel
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+/** PDF Standard security handler (ISO 32000-1 §7.6.3, public spec) for the
+  * revisions real corpora actually carry: R2 (RC4-40), R3 (RC4 up to 128),
+  * R4 (/CF crypt filters — /V2 RC4 or /AESV2 AES-128-CBC).
+  *
+  * The supported case is the EMPTY user password — the overwhelmingly
+  * common "owner-locked" PDF (printing/copying restricted, but any reader
+  * opens it). The reference gets this free from PyMuPDF, which decrypts
+  * empty-user-password files transparently (`_detector.py` never sees
+  * them as encrypted); here the same files decrypt through Algorithm 2
+  * key derivation so their text layer extracts instead of degrading.
+  * Files that genuinely REQUIRE a user password (the /U check fails for
+  * the empty password) and unsupported handlers (R5/R6 AES-256, public-key
+  * /Filter values, unknown /CFM) surface as the distinct encrypted-PDF
+  * error row per the X4 contract.
+  *
+  * Primitives: MD5 via `java.security.MessageDigest`, AES-128-CBC via
+  * `javax.crypto` (both JDK-public); RC4 implemented inline from the
+  * public key-scheduling/PRGA description (~15 lines) because the JCE
+  * provider may not ship ARCFOUR.
+  */
+final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean) {
+
+  /** Algorithm 1 per-object key: MD5(fileKey ∥ objNum LE24 ∥ gen LE16
+    * [∥ sAlT for AES]), truncated to min(keyLen+5, 16). Generation is 0
+    * for every object this parser keeps (last-definition-wins scan). */
+  private def objectKey(num: Int): Array[Byte] = {
+    val salt =
+      if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54)
+      else Array.emptyByteArray
+    val h = PdfCrypt.md5(
+      fileKey,
+      Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+        ((num >> 16) & 0xFF).toByte, 0, 0),
+      salt)
+    h.take(math.min(fileKey.length + 5, 16))
+  }
+
+  /** Decrypt a stream payload for object `num`. AES payloads carry their
+    * CBC IV in the first 16 bytes; padding is PKCS#5. Malformed ciphertext
+    * (short, bad padding) yields None so the page DEGRADES to the OCR path
+    * instead of throwing mid-kernel. */
+  def decryptStream(num: Int, data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (!aes) Some(PdfCrypt.rc4(objectKey(num), data))
+      else if (data.length < 32 || data.length % 16 != 0) {
+        if (data.isEmpty) Some(data) else None
+      } else {
+        val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(Cipher.DECRYPT_MODE,
+          new SecretKeySpec(objectKey(num), "AES"),
+          new IvParameterSpec(java.util.Arrays.copyOfRange(data, 0, 16)))
+        Some(c.doFinal(data, 16, data.length - 16))
+      }
+    } catch { case _: java.security.GeneralSecurityException => None }
+
+  /** Writer-side inverse of [[decryptStream]] (fixtures + synthetic
+    * corpus): RC4 is symmetric; AES prepends a deterministic per-object
+    * IV (MD5 of the object key — fixtures must be bit-reproducible, so no
+    * SecureRandom). */
+  def encryptStream(num: Int, data: Array[Byte]): Array[Byte] =
+    if (!aes) PdfCrypt.rc4(objectKey(num), data)
+    else {
+      val iv = PdfCrypt.md5(objectKey(num))
+      val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(Cipher.ENCRYPT_MODE,
+        new SecretKeySpec(objectKey(num), "AES"), new IvParameterSpec(iv))
+      iv ++ c.doFinal(data)
+    }
+}
+
+object PdfCrypt {
+
+  /** §7.6.3.3 password padding string. */
+  private[kernel] val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private[kernel] def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (public KSA + PRGA). */
+  private[kernel] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xFF
+      y = (y + s(x)) & 0xFF
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xFF)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def padded(pwd: Array[Byte]): Array[Byte] =
+    (pwd.take(32) ++ Pad).take(32)
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Algorithm 2: file encryption key from a user password. `keyBytes` is
+    * /Length in bytes (5 for R2). */
+  private[kernel] def fileKey(userPwd: Array[Byte], o: Array[Byte], p: Int,
+      id0: Array[Byte], r: Int, keyBytes: Int,
+      encryptMetadata: Boolean): Array[Byte] = {
+    val noMeta =
+      if (r >= 4 && !encryptMetadata)
+        Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+      else Array.emptyByteArray
+    var h = md5(padded(userPwd), o, le32(p), id0, noMeta)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h.take(keyBytes)); i += 1 }
+    }
+    h.take(keyBytes)
+  }
+
+  /** Algorithm 3: the /O value (owner password → user password). */
+  private[kernel] def computeO(ownerPwd: Array[Byte], userPwd: Array[Byte],
+      r: Int, keyBytes: Int): Array[Byte] = {
+    var h = md5(padded(ownerPwd))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h); i += 1 }
+    }
+    val key = h.take(keyBytes)
+    var o = rc4(key, padded(userPwd))
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) {
+        o = rc4(key.map(b => (b ^ i).toByte), o)
+        i += 1
+      }
+    }
+    o
+  }
+
+  /** Algorithms 4/5: the /U value for `key`. R2 compares all 32 bytes;
+    * R≥3 compares the first 16 (the spec leaves the rest arbitrary — the
+    * writer zero-fills). */
+  private[kernel] def computeU(key: Array[Byte], id0: Array[Byte],
+      r: Int): Array[Byte] =
+    if (r == 2) rc4(key, Pad)
+    else {
+      var u = rc4(key, md5(Pad, id0))
+      var i = 1
+      while (i <= 19) {
+        u = rc4(key.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      u ++ new Array[Byte](16)
+    }
+
+  /** True when `key` opens the document whose /U is `u`. */
+  private[kernel] def userKeyValid(key: Array[Byte], u: Array[Byte],
+      id0: Array[Byte], r: Int): Boolean = {
+    val expect = computeU(key, id0, r)
+    val n = if (r == 2) 32 else 16
+    u.length >= n && java.util.Arrays.equals(expect, 0, n, u, 0, n)
+  }
+
+  // ------------------------------------------------------------ writer side
+
+  /** Writer-side parameters for an encrypted fixture/corpus file. The three
+    * modes fixtures need: RC4-128 owner-locked (opens with the empty user
+    * password), AES-128 owner-locked, and user-password-locked (extraction
+    * correctly impossible without the password → distinct error row). */
+  sealed trait Mode
+  case object Rc4Owner extends Mode // V2 R3, 128-bit, user pwd empty
+  case object AesOwner extends Mode // V4 R4 /AESV2, user pwd empty
+  case object UserLocked extends Mode // V2 R3, non-empty user pwd
+
+  private[kernel] val P: Int = -44 // print+modify restricted; irrelevant here
+
+  /** Build the /Encrypt dict body, the trailer /ID hex, and the stream
+    * cipher for `mode`. `idSeed` keeps fixtures deterministic. */
+  private[kernel] def forWriting(mode: Mode, idSeed: Array[Byte])
+      : (String, String, PdfCrypt) = {
+    val id0 = md5(idSeed)
+    val idHex = id0.map(b => f"$b%02x").mkString
+    val (r, v, keyBytes, userPwd, cfm) = mode match {
+      case Rc4Owner => (3, 2, 16, Array.emptyByteArray, "")
+      case AesOwner => (4, 4, 16, Array.emptyByteArray, "/AESV2")
+      case UserLocked =>
+        (3, 2, 16, "secret".getBytes(StandardCharsets.ISO_8859_1), "")
+    }
+    val owner = "owner-pass".getBytes(StandardCharsets.ISO_8859_1)
+    val o = computeO(owner, userPwd, r, keyBytes)
+    val key = fileKey(userPwd, o, P, id0, r, keyBytes, encryptMetadata = true)
+    val u = computeU(key, id0, r)
+    def hx(b: Array[Byte]) = "<" + b.map(x => f"$x%02x").mkString + ">"
+    val cf =
+      if (mode == AesOwner)
+        s" /CF << /StdCF << /CFM $cfm /Length $keyBytes >> >>" +
+          " /StmF /StdCF /StrF /StdCF"
+      else ""
+    val dict = s"<< /Filter /Standard /V $v /R $r /Length ${keyBytes * 8} " +
+      s"/P $P /O ${hx(o)} /U ${hx(u)}$cf >>"
+    (dict, idHex, PdfCrypt(key, aes = mode == AesOwner))
+  }
+
+  // ------------------------------------------------------------ parser side
+
+  private val PatEncryptRef = Py.re("""/Encrypt\s+(\d+)\s+\d+\s+R""")
+  private val PatIdHex = Py.re(
+    """/ID\s*\[\s*<([0-9a-fA-F\s]*)>\s*<[0-9a-fA-F\s]*>\s*\]""")
+  private val PatV = Py.re("""/V\s+(\d+)""")
+  private val PatR = Py.re("""/R\s+(\d+)""")
+  private val PatLength = Py.re("""/Length\s+(\d+)""")
+  private val PatP = Py.re("""/P\s+(-?\d+)""")
+  private val PatStdFilter = Py.re("""/Filter\s*/Standard""")
+  private val PatCfmAes = Py.re("""/CFM\s*/AESV2""")
+  private val PatCfmRc4 = Py.re("""/CFM\s*/V2""")
+  private val PatCfmNone = Py.re("""/CFM\s*/(None|Identity)""")
+  private val PatStmFIdentity = Py.re("""/StmF\s*/Identity""")
+  private val PatNoMeta = Py.re("""/EncryptMetadata\s+false""")
+
+  private def group1(pat: java.util.regex.Pattern, s: String): Option[String] = {
+    val m = pat.matcher(s)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** Resolve the document's encryption state from its trailer/XRef dicts.
+    * None = not encrypted. Some = decryptable with the empty user
+    * password. Throws [[PdfEncryptedException]] (distinct reasons) when a
+    * real user password or an unsupported handler blocks extraction —
+    * exactly the files that must surface as error rows. `dicts` are the
+    * candidate trailer-level dicts (classic trailers and /Type /XRef
+    * stream dicts) where the spec puts /Encrypt and /ID. */
+  private[kernel] def resolve(dicts: Seq[String],
+      encryptObj: Int => Option[String]): Option[PdfCrypt] = {
+    val carrier = dicts.find(d => PatEncryptRef.matcher(d).find())
+    val enc = for {
+      d <- carrier
+      num <- group1(PatEncryptRef, d)
+      body <- encryptObj(num.toInt)
+    } yield (d, body)
+    enc match {
+      case None =>
+        if (carrier.isDefined)
+          throw new PdfEncryptedException(
+            "encrypted PDF (/Encrypt): encryption dictionary unresolvable")
+        None
+      case Some((trailer, dict)) =>
+        if (!PatStdFilter.matcher(dict).find())
+          throw new PdfEncryptedException(
+            "encrypted PDF (/Encrypt): unsupported security handler (not /Standard)")
+        val v = group1(PatV, dict).map(_.toInt).getOrElse(0)
+        val r = group1(PatR, dict).map(_.toInt).getOrElse(0)
+        if (v < 1 || v > 4 || r < 2 || r > 4)
+          throw new PdfEncryptedException(
+            s"encrypted PDF (/Encrypt): unsupported revision V=$v R=$r")
+        val aes = v == 4 && PatCfmAes.matcher(dict).find()
+        if (v == 4 && !aes && !PatCfmRc4.matcher(dict).find() &&
+          !PatCfmNone.matcher(dict).find() &&
+          !PatStmFIdentity.matcher(dict).find())
+          throw new PdfEncryptedException(
+            "encrypted PDF (/Encrypt): unsupported V4 crypt filter")
+        if (v == 4 && (PatCfmNone.matcher(dict).find() ||
+          PatStmFIdentity.matcher(dict).find()))
+          return None // Identity filter: streams are not actually encrypted
+        val keyBytes =
+          if (r == 2) 5
+          else group1(PatLength, dict).map(_.toInt / 8).getOrElse(5)
+        if (keyBytes < 5 || keyBytes > 16)
+          throw new PdfEncryptedException(
+            s"encrypted PDF (/Encrypt): unsupported key length ${keyBytes * 8}")
+        val p = group1(PatP, dict).map(_.toLong.toInt).getOrElse(-1)
+        val encryptMetadata = !PatNoMeta.matcher(dict).find()
+        val o = stringValue(dict, "/O").getOrElse(
+          throw new PdfEncryptedException(
+            "encrypted PDF (/Encrypt): missing /O"))
+        val u = stringValue(dict, "/U").getOrElse(
+          throw new PdfEncryptedException(
+            "encrypted PDF (/Encrypt): missing /U"))
+        val id0 = group1(PatIdHex, trailer)
+          .map(h => hexBytes(h.filterNot(_.isWhitespace)))
+          .getOrElse(Array.emptyByteArray)
+        val key = fileKey(Array.emptyByteArray, o, p, id0, r, keyBytes,
+          encryptMetadata)
+        if (!userKeyValid(key, u, id0, r))
+          throw new PdfEncryptedException(
+            "encrypted PDF (/Encrypt): user password required")
+        Some(PdfCrypt(key, aes))
+    }
+  }
+
+  private def hexBytes(h: String): Array[Byte] = {
+    val even = if (h.length % 2 == 1) h + "0" else h
+    even.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
+  }
+
+  /** The byte value of dict key `name` (`/O`, `/U`): literal `(…)` or hex
+    * `<…>` string, reusing the content-stream string decoders (chars are
+    * bytes — the dict text is ISO-8859-1-decoded raw bytes). */
+  private def stringValue(dict: String, name: String): Option[Array[Byte]] = {
+    var i = dict.indexOf(name)
+    while (i >= 0) {
+      var j = i + name.length
+      while (j < dict.length && Character.isWhitespace(dict.charAt(j))) j += 1
+      if (j < dict.length) {
+        val decoded = dict.charAt(j) match {
+          case '(' => Some(PdfParse.literalString(dict, j)._1)
+          case '<' if j + 1 < dict.length && dict.charAt(j + 1) != '<' =>
+            Some(PdfParse.hexString(dict, j)._1)
+          case _ => None
+        }
+        decoded match {
+          case Some(s) =>
+            return Some(s.toCharArray.map(c => (c & 0xFF).toByte))
+          case None => // keep scanning: "/OP" etc. can false-prefix-match
+        }
+      }
+      i = dict.indexOf(name, i + 1)
+    }
+    None
+  }
+}

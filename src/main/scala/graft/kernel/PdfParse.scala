@@ -45,13 +45,17 @@ import scala.collection.mutable
   * feeds the existing PdfDoc model, so X1→C1→P1 run unchanged on real PDF
   * bytes.
   */
-/** Raised when a PDF carries an `/Encrypt` dictionary: the content streams
-  * are RC4/AES-encrypted and this parser does not decrypt, so the document
-  * must surface as a DISTINCT error row (X4 contract) rather than degrade
-  * indistinguishably from an image-only file. The message is the row's
-  * `error` reason. */
-final class PdfEncryptedException
-  extends Exception("encrypted PDF (/Encrypt): content streams are not decrypted")
+/** Raised when a PDF carries an `/Encrypt` dictionary this parser cannot
+  * open: a real (non-empty) user password, or a handler outside the
+  * supported Standard R2–R4 range. Owner-locked files — the common case,
+  * empty user password — decrypt via [[PdfCrypt]] and extract normally;
+  * only genuinely locked files surface as a DISTINCT error row (X4
+  * contract) rather than degrading indistinguishably from an image-only
+  * file. The message is the row's `error` reason. */
+final class PdfEncryptedException(msg: String) extends Exception(msg) {
+  def this() = this(
+    "encrypted PDF (/Encrypt): content streams are not decrypted")
+}
 
 object PdfParse {
 
@@ -89,7 +93,6 @@ object PdfParse {
   private val PatHexOne = Py.re("""<([0-9a-fA-F]+)>""")
   private val PatObjStm = Py.re("""/Type\s*/ObjStm""")
   private val PatXRefType = Py.re("""/Type\s*/XRef(?![a-zA-Z])""")
-  private val PatEncrypt = Py.re("""/Encrypt\s+\d+\s+\d+\s+R""")
   private val PatN = Py.re("""/N\s+(\d+)""")
   private val PatFirst = Py.re("""/First\s+(\d+)""")
   private val PatFilterArr = Py.re("""/Filter\s*\[([^\]]*)\]""")
@@ -134,9 +137,8 @@ object PdfParse {
   def parse(bytes: Array[Byte], needAlt: Boolean): PdfDoc = {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1) // byte-faithful
     val scanned = scanObjects(raw)
-    if (isEncrypted(raw, scanned))
-      throw new PdfEncryptedException
-    val objs = expandObjectStreams(scanned, bytes)
+    val crypt = resolveCrypt(raw, scanned)
+    val objs = expandObjectStreams(scanned, bytes, crypt)
 
     val leaves = pageTreeLeaves(objs).getOrElse {
       objs.toVector.sortBy(_._1).collect {
@@ -150,16 +152,16 @@ object PdfParse {
     val pages = leaves.map { leaf =>
       val (w, h) = leaf.box.getOrElse((612.0, 792.0))
       val fonts = leaf.resources
-        .map(r => cmapCache.getOrElseUpdate(r, pageFonts(r, objs, bytes)))
+        .map(r => cmapCache.getOrElseUpdate(r, pageFonts(r, objs, bytes, crypt)))
         .getOrElse(Map.empty)
       val streams = contentsRefs(leaf.body)
         .flatMap(objs.get)
-        .flatMap(streamData(_, bytes))
+        .flatMap(streamData(_, bytes, crypt))
       val text = streams.map(extractTextOps(_, fonts)).mkString("\n")
       val alt =
         if (needAlt) {
           val formStreams = leaf.resources
-            .map(formXObjectStreams(_, objs, bytes, fonts))
+            .map(formXObjectStreams(_, objs, bytes, crypt, fonts))
             .getOrElse(Vector.empty)
           Some(extractTextGeomF(streams.map((_, fonts)) ++ formStreams))
         } else None
@@ -179,6 +181,7 @@ object PdfParse {
     * via `/Fm0 Do` is invisible to it. */
   private def formXObjectStreams(
       resources: String, objs: Map[Int, PdfObj], bytes: Array[Byte],
+      crypt: Option[PdfCrypt],
       inheritedFonts: Map[String, FontCMap],
       visited: mutable.Set[Int] = mutable.Set.empty)
       : Vector[(Array[Byte], Map[String, FontCMap])] = {
@@ -192,10 +195,10 @@ object PdfParse {
         if (PatSubForm.matcher(o.body).find()) {
           val formRes = resolveResources(o.body, objs)
           val effective = inheritedFonts ++
-            formRes.map(pageFonts(_, objs, bytes)).getOrElse(Map.empty)
-          streamData(o, bytes).foreach(d => out += ((d, effective)))
+            formRes.map(pageFonts(_, objs, bytes, crypt)).getOrElse(Map.empty)
+          streamData(o, bytes, crypt).foreach(d => out += ((d, effective)))
           formRes.foreach(r =>
-            out ++= formXObjectStreams(r, objs, bytes, effective, visited))
+            out ++= formXObjectStreams(r, objs, bytes, crypt, effective, visited))
         }
       }
     }
@@ -377,7 +380,7 @@ object PdfParse {
     * layer is absent. */
   private def pageFonts(
       resources: String, objs: Map[Int, PdfObj],
-      bytes: Array[Byte]): Map[String, FontCMap] = {
+      bytes: Array[Byte], crypt: Option[PdfCrypt]): Map[String, FontCMap] = {
     val fm = PatFontDict.matcher(resources)
     if (!fm.find()) return Map.empty
     val em = PatFontEntry.matcher(fm.group(1))
@@ -389,7 +392,7 @@ object PdfParse {
           case Some(tuRef) =>
             for {
               tuObj <- objs.get(tuRef)
-              data <- streamData(tuObj, bytes)
+              data <- streamData(tuObj, bytes, crypt)
             } out(name) = parseCMap(new String(data, StandardCharsets.ISO_8859_1))
           case None if PatType0.matcher(fontObj.body).find() =>
             out(name) = FontCMap(2, Map.empty) // undecodable CID font
@@ -537,7 +540,8 @@ object PdfParse {
     * ObjStm carry `start = -1` and no payload range (the spec forbids
     * streams inside object streams). */
   private[kernel] final case class PdfObj(
-      body: String, start: Int, streamRange: Option[(Int, Int)] = None)
+      num: Int, body: String, start: Int,
+      streamRange: Option[(Int, Int)] = None)
 
   /** All `N 0 obj … endobj` bodies keyed by object number (generation
     * ignored — last definition wins, like incremental-update semantics).
@@ -571,7 +575,7 @@ object PdfParse {
             .filter(end => end <= raw.length && endstreamFollows(raw, end))
           exactEnd match {
             case Some(end) =>
-              out(num) = PdfObj(dict, bodyStart, Some((dataStart, end)))
+              out(num) = PdfObj(num, dict, bodyStart, Some((dataStart, end)))
               skipUntil = raw.indexOf("endstream", end) + "endstream".length
             case None =>
               val dataEnd = raw.indexOf("endstream", dataStart)
@@ -579,16 +583,16 @@ object PdfParse {
                 var trimmedEnd = dataEnd
                 if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\n') trimmedEnd -= 1
                 if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\r') trimmedEnd -= 1
-                out(num) = PdfObj(dict, bodyStart, Some((dataStart, trimmedEnd)))
+                out(num) = PdfObj(num, dict, bodyStart, Some((dataStart, trimmedEnd)))
                 skipUntil = dataEnd + "endstream".length
               } else {
                 // truncated stream: keep the dict, payload unusable
-                out(num) = PdfObj(dict, bodyStart, None)
+                out(num) = PdfObj(num, dict, bodyStart, None)
                 skipUntil = dataStart
               }
           }
         } else if (e0 >= 0) {
-          out(num) = PdfObj(raw.substring(bodyStart, e0), bodyStart, None)
+          out(num) = PdfObj(num, raw.substring(bodyStart, e0), bodyStart, None)
         }
       }
     }
@@ -642,12 +646,13 @@ object PdfParse {
     * for incremental updates, and a phantom inside a decoded payload must
     * never shadow a real object. */
   private def expandObjectStreams(
-      objs: Map[Int, PdfObj], bytes: Array[Byte]): Map[Int, PdfObj] = {
+      objs: Map[Int, PdfObj], bytes: Array[Byte],
+      crypt: Option[PdfCrypt]): Map[Int, PdfObj] = {
     val extra = mutable.Map[Int, PdfObj]()
     objs.values.foreach { o =>
       if (PatObjStm.matcher(o.body).find()) {
         for {
-          data <- streamData(o, bytes)
+          data <- streamData(o, bytes, crypt)
           n <- firstRef(o.body, PatN)
           first <- firstRef(o.body, PatFirst)
           if first <= data.length
@@ -666,7 +671,7 @@ object PdfParse {
               else s.length
             if (start >= 0 && start <= end && end <= s.length &&
               !objs.contains(num) && !extra.contains(num))
-              extra(num) = PdfObj(s.substring(start, end), -1, None)
+              extra(num) = PdfObj(num, s.substring(start, end), -1, None)
           }
         }
       }
@@ -674,21 +679,28 @@ object PdfParse {
     objs ++ extra
   }
 
-  /** `/Encrypt` detection — looked for ONLY in classic `trailer` dicts and
+  /** `/Encrypt` resolution — looked for ONLY in classic `trailer` dicts and
     * in `/Type /XRef` stream dicts (the two places the spec puts it), never
-    * in content payloads, so text ABOUT encryption can't false-positive. */
-  private def isEncrypted(raw: String, objs: Map[Int, PdfObj]): Boolean = {
+    * in content payloads, so text ABOUT encryption can't false-positive.
+    * Owner-locked files (empty user password) come back as Some(crypt) and
+    * decrypt transparently; password-locked/unsupported files throw
+    * [[PdfEncryptedException]] (→ distinct error row, X4 contract). */
+  private def resolveCrypt(
+      raw: String, objs: Map[Int, PdfObj]): Option[PdfCrypt] = {
+    // walk the FULL balanced trailer dicts (may nest << /ID … >> and can
+    // exceed any fixed window — a missed /Encrypt would silently bypass
+    // the X4 encryption contract)
+    val trailers = mutable.ArrayBuffer[String]()
     var i = raw.indexOf("trailer")
     while (i >= 0) {
-      // walk the FULL balanced trailer dict (may nest << /ID … >> and can
-      // exceed any fixed window — a missed /Encrypt would silently bypass
-      // the X4 encryption contract)
       val dict = balancedDict(raw, i)
-      if (dict.nonEmpty && PatEncrypt.matcher(dict).find()) return true
+      if (dict.nonEmpty) trailers += dict
       i = raw.indexOf("trailer", i + "trailer".length)
     }
-    objs.values.exists(o => PatXRefType.matcher(o.body).find() &&
-      PatEncrypt.matcher(o.body).find())
+    val xrefDicts = objs.values.toSeq.sortBy(_.num)
+      .collect { case o if PatXRefType.matcher(o.body).find() => o.body }
+    PdfCrypt.resolve(trailers.toSeq ++ xrefDicts,
+      num => objs.get(num).map(_.body))
   }
 
   /** The balanced `<< … >>` dict starting at the first `<<` at/after
@@ -735,11 +747,25 @@ object PdfParse {
   }
 
   /** Decode an object's stream payload: the byte range was located at scan
-    * time (binary-safe); apply the dict's filter chain. */
-  private def streamData(obj: PdfObj, bytes: Array[Byte]): Option[Array[Byte]] =
+    * time (binary-safe); decrypt (Standard security handler, per-object
+    * key) when the document is encrypted — EXCEPT `/Type /XRef` streams,
+    * which the spec never encrypts — then apply the dict's filter chain.
+    * Objects expanded out of an ObjStm are already plaintext (the
+    * CONTAINER was the encryption unit) and carry no payload range, so
+    * they never reach the decrypt step. */
+  private def streamData(obj: PdfObj, bytes: Array[Byte],
+      crypt: Option[PdfCrypt]): Option[Array[Byte]] =
     obj.streamRange.flatMap { case (s, e) =>
       if (s < 0 || e > bytes.length || s > e) None
-      else decodeFilters(java.util.Arrays.copyOfRange(bytes, s, e), obj.body)
+      else {
+        val payload = java.util.Arrays.copyOfRange(bytes, s, e)
+        val plain = crypt match {
+          case Some(c) if !PatXRefType.matcher(obj.body).find() =>
+            c.decryptStream(obj.num, payload)
+          case _ => Some(payload)
+        }
+        plain.flatMap(decodeFilters(_, obj.body))
+      }
     }
 
   // ------------------------------------------------------------- filters
@@ -1219,10 +1245,22 @@ object PdfParse {
       images: Seq[(Int, Int)] = Seq.empty,
       pageWidth: Double = 612,
       pageHeight: Double = 792,
-      encrypted: Boolean = false): Array[Byte] = {
+      encrypt: Option[PdfCrypt.Mode] = None): Array[Byte] = {
     val objects = mutable.ArrayBuffer[Array[Byte]]() // 1-indexed bodies
     def obj(n: Int, body: String): Array[Byte] =
       s"$n 0 obj\n$body\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+
+    // GENUINELY encrypted output: real /O and /U (Algorithms 2/3/4/5), a
+    // deterministic /ID, and every stream payload RC4/AES-encrypted with
+    // its per-object key — external readers accept these, and the parser's
+    // empty-user-password path must round-trip them. The /ID seed is the
+    // page text, so identical content yields identical files.
+    val enc = encrypt.map { mode =>
+      PdfCrypt.forWriting(mode,
+        pageLines.flatten.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    def encStream(num: Int, data: Array[Byte]): Array[Byte] =
+      enc.map(_._3.encryptStream(num, data)).getOrElse(data)
 
     val nPages = pageLines.length
     val imgObjBase = 3 + 2 * nPages
@@ -1252,8 +1290,9 @@ object PdfParse {
       }
       ops.append("ET\n")
       val rawOps = ops.toString.getBytes(StandardCharsets.ISO_8859_1)
-      val (data, filter) =
+      val (filtered, filter) =
         if (compress) (deflate(rawOps), " /Filter /FlateDecode") else (rawOps, "")
+      val data = encStream(contNum, filtered) // encryption wraps the filter
       val head = s"$contNum 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"
         .getBytes(StandardCharsets.ISO_8859_1)
       val tail = "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
@@ -1261,16 +1300,19 @@ object PdfParse {
     }
 
     images.zipWithIndex.foreach { case ((w, h), j) =>
+      val num = imgObjBase + j
+      val data = encStream(num, Array.emptyByteArray)
       val body =
         s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
-          "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 0 >>\nstream\n\nendstream"
-      objects += obj(imgObjBase + j, body)
+          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${data.length} >>"
+      val head = s"$num 0 obj\n$body\nstream\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+      val tail = "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+      objects += (head ++ data ++ tail)
     }
 
     val encryptNum = imgObjBase + images.length
-    if (encrypted) // minimal Standard security handler dict
-      objects += obj(encryptNum,
-        "<< /Filter /Standard /V 1 /R 2 /P -44 /O (xxxxxxxx) /U (yyyyyyyy) >>")
+    enc.foreach { case (dict, _, _) => objects += obj(encryptNum, dict) }
 
     // assemble with a real xref table
     val out = new ByteArrayOutputStream()
@@ -1281,8 +1323,11 @@ object PdfParse {
     val xref = new StringBuilder(s"xref\n0 ${objects.length + 1}\n")
     xref.append("0000000000 65535 f \n")
     offsets.foreach(o => xref.append(f"$o%010d 00000 n \n"))
-    val enc = if (encrypted) s" /Encrypt $encryptNum 0 R" else ""
-    xref.append(s"trailer\n<< /Size ${objects.length + 1} /Root 1 0 R$enc >>\n")
+    val encTrailer = enc.map { case (_, idHex, _) =>
+      s" /Encrypt $encryptNum 0 R /ID [<$idHex> <$idHex>]"
+    }.getOrElse("")
+    xref.append(
+      s"trailer\n<< /Size ${objects.length + 1} /Root 1 0 R$encTrailer >>\n")
     xref.append(s"startxref\n$xrefPos\n%%EOF\n")
     out.write(xref.toString.getBytes(StandardCharsets.ISO_8859_1))
     out.toByteArray

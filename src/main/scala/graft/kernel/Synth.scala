@@ -204,15 +204,19 @@ object Synth {
         (h.getBytes(StandardCharsets.UTF_8), "")
       case 7 =>
         val d = pdfText(rng, 12 + rng.nextInt(13))
-        // half the native-text docs ship as GENUINE %PDF bytes — split
-        // between classic 1.4 layout (Flate content streams, xref table)
-        // and 1.5-style layout (page dicts inside a compressed /ObjStm,
-        // binary /XRef stream): both real parse paths run at corpus scale
-        // with byte-identical text layers, so classification outputs are
-        // unchanged regardless of layout
+        // most native-text docs ship as GENUINE %PDF bytes — split between
+        // classic 1.4 layout (Flate content streams, xref table), 1.5-style
+        // layout (page dicts inside a compressed /ObjStm, binary /XRef
+        // stream), and owner-locked ENCRYPTED 1.4 (Standard handler, empty
+        // user password — RC4-128, the common restricted-permissions PDF):
+        // all real parse paths run at corpus scale with byte-identical text
+        // layers, so classification outputs are unchanged regardless of
+        // layout or encryption
         val bytes = rng.nextInt(4) match {
           case 0 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq))
           case 1 => PdfParse.writePdfObjStm(d.pages.map(_.textLayer.split("\n").toSeq))
+          case 2 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
+            encrypt = Some(PdfCrypt.Rc4Owner))
           case _ => PdfPayload.serialize(d)
         }
         (bytes, d.pages.head.textLayer.take(120))
@@ -226,11 +230,14 @@ object Synth {
           case 2 => // truncated pdf payload → kernel error fallback
             val d = PdfPayload.serialize(pdfMixed(rng, 6))
             (d.take(d.length / 2), "")
-          case 3 => // encrypted real PDF → distinct error row naming
-            // encryption (X4 contract, PdfEncryptedException)
+          case 3 => // USER-password-locked real PDF (genuine RC4 encryption,
+            // non-empty user password — undecryptable without it) →
+            // distinct error row naming encryption (X4 contract,
+            // PdfEncryptedException); owner-locked files land in kind 7
+            // and EXTRACT instead
             val d = pdfText(rng, 4)
             (PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
-              encrypted = true), "")
+              encrypt = Some(PdfCrypt.UserLocked)), "")
           case _ =>
             val d = pdfMixed(rng, 6 + rng.nextInt(6))
             (PdfPayload.serialize(d), "")

@@ -181,7 +181,7 @@ class PdfParseSpec extends AnyFunSuite {
 
   test("encrypted PDFs are rejected with a DISTINCT reason naming " +
     "encryption (X4 contract), not silently degraded") {
-    val bytes = PdfParse.writePdf(Seq(proseLines), encrypted = true)
+    val bytes = PdfParse.writePdf(Seq(proseLines), encrypt = Some(PdfCrypt.UserLocked))
     val e = intercept[PdfEncryptedException](PdfParse.parse(bytes))
     assert(e.getMessage.contains("encrypted"))
     val d = new Extractor(ProbeConfig()).extract(bytes)
@@ -344,7 +344,7 @@ class PdfParseSpec extends AnyFunSuite {
 
   test("inline images (BI … ID <binary> EI) are skipped by BOTH readers: " +
     "sample bytes with parens/operators cannot garble text") {
-    val ops = ("BI /W 2 /H 2 /BPC 8 /CS /G ID ÿ(fake text) Tj  þ EI\n" +
+    val ops = ("BI /W 2 /H 2 /BPC 8 /CS /G ID ÿ(fake text) Tj \u0000þ EI\n" +
       "BT 72 720 Td (real text) Tj ET")
       .getBytes(StandardCharsets.ISO_8859_1)
     assert(PdfParse.extractTextOps(ops) == "real text")
@@ -462,5 +462,108 @@ class PdfParseSpec extends AnyFunSuite {
         assert(Set("true", "false", "partial").contains(r.status), s"trial $trial")
       }
     }
+  }
+
+  // ----------------------------------------------------------- encryption
+
+  test("owner-locked RC4-128 PDF (Standard handler, empty user password) " +
+    "decrypts transparently: text layer identical to the unencrypted file") {
+    val plain = PdfParse.parse(PdfParse.writePdf(Seq(proseLines, proseLines)))
+    val enc = PdfParse.writePdf(Seq(proseLines, proseLines),
+      encrypt = Some(PdfCrypt.Rc4Owner))
+    // the ciphertext must not leak the plaintext ops
+    val rawStr = new String(enc, StandardCharsets.ISO_8859_1)
+    assert(!rawStr.contains(proseLines.head))
+    val doc = PdfParse.parse(enc)
+    assert(doc.pages.map(_.textLayer) == plain.pages.map(_.textLayer))
+    // and the whole kernel path agrees with the plain file
+    val d = new Extractor(ProbeConfig()).extract(enc)
+    assert(d.docKind == "pdf" && d.error.isEmpty, s"${d.docKind}/${d.error}")
+  }
+
+  test("owner-locked AES-128 (/AESV2, V4 R4) PDF decrypts: per-object key " +
+    "salt, leading CBC IV, PKCS#5 padding") {
+    val plain = PdfParse.parse(PdfParse.writePdf(Seq(proseLines)))
+    val enc = PdfParse.writePdf(Seq(proseLines),
+      encrypt = Some(PdfCrypt.AesOwner))
+    assert(!new String(enc, StandardCharsets.ISO_8859_1).contains(proseLines.head))
+    val doc = PdfParse.parse(enc)
+    assert(doc.pages.map(_.textLayer) == plain.pages.map(_.textLayer))
+  }
+
+  test("encrypted uncompressed and image-bearing PDFs round-trip too " +
+    "(encryption composes with no-filter streams and XObject payloads)") {
+    for (mode <- Seq(PdfCrypt.Rc4Owner, PdfCrypt.AesOwner)) {
+      val enc = PdfParse.writePdf(Seq(proseLines), compress = false,
+        images = Seq((320, 240)), encrypt = Some(mode))
+      val doc = PdfParse.parse(enc)
+      assert(doc.pages.head.textLayer == proseLines.mkString("\n"), s"$mode")
+      assert(doc.pages.head.images.map(i => (i.pixelWidth, i.pixelHeight)) ==
+        Vector((320, 240)), s"$mode")
+    }
+  }
+
+  test("corrupted owner-locked ciphertext degrades (empty text layer, " +
+    "needs-OCR path) instead of throwing mid-kernel") {
+    val enc = PdfParse.writePdf(Seq(proseLines), encrypt = Some(PdfCrypt.AesOwner))
+    // truncate one byte off the FIRST content stream payload: AES length
+    // check fails -> decryptStream None -> page degrades
+    val raw = new String(enc, StandardCharsets.ISO_8859_1)
+    val s0 = raw.indexOf("stream\n") + "stream\n".length
+    val mutated = enc.clone()
+    mutated(s0 + 16) = (mutated(s0 + 16) ^ 0x55).toByte // corrupt ciphertext block
+    val d = new Extractor(ProbeConfig()).extract(mutated)
+    assert(Set("pdf", "error").contains(d.docKind))
+  }
+
+  test("R2 (40-bit RC4) and EncryptMetadata false variants derive the " +
+    "documented keys (PdfCrypt algorithm internals)") {
+    // Algorithm 2/4 self-consistency at R2: U = RC4(key, PAD)
+    val id0 = PdfCrypt.md5("fixture-id".getBytes(StandardCharsets.UTF_8))
+    val o = PdfCrypt.computeO("owner".getBytes(StandardCharsets.UTF_8),
+      Array.emptyByteArray, r = 2, keyBytes = 5)
+    val key = PdfCrypt.fileKey(Array.emptyByteArray, o, -44, id0, r = 2,
+      keyBytes = 5, encryptMetadata = true)
+    assert(PdfCrypt.userKeyValid(key, PdfCrypt.computeU(key, id0, 2), id0, 2))
+    // a WRONG key must not validate
+    val bad = key.clone(); bad(0) = (bad(0) ^ 1).toByte
+    assert(!PdfCrypt.userKeyValid(bad, PdfCrypt.computeU(key, id0, 2), id0, 2))
+  }
+
+  test("unsupported security handlers are rejected with DISTINCT reasons " +
+    "(R6/AES-256, non-Standard filter), never silently mis-decrypted") {
+    def withEncryptDict(dict: String): Array[Byte] = {
+      val body = "BT (secret text) Tj ET"
+      ("%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< /Length ${body.length} >>\nstream\n" + body +
+        "\nendstream\nendobj\n" +
+        s"5 0 obj\n$dict\nendobj\n" +
+        "trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R /ID [<00> <00>] >>\n" +
+        "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    }
+    val aes256 = withEncryptDict(
+      "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 /O <00> /U <00> >>")
+    val e1 = intercept[PdfEncryptedException](PdfParse.parse(aes256))
+    assert(e1.getMessage.contains("V=5"))
+    val pubkey = withEncryptDict(
+      "<< /Filter /Adobe.PubSec /V 2 /R 3 /P -44 /O <00> /U <00> >>")
+    val e2 = intercept[PdfEncryptedException](PdfParse.parse(pubkey))
+    assert(e2.getMessage.contains("not /Standard"))
+  }
+
+  test("RC4 primitive matches the public test vectors (KSA/PRGA correctness " +
+    "is what makes /O //U interoperable with real readers)") {
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+    assert(hex(PdfCrypt.rc4("Key".getBytes(StandardCharsets.US_ASCII),
+      "Plaintext".getBytes(StandardCharsets.US_ASCII))) == "bbf316e8d940af0ad3")
+    assert(hex(PdfCrypt.rc4("Wiki".getBytes(StandardCharsets.US_ASCII),
+      "pedia".getBytes(StandardCharsets.US_ASCII))) == "1021bf0420")
+    assert(hex(PdfCrypt.rc4("Secret".getBytes(StandardCharsets.US_ASCII),
+      "Attack at dawn".getBytes(StandardCharsets.US_ASCII))) ==
+      "45a01f645fc35b383552544b9bf5")
   }
 }
