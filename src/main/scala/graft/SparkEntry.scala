@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data operator suite). EVERY query has an
-  * ANSI-SQL DuckDB oracle (47/47 — zero rows-only checks): engine-specific
+  * ANSI-SQL DuckDB oracle (52/52 — zero rows-only checks): engine-specific
   * values are made oracle-checkable by construction. Kernel 64-bit hashes
   * (minhash/simhash/fingerprints) are re-derived in DuckDB HUGEINT mod-2^64
   * SQL; LSH hyperplanes are MD5-derived so both engines compute them; dot
@@ -612,6 +612,33 @@ object SparkEntry {
         .groupBy(col("verdict"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
+    }),
+
+    // Lee-et-al-style duplicated-n-gram profile (ExactSubstr statistic at
+    // 8-gram granularity): per doc, distinct 8-grams shared with ≥1 OTHER
+    // doc. Gram fingerprints are 64-bit; shuffles keyed on gram / doc id.
+    "q51_dup_ngrams" -> ((s, dir) => {
+      Dedup.dupGramProfile(spread(t(s, dir, "documents")), "doc_id", "text",
+        k = 8)
+    }),
+
+    // Benchmark-contamination check (GPT-3-style n-gram overlap): bench =
+    // docs with doc_id % 101 == 0; a deterministic benchmark passage is
+    // planted into bench docs AND into corpus docs with doc_id % 13 == 0
+    // (synthesized from doc_id identically in both engines, like q46's
+    // PII), so contamination is real and value-checked. The benchmark
+    // 5-gram set is broadcast — the corpus membership test never shuffles.
+    "q52_contamination" -> ((s, dir) => {
+      val passage = concat(lit("benchmark heldout passage variant "),
+        (col("doc_id") % 17).cast("string"), lit(" answer key sequence"))
+      val aug = spread(t(s, dir, "documents")).select(col("doc_id"),
+        when(col("doc_id") % 101 === 0 || col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" "), passage))
+          .otherwise(col("text")).as("text"))
+      Dedup.benchmarkContamination(
+        aug.filter(col("doc_id") % 101 =!= 0),
+        aug.filter(col("doc_id") % 101 === 0),
+        "doc_id", "text", k = 5)
     }),
 
     // Classic relational aggregate (map-side combine; exact integer cents)
@@ -1677,6 +1704,51 @@ object SparkEntry {
         |SELECT verdict, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS total_chars
         |FROM v GROUP BY 1""".stripMargin
+
+    // q51: the same profile recomputed relationally on STRING grams
+    // (list_distinct per doc ⇒ the gram-key count IS document frequency);
+    // equivalent to the Spark fingerprint pipeline modulo 64-bit xxhash64
+    // collisions (~|grams|²/2^64 — the hash-green run verifies none occur
+    // on this corpus). DuckDB slices are 1-based inclusive: words[i:i+7]
+    // is the k=8 gram at i, i ∈ range(1, len-6) = 1..len-7.
+    m += "q51_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, greatest(len(words) - 6, 1)),
+        |        i -> array_to_string(words[i:i+7], ' ')))) AS gram FROM w),
+        |f AS (SELECT gram, count(*)::BIGINT AS n_docs FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_grams,
+        |  (sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1000000
+        |     // count(*))::BIGINT AS dup_ppm
+        |FROM g JOIN f USING (gram) GROUP BY 1""".stripMargin
+
+    // q52: same passage planting, same distinct-5-gram derivation
+    // (words[i:i+4], i ∈ 1..len-4), LEFT JOIN against the benchmark gram
+    // set; only contaminated docs (n_hits ≥ 1) are emitted.
+    m += "q52_contamination" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 101 = 0 OR doc_id % 13 = 0
+        |         THEN text || ' benchmark heldout passage variant ' ||
+        |              (doc_id % 17) || ' answer key sequence'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM aug),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, greatest(len(words) - 3, 1)),
+        |        i -> array_to_string(words[i:i+4], ' ')))) AS gram FROM w),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0),
+        |cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 101 <> 0)
+        |SELECT cg.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_hits,
+        |  (sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |     // count(*))::BIGINT AS hit_ppm
+        |FROM cg LEFT JOIN bg USING (gram) GROUP BY 1
+        |HAVING sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) >= 1"""
+        .stripMargin
 
     m += "q36_validation_errors" ->
       """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,

@@ -306,4 +306,66 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Duplicated-n-gram profile, the document-level statistic behind
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22 — their ExactSubstr pass, here at
+    * k-gram granularity): per document, how many of its DISTINCT k-grams
+    * also occur in at least one OTHER document. High `dup_ppm` marks
+    * boilerplate-heavy / templated pages whose text is mostly shared.
+    *
+    * Scale shape: explode distinct per-doc gram FINGERPRINTS (64-bit, from
+    * [[shingleFingerprints]] — the shuffle carries longs, not strings) →
+    * one groupBy on the gram key (map-side combine; per-doc-distinct means
+    * the count IS the document frequency) → equi-join the frequencies back
+    * on the gram key → one groupBy on doc id. Every shuffle is keyed by
+    * gram or doc id; nothing is quadratic and no driver-side state exists,
+    * so the same plan runs at 10^12 documents. Documents with fewer than k
+    * tokens have no grams and are absent from the output (the oracle
+    * groups over the same set). */
+  def dupGramProfile(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val grams = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      explode(shingleFingerprints(
+        split(coalesce(col(textCol), lit("")), " "), k)).as("gram"))
+    val freq = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs")) // grams are distinct per doc
+    grams.join(freq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_ppm", expr("dup_grams * 1000000 DIV n_grams"))
+  }
+
+  /** Benchmark-contamination detection: which corpus documents share a
+    * k-gram with any document of a held-out benchmark set (the standard
+    * n-gram-overlap decontamination check run before training, e.g.
+    * GPT-3's 13-gram filter — appendix C of Brown et al. 2020; k is a
+    * parameter here). Returns one row per CONTAMINATED corpus document
+    * (n_hits ≥ 1 of its n_grams distinct k-grams found in the benchmark
+    * gram set) — the output is bounded by the contaminated subset, not the
+    * corpus.
+    *
+    * Scale shape: the benchmark gram set is small by construction
+    * (benchmarks are fixed-size even when the corpus is 100 TB), so it is
+    * BROADCAST — the corpus side never shuffles for the membership test;
+    * the only wide exchange is the per-doc groupBy on doc id. Gram
+    * membership compares 64-bit fingerprints, not strings. */
+  def benchmarkContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    def grams(d: DataFrame) = d.select(
+      col(idCol).cast("long").as("doc_id"),
+      explode(shingleFingerprints(
+        split(coalesce(col(textCol), lit("")), " "), k)).as("gram"))
+    val benchGrams = grams(bench).select(col("gram")).distinct()
+      .withColumn("is_bench", lit(true))
+    grams(corpus)
+      .join(broadcast(benchGrams), Seq("gram"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_bench"), 1L).otherwise(0L)).as("n_hits"))
+      .filter(col("n_hits") >= 1L)
+      .withColumn("hit_ppm", expr("n_hits * 1000000 DIV n_grams"))
+  }
 }

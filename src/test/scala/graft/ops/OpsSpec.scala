@@ -474,4 +474,50 @@ class OpsSpec extends AnyFunSuite {
     assert(resize.forall(r => r.getAs[Int]("target_width") <= 256 &&
       r.getAs[Int]("target_height") <= 256))
   }
+
+  test("dup-gram profile (ExactSubstr statistic): exact dups fully " +
+    "duplicated, near-dups partially, unique docs zero") {
+    // k=4 over the 12-word docs: doc 1 and 4 are identical (all grams
+    // duplicated); doc 2 differs in the last word (grams touching it are
+    // unique); docs 3 and 6 share nothing; doc 5 has < k tokens (absent)
+    val prof = Dedup.dupGramProfile(docs, "id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("dup_grams"),
+          r.getAs[Long]("dup_ppm")))).toMap
+    assert(!prof.contains(5L)) // "tiny": no 4-grams
+    assert(prof(1L) == ((9L, 9L, 1000000L))) // identical to doc 4
+    assert(prof(4L) == ((9L, 9L, 1000000L)))
+    // doc 2: 12 words, 9 grams; only the single gram covering the last
+    // word ("dog near the shore", i=9) is unique, the other 8 match 1/4
+    assert(prof(2L) == ((9L, 8L, 888888L)))
+    assert(prof(3L) == ((6L, 0L, 0L))) // 9 words -> 6 grams
+    assert(prof(6L) == ((6L, 0L, 0L)))
+  }
+
+  test("benchmark contamination: planted passage found, clean docs absent, " +
+    "benchmark side broadcast") {
+    val bench = Seq(
+      (100L, "benchmark question alpha beta gamma delta answer")
+    ).toDF("id", "text")
+    val corpus = Seq(
+      // contains the bench 5-gram span "question alpha beta gamma delta"
+      (1L, "page text includes question alpha beta gamma delta verbatim today"),
+      (2L, "entirely clean document with no overlap whatsoever present here"),
+      // shares only a 4-gram ("alpha beta gamma delta" broken by x) -> clean
+      (3L, "question alpha beta gamma x delta answer nothing else")
+    ).toDF("id", "text")
+    val out = Dedup.benchmarkContamination(corpus, bench, "id", "text", k = 5)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_hits")).toMap
+    assert(rows.keySet == Set(1L))
+    // corpus doc 1 grams hitting the bench set: "includes question alpha
+    // beta gamma"? no (bench starts at "benchmark"). Bench grams include
+    // "question alpha beta gamma delta" and "alpha beta gamma delta
+    // answer"; doc 1 contains the former only.
+    assert(rows(1L) == 1L)
+    // scale shape: the bench gram set must arrive via broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bench gram set should broadcast:\n$plan")
+  }
 }
