@@ -5,42 +5,49 @@ import java.security.MessageDigest
 import javax.crypto.Cipher
 import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
 
-/** PDF Standard security handler (ISO 32000-1 §7.6.3, public spec) for the
-  * revisions real corpora actually carry: R2 (RC4-40), R3 (RC4 up to 128),
-  * R4 (/CF crypt filters — /V2 RC4 or /AESV2 AES-128-CBC).
+/** PDF Standard security handler (ISO 32000-1 §7.6.3 and 32000-2 §7.6.4,
+  * public specs) for every revision real corpora carry: R2 (RC4-40), R3
+  * (RC4 up to 128), R4 (/CF crypt filters — /V2 RC4 or /AESV2
+  * AES-128-CBC), and R5/R6 (/AESV3 AES-256 with the Algorithm 2.B
+  * hardened hash).
   *
   * The supported case is the EMPTY user password — the overwhelmingly
   * common "owner-locked" PDF (printing/copying restricted, but any reader
   * opens it). The reference gets this free from PyMuPDF, which decrypts
   * empty-user-password files transparently (`_detector.py` never sees
   * them as encrypted); here the same files decrypt through Algorithm 2
-  * key derivation so their text layer extracts instead of degrading.
-  * Files that genuinely REQUIRE a user password (the /U check fails for
-  * the empty password) and unsupported handlers (R5/R6 AES-256, public-key
-  * /Filter values, unknown /CFM) surface as the distinct encrypted-PDF
-  * error row per the X4 contract.
+  * (R≤4) / Algorithm 2.A+2.B (R5/R6) key derivation so their text layer
+  * extracts instead of degrading. Files that genuinely REQUIRE a user
+  * password (the /U check fails for the empty password) and unsupported
+  * handlers (public-key /Filter values, unknown /CFM) surface as the
+  * distinct encrypted-PDF error row per the X4 contract.
   *
-  * Primitives: MD5 via `java.security.MessageDigest`, AES-128-CBC via
-  * `javax.crypto` (both JDK-public); RC4 implemented inline from the
-  * public key-scheduling/PRGA description (~15 lines) because the JCE
-  * provider may not ship ARCFOUR.
+  * Primitives: MD5/SHA-2 via `java.security.MessageDigest`, AES-CBC/ECB
+  * via `javax.crypto` (all JDK-public); RC4 implemented inline from the
+  * public key-scheduling/PRGA description (~15 lines, pinned to the
+  * public test vectors) because the JCE provider may not ship ARCFOUR.
   */
-final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean) {
+final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean,
+    v5: Boolean = false) {
 
   /** Algorithm 1 per-object key: MD5(fileKey ∥ objNum LE24 ∥ gen LE16
     * [∥ sAlT for AES]), truncated to min(keyLen+5, 16). Generation is 0
-    * for every object this parser keeps (last-definition-wins scan). */
-  private def objectKey(num: Int): Array[Byte] = {
-    val salt =
-      if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54)
-      else Array.emptyByteArray
-    val h = PdfCrypt.md5(
-      fileKey,
-      Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
-        ((num >> 16) & 0xFF).toByte, 0, 0),
-      salt)
-    h.take(math.min(fileKey.length + 5, 16))
-  }
+    * for every object this parser keeps (last-definition-wins scan).
+    * V5 (AES-256) uses the FILE key directly — ISO 32000-2 dropped the
+    * per-object derivation. */
+  private def objectKey(num: Int): Array[Byte] =
+    if (v5) fileKey
+    else {
+      val salt =
+        if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54)
+        else Array.emptyByteArray
+      val h = PdfCrypt.md5(
+        fileKey,
+        Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+          ((num >> 16) & 0xFF).toByte, 0, 0),
+        salt)
+      h.take(math.min(fileKey.length + 5, 16))
+    }
 
   /** Decrypt a stream payload for object `num`. AES payloads carry their
     * CBC IV in the first 16 bytes; padding is PKCS#5. Malformed ciphertext
@@ -182,6 +189,68 @@ object PdfCrypt {
     u.length >= n && java.util.Arrays.equals(expect, 0, n, u, 0, n)
   }
 
+  // ------------------------------------------------------- V5 (AES-256)
+
+  private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbcNoPad(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
+      new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash (R5, the deprecated
+    * Adobe extension, is the plain SHA-256 first step). `udata` is the
+    * 48-byte /U value when validating the OWNER password, empty for the
+    * user password. */
+  private[kernel] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte], r: Int): Array[Byte] = {
+    var k = sha(256, pwd, salt, udata)
+    if (r == 5) return k
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(block, 0, k1, i * block.length, block.length)
+        i += 1
+      }
+      val e = aesCbcNoPad(encrypt = true, k.take(16),
+        java.util.Arrays.copyOfRange(k, 16, 32), k1)
+      var sum = 0
+      var j = 0
+      while (j < 16) { sum += e(j) & 0xFF; j += 1 }
+      k = sha(256 + (sum % 3) * 128, e) // 256 / 384 / 512
+      done = round >= 64 && (e(e.length - 1) & 0xFF) <= round - 32
+    }
+    k.take(32)
+  }
+
+  /** V5 empty-user-password open: validate against /U's hash+validation
+    * salt, then unwrap the 256-bit file key from /UE with the key-salt
+    * intermediate (AES-256-CBC, zero IV, no padding). Returns None when
+    * the empty password does not validate (→ password required). */
+  private[kernel] def openV5(u: Array[Byte], ue: Array[Byte],
+      r: Int): Option[Array[Byte]] = {
+    if (u.length < 48 || ue.length < 32) return None
+    val hash = java.util.Arrays.copyOfRange(u, 0, 32)
+    val vSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+    val kSalt = java.util.Arrays.copyOfRange(u, 40, 48)
+    val empty = Array.emptyByteArray
+    if (!java.util.Arrays.equals(hash2B(empty, vSalt, empty, r), hash)) None
+    else Some(aesCbcNoPad(encrypt = false,
+      hash2B(empty, kSalt, empty, r), new Array[Byte](16), ue.take(32)))
+  }
+
   // ------------------------------------------------------------ writer side
 
   /** Writer-side parameters for an encrypted fixture/corpus file. The three
@@ -191,6 +260,7 @@ object PdfCrypt {
   sealed trait Mode
   case object Rc4Owner extends Mode // V2 R3, 128-bit, user pwd empty
   case object AesOwner extends Mode // V4 R4 /AESV2, user pwd empty
+  case object Aes256Owner extends Mode // V5 R6 /AESV3, user pwd empty
   case object UserLocked extends Mode // V2 R3, non-empty user pwd
 
   private[kernel] val P: Int = -44 // print+modify restricted; irrelevant here
@@ -201,6 +271,7 @@ object PdfCrypt {
       : (String, String, PdfCrypt) = {
     val id0 = md5(idSeed)
     val idHex = id0.map(b => f"$b%02x").mkString
+    if (mode == Aes256Owner) return forWritingV5(idSeed, idHex)
     val (r, v, keyBytes, userPwd, cfm) = mode match {
       case Rc4Owner => (3, 2, 16, Array.emptyByteArray, "")
       case AesOwner => (4, 4, 16, Array.emptyByteArray, "/AESV2")
@@ -222,6 +293,43 @@ object PdfCrypt {
     (dict, idHex, PdfCrypt(key, aes = mode == AesOwner))
   }
 
+  /** V5 R6 (/AESV3, ISO 32000-2) writer: a deterministic 256-bit file key
+    * wrapped per the spec — /U = hash ∥ validation salt ∥ key salt for the
+    * EMPTY user password (Algorithm 2.B, hardened hash), /UE the
+    * AES-wrapped file key, /O //OE the owner-password equivalents over
+    * /U's 48 bytes, /Perms the AES-ECB-sealed permissions block. */
+  private def forWritingV5(idSeed: Array[Byte], idHex: String)
+      : (String, String, PdfCrypt) = {
+    def seed(tag: String) = sha(256,
+      idSeed, tag.getBytes(StandardCharsets.US_ASCII))
+    val fileKey = seed("filekey")
+    val vSalt = seed("vsalt").take(8)
+    val kSalt = seed("ksalt").take(8)
+    val empty = Array.emptyByteArray
+    val u = hash2B(empty, vSalt, empty, r = 6) ++ vSalt ++ kSalt
+    val ue = aesCbcNoPad(encrypt = true, hash2B(empty, kSalt, empty, r = 6),
+      new Array[Byte](16), fileKey)
+    val owner = "owner-pass".getBytes(StandardCharsets.ISO_8859_1)
+    val oVSalt = seed("ovsalt").take(8)
+    val oKSalt = seed("oksalt").take(8)
+    val o = hash2B(owner, oVSalt, u, r = 6) ++ oVSalt ++ oKSalt
+    val oe = aesCbcNoPad(encrypt = true, hash2B(owner, oKSalt, u, r = 6),
+      new Array[Byte](16), fileKey)
+    val permsPlain = le32(P) ++ Array[Byte](0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0xFF.toByte) ++
+      "Tadb".getBytes(StandardCharsets.US_ASCII) ++ seed("perms").take(4)
+    val ecb = Cipher.getInstance("AES/ECB/NoPadding")
+    ecb.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(fileKey, "AES"))
+    val perms = ecb.doFinal(permsPlain)
+    def hx(b: Array[Byte]) = "<" + b.map(x => f"$x%02x").mkString + ">"
+    val dict = s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $P " +
+      s"/O ${hx(o)} /U ${hx(u)} /OE ${hx(oe)} /UE ${hx(ue)} " +
+      s"/Perms ${hx(perms)} " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+      "/StmF /StdCF /StrF /StdCF >>"
+    (dict, idHex, PdfCrypt(fileKey, aes = true, v5 = true))
+  }
+
   // ------------------------------------------------------------ parser side
 
   private val PatEncryptRef = Py.re("""/Encrypt\s+(\d+)\s+\d+\s+R""")
@@ -233,6 +341,7 @@ object PdfCrypt {
   private val PatP = Py.re("""/P\s+(-?\d+)""")
   private val PatStdFilter = Py.re("""/Filter\s*/Standard""")
   private val PatCfmAes = Py.re("""/CFM\s*/AESV2""")
+  private val PatCfmAes3 = Py.re("""/CFM\s*/AESV3""")
   private val PatCfmRc4 = Py.re("""/CFM\s*/V2""")
   private val PatCfmNone = Py.re("""/CFM\s*/(None|Identity)""")
   private val PatStmFIdentity = Py.re("""/StmF\s*/Identity""")
@@ -270,6 +379,23 @@ object PdfCrypt {
             "encrypted PDF (/Encrypt): unsupported security handler (not /Standard)")
         val v = group1(PatV, dict).map(_.toInt).getOrElse(0)
         val r = group1(PatR, dict).map(_.toInt).getOrElse(0)
+        if (v == 5 && (r == 5 || r == 6)) {
+          // AES-256 (R5 deprecated-Adobe / R6 ISO 32000-2): /AESV3 only
+          if (!PatCfmAes3.matcher(dict).find())
+            throw new PdfEncryptedException(
+              "encrypted PDF (/Encrypt): V5 without /AESV3 crypt filter")
+          val u = stringValue(dict, "/U").getOrElse(
+            throw new PdfEncryptedException(
+              "encrypted PDF (/Encrypt): missing /U"))
+          val ue = stringValue(dict, "/UE").getOrElse(
+            throw new PdfEncryptedException(
+              "encrypted PDF (/Encrypt): missing /UE"))
+          return openV5(u, ue, r) match {
+            case Some(k) => Some(PdfCrypt(k, aes = true, v5 = true))
+            case None => throw new PdfEncryptedException(
+              "encrypted PDF (/Encrypt): user password required")
+          }
+        }
         if (v < 1 || v > 4 || r < 2 || r > 4)
           throw new PdfEncryptedException(
             s"encrypted PDF (/Encrypt): unsupported revision V=$v R=$r")

@@ -216,7 +216,12 @@ object Synth {
           case 0 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq))
           case 1 => PdfParse.writePdfObjStm(d.pages.map(_.textLayer.split("\n").toSeq))
           case 2 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
-            encrypt = Some(PdfCrypt.Rc4Owner))
+            // alternate the two owner-locked handlers (RC4-128 R3 and
+            // AES-256 R6) so BOTH decrypt paths run at corpus scale;
+            // keyed off idx, not an rng draw, to keep the draw sequence
+            // (and thus every oracle-checked value) unchanged
+            encrypt = Some(
+              if (idx % 2 == 0) PdfCrypt.Rc4Owner else PdfCrypt.Aes256Owner))
           case _ => PdfPayload.serialize(d)
         }
         (bytes, d.pages.head.textLayer.take(120))

@@ -545,10 +545,22 @@ class PdfParseSpec extends AnyFunSuite {
         "trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R /ID [<00> <00>] >>\n" +
         "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
     }
-    val aes256 = withEncryptDict(
+    // V5 with AESV3 but a /U too short to validate → password required
+    val v5bad = withEncryptDict(
+      "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 /O <00> /U <00> " +
+        "/UE <00> /CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF >>")
+    val e0 = intercept[PdfEncryptedException](PdfParse.parse(v5bad))
+    assert(e0.getMessage.contains("user password required"))
+    // V5 without the AESV3 crypt filter is not a layout we can decrypt
+    val v5nofilter = withEncryptDict(
       "<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 /O <00> /U <00> >>")
-    val e1 = intercept[PdfEncryptedException](PdfParse.parse(aes256))
-    assert(e1.getMessage.contains("V=5"))
+    val e1 = intercept[PdfEncryptedException](PdfParse.parse(v5nofilter))
+    assert(e1.getMessage.contains("AESV3"))
+    // an out-of-range revision still names itself
+    val v5r7 = withEncryptDict(
+      "<< /Filter /Standard /V 5 /R 7 /Length 256 /P -44 /O <00> /U <00> >>")
+    val e3 = intercept[PdfEncryptedException](PdfParse.parse(v5r7))
+    assert(e3.getMessage.contains("V=5"))
     val pubkey = withEncryptDict(
       "<< /Filter /Adobe.PubSec /V 2 /R 3 /P -44 /O <00> /U <00> >>")
     val e2 = intercept[PdfEncryptedException](PdfParse.parse(pubkey))
@@ -565,5 +577,41 @@ class PdfParseSpec extends AnyFunSuite {
     assert(hex(PdfCrypt.rc4("Secret".getBytes(StandardCharsets.US_ASCII),
       "Attack at dawn".getBytes(StandardCharsets.US_ASCII))) ==
       "45a01f645fc35b383552544b9bf5")
+  }
+
+  test("owner-locked AES-256 (/AESV3, V5 R6) PDF decrypts: Algorithm 2.B " +
+    "hardened hash validates the empty password, /UE unwraps the file key") {
+    val plain = PdfParse.parse(PdfParse.writePdf(Seq(proseLines, proseLines)))
+    val enc = PdfParse.writePdf(Seq(proseLines, proseLines),
+      encrypt = Some(PdfCrypt.Aes256Owner))
+    val raw = new String(enc, StandardCharsets.ISO_8859_1)
+    assert(raw.contains("/AESV3") && raw.contains("/R 6"))
+    assert(!raw.contains(proseLines.head))
+    val doc = PdfParse.parse(enc)
+    assert(doc.pages.map(_.textLayer) == plain.pages.map(_.textLayer))
+    val d = new Extractor(ProbeConfig()).extract(enc)
+    assert(d.docKind == "pdf" && d.error.isEmpty, s"${d.docKind}/${d.error}")
+  }
+
+  test("Algorithm 2.B hardened hash: >= 64 rounds (wrong passwords cannot " +
+    "shortcut), R5 is the single-SHA-256 degenerate form, and the hash " +
+    "separates passwords and salts") {
+    val salt = Array.tabulate[Byte](8)(_.toByte)
+    val empty = Array.emptyByteArray
+    val h6 = PdfCrypt.hash2B(empty, salt, empty, r = 6)
+    assert(h6.length == 32)
+    // deterministic
+    assert(h6.sameElements(PdfCrypt.hash2B(empty, salt, empty, r = 6)))
+    // R5 = plain SHA-256(pwd ++ salt)
+    val h5 = PdfCrypt.hash2B(empty, salt, empty, r = 5)
+    val ref = java.security.MessageDigest.getInstance("SHA-256").digest(salt)
+    assert(h5.sameElements(ref))
+    assert(!h5.sameElements(h6)) // hardening changes the value
+    // password and salt sensitivity
+    val hPwd = PdfCrypt.hash2B("x".getBytes(StandardCharsets.US_ASCII),
+      salt, empty, r = 6)
+    val salt2 = salt.clone(); salt2(0) = 9
+    assert(!hPwd.sameElements(h6))
+    assert(!PdfCrypt.hash2B(empty, salt2, empty, r = 6).sameElements(h6))
   }
 }
