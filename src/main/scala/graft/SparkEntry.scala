@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data operator suite). EVERY query has an
-  * ANSI-SQL DuckDB oracle (52/52 — zero rows-only checks): engine-specific
+  * ANSI-SQL DuckDB oracle (53/53 — zero rows-only checks): engine-specific
   * values are made oracle-checkable by construction. Kernel 64-bit hashes
   * (minhash/simhash/fingerprints) are re-derived in DuckDB HUGEINT mod-2^64
   * SQL; LSH hyperplanes are MD5-derived so both engines compute them; dot
@@ -639,6 +639,19 @@ object SparkEntry {
         aug.filter(col("doc_id") % 101 =!= 0),
         aug.filter(col("doc_id") % 101 === 0),
         "doc_id", "text", k = 5)
+    }),
+
+    // Cross-snapshot incremental dedup: incoming (doc_id % 4 == 0) vs base
+    // (the rest). Exact via hash join + text-equality residual; near via
+    // the LSH band join between snapshots (full-recall premise pinned by
+    // the OpsSpec recall tests, whose pair set includes every cross-split
+    // pair). Oracle recomputes both checks relationally on string shingles.
+    "q53_incremental_dedup" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Dedup.incrementalDedupVerdicts(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text")
     }),
 
     // Classic relational aggregate (map-side combine; exact integer cents)
@@ -1749,6 +1762,35 @@ object SparkEntry {
         |FROM cg LEFT JOIN bg USING (gram) GROUP BY 1
         |HAVING sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) >= 1"""
         .stripMargin
+
+    // q53: exact = same text in the base; near = 3-gram-shingle Jaccard
+    // ≥ 0.5 against some base doc (the LSH candidate step has full recall
+    // on this corpus — OpsSpec pins it at sf0.01 AND sf0.1 — so the
+    // relational all-pairs recomputation is the oracle). Double Jaccard
+    // division on identical small integers rounds identically in both
+    // engines.
+    m += "q53_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+        |           FROM documents),
+        |s AS (SELECT doc_id, text, list_distinct(list_transform(
+        |        range(1, greatest(len(words) - 1, 1)),
+        |        i -> array_to_string(words[i:i+2], ' '))) AS sh FROM w),
+        |inc AS (SELECT * FROM s WHERE doc_id % 4 = 0),
+        |base AS (SELECT * FROM s WHERE doc_id % 4 <> 0),
+        |ex AS (SELECT DISTINCT i.doc_id FROM inc i
+        |       JOIN base b ON i.text = b.text),
+        |nr AS (SELECT DISTINCT i.doc_id FROM inc i JOIN base b ON
+        |         len(i.sh) > 0 AND len(b.sh) > 0 AND
+        |         len(list_intersect(i.sh, b.sh))::DOUBLE /
+        |           (len(i.sh) + len(b.sh)
+        |              - len(list_intersect(i.sh, b.sh))) >= 0.5)
+        |SELECT i.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'kept' END AS verdict
+        |FROM inc i
+        |LEFT JOIN ex ON i.doc_id = ex.doc_id
+        |LEFT JOIN nr ON i.doc_id = nr.doc_id""".stripMargin
 
     m += "q36_validation_errors" ->
       """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,

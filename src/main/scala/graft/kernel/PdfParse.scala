@@ -34,8 +34,12 @@ import scala.collection.mutable
   *   - `/Type /XRef` cross-reference streams are tolerated: the scan-offset
   *     object locator never reads them, and their binary payloads cannot
   *     fabricate phantom objects (the scanner skips stream payload bytes);
-  *   - encrypted files (`/Encrypt` in a trailer or XRef-stream dict) are
-  *     DETECTED and rejected with a distinct reason, so they surface as
+  *   - encrypted files (`/Encrypt` in a trailer or XRef-stream dict):
+  *     owner-locked files (Standard handler, EMPTY user password — the
+  *     common permissions-restricted PDF) are DECRYPTED via [[PdfCrypt]]
+  *     (R2–R4 RC4//AESV2, R5/R6 AES-256 /AESV3) and extract normally;
+  *     files requiring a real user password or using an unsupported
+  *     handler are rejected with a distinct reason, so they surface as
   *     error rows naming encryption instead of silently degrading like
   *     image-only pages.
   * Everything else (CID fonts without ToUnicode, unsupported filters like
@@ -47,7 +51,7 @@ import scala.collection.mutable
   */
 /** Raised when a PDF carries an `/Encrypt` dictionary this parser cannot
   * open: a real (non-empty) user password, or a handler outside the
-  * supported Standard R2–R4 range. Owner-locked files — the common case,
+  * supported Standard R2–R6 range. Owner-locked files — the common case,
   * empty user password — decrypt via [[PdfCrypt]] and extract normally;
   * only genuinely locked files surface as a DISTINCT error row (X4
   * contract) rather than degrading indistinguishably from an image-only
@@ -1345,13 +1349,25 @@ object PdfParse {
       pageLines: Seq[Seq[String]],
       compress: Boolean = true,
       pageWidth: Double = 612,
-      pageHeight: Double = 792): Array[Byte] = {
+      pageHeight: Double = 792,
+      encrypt: Option[PdfCrypt.Mode] = None): Array[Byte] = {
     val nPages = pageLines.length
+    // Encrypted 1.5 layout: content streams AND the ObjStm CONTAINER are
+    // encrypted per object (the objects inside an ObjStm are then
+    // plaintext — §7.5.7); the XRef stream is NEVER encrypted, and
+    // /Encrypt + /ID live in its dict instead of a classic trailer.
+    val enc = encrypt.map { mode =>
+      PdfCrypt.forWriting(mode,
+        pageLines.flatten.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    def encStream(num: Int, data: Array[Byte]): Array[Byte] =
+      enc.map(_._3.encryptStream(num, data)).getOrElse(data)
     // numbering: 1 catalog, 2 pages node, 3..2+n page dicts (all inside the
     // ObjStm); content streams 3+n..2+2n; ObjStm 3+2n; XRef 4+2n
     val contBase = 3 + nPages
     val objStmNum = 3 + 2 * nPages
-    val xrefNum = objStmNum + 1
+    val encryptNum = objStmNum + 1 // present only when encrypted
+    val xrefNum = objStmNum + (if (enc.isDefined) 2 else 1)
 
     val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
     val inStm: Seq[(Int, String)] =
@@ -1391,14 +1407,22 @@ object PdfParse {
       }
       ops.append("ET\n")
       val rawOps = ops.toString.getBytes(StandardCharsets.ISO_8859_1)
-      val (data, filter) =
+      val (filtered, filter) =
         if (compress) (deflate(rawOps), " /Filter /FlateDecode") else (rawOps, "")
+      val data = encStream(contBase + i, filtered)
       writeObj(contBase + i, s"<< /Length ${data.length}$filter >>", data)
     }
 
+    val stmOut = encStream(objStmNum, stmData)
     writeObj(objStmNum,
       s"<< /Type /ObjStm /N ${inStm.length} /First ${header.length} " +
-        s"/Length ${stmData.length} /Filter /FlateDecode >>", stmData)
+        s"/Length ${stmOut.length} /Filter /FlateDecode >>", stmOut)
+
+    enc.foreach { case (dict, _, _) =>
+      offsets(encryptNum) = out.size()
+      out.write(s"$encryptNum 0 obj\n$dict\nendobj\n"
+        .getBytes(StandardCharsets.ISO_8859_1))
+    }
 
     // XRef stream: one W[1 3 1] entry per object 0..xrefNum
     val xrefOffset = out.size()
@@ -1414,10 +1438,14 @@ object PdfParse {
     inStm.indices.foreach(i => entry(2, objStmNum, i))
     (0 until nPages).foreach(i => entry(1, offsets(contBase + i), 0))
     entry(1, offsets(objStmNum), 0)
+    enc.foreach(_ => entry(1, offsets(encryptNum), 0))
     entry(1, xrefOffset, 0)
     val xrefData = deflate(entries.toByteArray)
     out.write((s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} " +
       s"/W [1 3 1] /Root 1 0 R /Length ${xrefData.length} " +
+      enc.map { case (_, idHex, _) =>
+        s"/Encrypt $encryptNum 0 R /ID [<$idHex> <$idHex>] "
+      }.getOrElse("") +
       "/Filter /FlateDecode >>\nstream\n").getBytes(StandardCharsets.ISO_8859_1))
     out.write(xrefData)
     out.write("\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1))

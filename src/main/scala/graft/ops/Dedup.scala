@@ -307,6 +307,71 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-snapshot incremental dedup — the standard Common-Crawl curation
+    * step when a NEW snapshot lands next to an already-curated BASE corpus:
+    * per incoming document, a verdict `exact_dup` (byte-identical text
+    * exists in the base), `near_dup` (MinHash-LSH candidate verified at
+    * Jaccard ≥ threshold against a base doc), or `kept`. Exact wins over
+    * near when both hold.
+    *
+    * Scale shape: the exact check joins on xxhash64(text) with the TEXT
+    * EQUALITY verified as the join residual (a 64-bit collision can
+    * therefore never drop a unique doc); the near check reuses the LSH
+    * machinery — band keys are the join key between snapshots, `distinct`
+    * BEFORE the single Jaccard verify, shingle sets re-joined onto the
+    * candidate pair set only. Both joins are keyed equi-joins (hash / band
+    * bucket); nothing is O(base × incoming). The base side is never
+    * collected or broadcast — this runs with a 100 TB base. Within-snapshot
+    * duplicates are out of scope here ([[minhashNearDups]] covers them). */
+  def incrementalDedupVerdicts(base: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 3,
+      numHashes: Int = 32, numBands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    def keyed(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("doc_id"), text.as("text"),
+      xxhash64(text).as("h"))
+    val inc = keyed(incoming)
+    val bs = keyed(base)
+
+    val exactIds = inc.join(
+      bs.select(col("h").as("bh"), col("text").as("bt")),
+      inc("h") === col("bh") && inc("text") === col("bt"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_exact", lit(true))
+
+    def shingled(df: DataFrame) = df.select(col("doc_id"),
+      shingleFingerprints(split(col("text"), " "), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    def banded(df: DataFrame) = df
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bk", explode(bandKeys(col("sig"), numBands,
+        numHashes / numBands)))
+      .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+    val shInc = shingled(inc)
+    val shBase = shingled(bs)
+    val candidates = banded(shInc).join(
+      banded(shBase).withColumnRenamed("doc_id", "base_id"),
+      Seq("band", "bucket"))
+      .select(col("doc_id"), col("base_id"))
+      .distinct()
+    val nearIds = candidates
+      .join(shInc, Seq("doc_id"))
+      .join(shBase.select(col("doc_id").as("base_id"),
+        col("sh").as("sh_b")), Seq("base_id"))
+      .filter(jaccard(col("sh"), col("sh_b")) >= threshold)
+      .select(col("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+
+    inc.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left_outer")
+      .join(nearIds, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("kept").as("verdict"))
+  }
+
   /** Duplicated-n-gram profile, the document-level statistic behind
     * exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", ACL'22 — their ExactSubstr pass, here at

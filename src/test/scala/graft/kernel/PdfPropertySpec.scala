@@ -92,4 +92,35 @@ class PdfPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val encModeGen: Gen[PdfCrypt.Mode] =
+    Gen.oneOf(PdfCrypt.Rc4Owner, PdfCrypt.AesOwner, PdfCrypt.Aes256Owner)
+
+  test("round trip: every owner-locked encryption mode x both layouts " +
+    "reproduces the text layer exactly, and never leaks plaintext") {
+    val gen = for {
+      d <- docGen
+      mode <- encModeGen
+      objstm <- Gen.oneOf(true, false)
+    } yield (d, mode, objstm)
+    check(gen) { case ((pages, compress), mode, objstm) =>
+      val plainBytes =
+        if (objstm) PdfParse.writePdfObjStm(pages, compress = compress)
+        else PdfParse.writePdf(pages, compress = compress)
+      val encBytes =
+        if (objstm) PdfParse.writePdfObjStm(pages, compress = compress,
+          encrypt = Some(mode))
+        else PdfParse.writePdf(pages, compress = compress,
+          encrypt = Some(mode))
+      val plain = PdfParse.parse(plainBytes)
+      val enc = PdfParse.parse(encBytes)
+      assert(plain.pages.map(_.textLayer) == enc.pages.map(_.textLayer),
+        s"mode=$mode objstm=$objstm compress=$compress")
+      // uncompressed + unencrypted leaks line text; encrypted never does
+      val raw = new String(encBytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val marker = pages.flatten.find(_.length >= 12)
+      marker.foreach(m => assert(!raw.contains(m),
+        s"plaintext leak under $mode (objstm=$objstm)"))
+    }
+  }
 }

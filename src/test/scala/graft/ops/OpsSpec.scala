@@ -520,4 +520,18 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"bench gram set should broadcast:\n$plan")
   }
+
+  test("incremental dedup verdicts: exact beats near, near found across " +
+    "snapshots, unique docs kept, base never judged") {
+    // split the 6-doc frame: incoming = {2, 4, 6}, base = {1, 3, 5}
+    val base = docs.filter(col("id") % 2 === 1)
+    val incoming = docs.filter(col("id") % 2 === 0)
+    val v = Dedup.incrementalDedupVerdicts(base, incoming, "id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("verdict")).toMap
+    assert(v.keySet == Set(2L, 4L, 6L)) // verdicts for incoming only
+    assert(v(4L) == "exact_dup") // doc 4 == doc 1 byte-identical
+    assert(v(2L) == "near_dup")  // doc 2 ~ doc 1 (one word differs)
+    assert(v(6L) == "kept")      // nothing similar in base
+  }
 }
