@@ -46,5 +46,13 @@ object KernelProfile {
     time("pdf18p_objstm15",
       docs.map(d => PdfParse.writePdfObjStm(d.pages.map(_.textLayer.split("\n").toSeq))))
     time("pdf18p_structured", docs.map(PdfPayload.serialize))
+
+    // decryption overhead isolated: same 18-page docs, owner-locked
+    time("pdf18p_rc4_128",
+      docs.map(d => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
+        encrypt = Some(graft.kernel.PdfCrypt.Rc4Owner))))
+    time("pdf18p_aes256_r6",
+      docs.map(d => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
+        encrypt = Some(graft.kernel.PdfCrypt.Aes256Owner))))
   }
 }

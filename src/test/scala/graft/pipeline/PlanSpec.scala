@@ -174,4 +174,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), // map-side combine on the min agg
       p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
   }
+
+  test("dup-gram profile: every Exchange keyed on gram or doc_id, both " +
+    "aggregates have partial (map-side) phases, no cartesian product") {
+    val p = plan(graft.SparkEntry.queries("q51_dup_ngrams")(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    val keys = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keys.nonEmpty && keys.forall(l =>
+      l.contains("gram") || l.contains("doc_id")), keys.mkString("\n"))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+  }
+
+  test("benchmark contamination: the bench gram set is broadcast — the " +
+    "corpus membership test has no shuffle on the corpus side") {
+    val p = plan(graft.SparkEntry.queries("q52_contamination")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the only hash exchanges are the per-doc aggregate (and none keyed
+    // on the gram for the corpus side of the join)
+    val joins = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(joins.isEmpty, s"membership test must not sort-merge: $joins")
+  }
+
+  test("incremental dedup: exact + near checks are keyed equi-joins " +
+    "(hash/band-bucket), never a product of the two snapshots") {
+    val p = plan(graft.SparkEntry.queries("q53_incremental_dedup")(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    // band-bucket join key present on the near path
+    assert(p.contains("band") && p.contains("bucket"), p.take(1200))
+  }
 }
