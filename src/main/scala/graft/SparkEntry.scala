@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data operator suite). EVERY query has an
-  * ANSI-SQL DuckDB oracle (53/53 — zero rows-only checks): engine-specific
+  * ANSI-SQL DuckDB oracle (54/54 — zero rows-only checks): engine-specific
   * values are made oracle-checkable by construction. Kernel 64-bit hashes
   * (minhash/simhash/fingerprints) are re-derived in DuckDB HUGEINT mod-2^64
   * SQL; LSH hyperplanes are MD5-derived so both engines compute them; dot
@@ -652,6 +652,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 4 =!= 0),
         docs.filter(col("doc_id") % 4 === 0),
         "doc_id", "text")
+    }),
+
+    // The CurateJob funnel's per-document verdicts — the flagship
+    // curation COMPOSITION (exact dedup → LSH near-dup components →
+    // length → language → quality → repetition), oracle-checked as one
+    // query. Every stage reuses an operator whose SQL restatement is
+    // individually hash-green (q20 md5 dedup, q45 components, q30
+    // quality proxy, q48 repetition), so the oracle is their composition.
+    "q54_curation_verdicts" -> ((s, dir) => {
+      graft.pipeline.CurateJob.verdicts(spread(t(s, dir, "documents")),
+        "doc_id", "text", "lang", graft.pipeline.CurateConfig())
     }),
 
     // Classic relational aggregate (map-side combine; exact integer cents)
@@ -1791,6 +1802,114 @@ object SparkEntry {
         |FROM inc i
         |LEFT JOIN ex ON i.doc_id = ex.doc_id
         |LEFT JOIN nr ON i.doc_id = nr.doc_id""".stripMargin
+
+    // q54: the q20/q45/q30/q48 oracle machinery composed under the
+    // first-match-wins CASE. Near-dup losers are non-representatives of
+    // the q45 connected components (prefix-join candidates are complete
+    // for J ≥ 0.5; LSH recall pinned by OpsSpec at sf0.01 AND sf0.1).
+    m += "q54_curation_verdicts" ->
+      """WITH RECURSIVE
+        |ek AS (SELECT doc_id, md5(text) AS k FROM documents),
+        |ekeep AS (SELECT k, min(doc_id) AS keep FROM ek GROUP BY 1),
+        |exact_losers AS (
+        |  SELECT e.doc_id FROM ek e JOIN ekeep kk USING (k)
+        |  WHERE e.doc_id <> kk.keep),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_sort(list_distinct(list_transform(
+        |                range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' ')))) END AS sh
+        |  FROM tok),
+        |nz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0 WHERE len(sh) > 0),
+        |pref AS (
+        |  SELECT doc_id, sz,
+        |    unnest(sh[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS tok
+        |  FROM nz),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |   AND a.sz * 0.5 <= b.sz AND b.sz * 0.5 <= a.sz),
+        |ver AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(x.sh, y.sh)) * 1.0 /
+        |    len(list_distinct(list_concat(x.sh, y.sh))) AS j
+        |  FROM cand
+        |  JOIN nz x ON x.doc_id = id_a
+        |  JOIN nz y ON y.doc_id = id_b),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, c) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
+        |comp AS (SELECT v AS doc_id, min(c) AS component FROM reach
+        |  GROUP BY v),
+        |near_losers AS (
+        |  SELECT doc_id FROM comp WHERE doc_id <> component),
+        |padded AS (
+        |  SELECT doc_id, text, ' ' || replace(text, ' ', '  ') || ' ' AS pad
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    CAST((length(pad) - length(replace(pad, ' the ', ''))) / 5
+        |       + (length(pad) - length(replace(pad, ' and ', ''))) / 5
+        |       + (length(pad) - length(replace(pad, ' of ', ''))) / 4
+        |       + (length(pad) - length(replace(pad, ' is ', ''))) / 4
+        |       + (length(pad) - length(replace(pad, ' a ', ''))) / 3
+        |       + (length(pad) - length(replace(pad, ' to ', ''))) / 4
+        |      AS BIGINT) AS stop_hits,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS words,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS digits
+        |  FROM padded),
+        |q AS (
+        |  SELECT doc_id,
+        |    least(
+        |      least(CASE WHEN words = 0 THEN 0.0
+        |                 ELSE stop_hits * 1.0 / words END, 0.5) +
+        |      (CASE WHEN length(text) >= 200 AND length(text) <= 5000
+        |            THEN 0.3 ELSE 0.0 END) +
+        |      (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+        |                       ELSE digits * 1.0 / length(text) END) < 0.3
+        |            THEN 0.2 ELSE 0.0 END),
+        |      1.0) AS quality
+        |  FROM f),
+        |bg AS (
+        |  SELECT doc_id,
+        |    greatest(len(toks) - 1, 0)::BIGINT AS n_bigrams,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+        |  FROM tok),
+        |bu AS (SELECT doc_id, unnest(bigrams) AS g FROM bg),
+        |bc AS (SELECT doc_id, g, count(*) AS cnt FROM bu GROUP BY 1, 2),
+        |bagg AS (SELECT doc_id, max(cnt) AS top_count FROM bc GROUP BY 1),
+        |rep AS (
+        |  SELECT bg.doc_id,
+        |    CASE WHEN bg.n_bigrams = 0 THEN FALSE
+        |         ELSE coalesce(bagg.top_count, 0) * 1000000
+        |                // bg.n_bigrams > 60000 END AS repetitive
+        |  FROM bg LEFT JOIN bagg ON bg.doc_id = bagg.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN el.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nl.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN length(d.text) < 120 THEN 'too_short'
+        |       WHEN d.lang NOT IN ('en', 'de', 'fr') THEN 'lang_filter'
+        |       WHEN q.quality < 0.3 THEN 'low_quality'
+        |       WHEN rep.repetitive THEN 'repetitive'
+        |       ELSE 'kept' END AS verdict
+        |FROM documents d
+        |LEFT JOIN exact_losers el ON d.doc_id = el.doc_id
+        |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
+        |LEFT JOIN q ON d.doc_id = q.doc_id
+        |LEFT JOIN rep ON d.doc_id = rep.doc_id""".stripMargin
 
     m += "q36_validation_errors" ->
       """SELECT doc_id, (length(text) <> n_chars) AS length_mismatch,

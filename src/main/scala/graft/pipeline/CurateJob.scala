@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Knobs of the curation funnel. Defaults mirror the q50 filter funnel and
+  * the dedup operators' documented parameters. */
+final case class CurateConfig(
+    minChars: Int = 120,
+    langs: Seq[String] = Seq("en", "de", "fr"),
+    minQuality: Double = 0.3,
+    repetitiveTopPpm: Long = 60000L,
+    nearDupThreshold: Double = 0.5,
+    shingleK: Int = 3,
+    numHashes: Int = 32,
+    numBands: Int = 8,
+    scrubPii: Boolean = true,
+    buckets: Int = 64)
+
+/** Per-reason document counts of a curation run, aggregated from the
+  * committed verdict table (exactly-once, like ExtractJob's lineage). */
+final case class CurateStats(input: Long, kept: Long, drops: Map[String, Long])
+
+/** The training-data CURATION pipeline — what a user runs over extraction
+  * output (or any (id, text, lang) document table) to turn a crawl into a
+  * training corpus:
+  *
+  *   exact dedup → near dedup (MinHash-LSH + connected components, losers
+  *   dropped) → length filter → language filter → quality filter →
+  *   repetition filter (Gopher-style) → PII scrub → bucketed parquet write
+  *   with a per-document VERDICT table.
+  *
+  * Composition rules at 100 TB (each inherited from the operator it
+  * reuses, plan shapes locked in PlanSpec/OpsSpec):
+  *
+  *   - the two dedup stages are the only stages that shuffle on anything
+  *     other than the doc id (band bucket / fingerprint keys — see
+  *     SCALE.md); their LOSER sets join back onto the corpus as keyed
+  *     left joins, so the corpus body is never re-shuffled per stage;
+  *   - all four quality filters are row-local Column expressions computed
+  *     in ONE projection pass (no per-filter scans);
+  *   - first-match-wins verdict precedence (exact_dup > near_dup >
+  *     too_short > lang_filter > low_quality > repetitive > kept) makes
+  *     drop counts additive — the funnel reads like a report;
+  *   - the verdict table is written for EVERY input doc (auditability +
+  *     resume substrate), the curated table only for keepers;
+  *   - PII scrubbing runs only on keepers (codegen'd regexp chain).
+  */
+object CurateJob {
+
+  /** Per-document verdicts: (idCol, verdict) for every input row. */
+  def verdicts(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, cfg: CurateConfig): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"), col(langCol).as("lang"))
+
+    // dedup losers (exact keeps the min id per group; near keeps each
+    // connected component's min-id representative)
+    // agg + join-back (the q21 shape): map-side combine on the content
+    // hash, never a collect_list that would balloon on a hot duplicate key
+    val keyed = base.select(col("doc_id"), md5(col("text")).as("k"))
+    val keepPerKey = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("keep"))
+    val exactLosers = keyed.join(keepPerKey, Seq("k"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id")).withColumn("x_exact", lit(true))
+    val pairs = Dedup.minhashNearDups(base, "doc_id", "text",
+      shingleK = cfg.shingleK, numHashes = cfg.numHashes,
+      numBands = cfg.numBands, threshold = cfg.nearDupThreshold)
+    val nearLosers = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id")).withColumn("x_near", lit(true))
+
+    // row-local quality signals in one pass
+    val sig = TextOps.repetitionSignals(base, "text",
+      repetitiveTopPpm = cfg.repetitiveTopPpm)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("quality", TextOps.qualityProxy(col("text")))
+
+    sig
+      .join(exactLosers, Seq("doc_id"), "left_outer")
+      .join(nearLosers, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("x_exact"), "exact_dup")
+          .when(col("x_near"), "near_dup")
+          .when(col("n_chars") < cfg.minChars, "too_short")
+          .when(!col("lang").isin(cfg.langs.map(lit): _*), "lang_filter")
+          .when(col("quality") < cfg.minQuality, "low_quality")
+          .when(col("repetitive"), "repetitive")
+          .otherwise("kept").as("verdict"))
+  }
+
+  /** Run the funnel and write `outDir/curated` (bucketed by id hash,
+    * partitioned — keepers only, PII-scrubbed) plus `outDir/verdicts`
+    * (every doc). Stats are aggregated from the COMMITTED verdict table,
+    * not accumulators. */
+  def run(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, outDir: String,
+      cfg: CurateConfig = CurateConfig()): CurateStats = {
+    val v = verdicts(docs, idCol, textCol, langCol, cfg)
+    v.write.mode("overwrite").parquet(s"$outDir/verdicts")
+    val committed = spark.read.parquet(s"$outDir/verdicts")
+
+    val keepers = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"), col(langCol).as("lang"))
+      .join(committed.filter(col("verdict") === "kept").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val scrubbed =
+      if (cfg.scrubPii)
+        keepers.withColumn("text", TextOps.scrubPii(col("text")))
+      else keepers
+    scrubbed
+      .withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(cfg.buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/curated")
+
+    val counts = committed.groupBy(col("verdict")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    CurateStats(
+      input = counts.values.sum,
+      kept = counts.getOrElse("kept", 0L),
+      drops = counts - "kept")
+  }
+}

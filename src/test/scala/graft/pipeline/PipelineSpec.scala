@@ -254,4 +254,50 @@ class PipelineSpec extends AnyFunSuite {
     val s = prob.select("summary").limit(5).collect().map(_.getString(0))
     assert(s.forall(_.nonEmpty))
   }
+
+  test("CurateJob end-to-end: funnel verdicts first-match-wins, curated " +
+    "output = keepers only with PII scrubbed, stats from committed table") {
+    import spark.implicits._
+    // varied prose per seed: stopword-dense (quality ok), unique content
+    // words (distinct shingle sets — near-dup only where constructed)
+    def prose(seed: Int): String = // every adjacent bigram unique
+      (0 until 60).map(i =>
+        s"w${seed * 971 + 2 * i} the w${seed * 971 + 2 * i + 1}").mkString(" ")
+    val docs = Seq(
+      (1L, prose(1) + " alpha beta gamma", "en"),        // kept
+      (2L, prose(1) + " alpha beta gamma", "en"),        // exact dup of 1
+      (3L, prose(1) + " alpha beta gamma delta", "en"),  // near dup of 1
+      (4L, "short text", "en"),                          // too_short
+      (5L, prose(5) + " unique tail here", "xx"),        // lang_filter
+      (6L, prose(6) + " mail me a@b.com now", "en"),     // kept, PII-bearing
+      (7L, ("spam ham " * 40).trim, "en")                // repetitive bigram
+    ).toDF("doc_id", "text", "lang")
+    val out = Files.createTempDirectory("graft_curate_").toString
+    val stats = CurateJob.run(spark, docs, "doc_id", "text", "lang", out)
+
+    val v = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(v(2L) == "exact_dup")
+    assert(v(3L) == "near_dup")
+    assert(v(4L) == "too_short")
+    assert(v(5L) == "lang_filter")
+    assert(v(1L) == "kept")
+    assert(v(7L) == "repetitive", s"got ${v(7L)}")
+
+    val curated = spark.read.parquet(s"$out/curated")
+    val keptIds = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == v.filter(_._2 == "kept").keySet)
+    // PII scrubbed in the curated copy
+    if (keptIds.contains(6L)) {
+      val t6 = curated.filter(col("doc_id") === 6L)
+        .select("text").head().getString(0)
+      assert(!t6.contains("a@b.com") && t6.contains("<EMAIL>"),
+        t6.takeRight(60))
+    }
+    assert(stats.input == 7L)
+    assert(stats.kept == keptIds.size.toLong)
+    assert(stats.drops.values.sum + stats.kept == stats.input)
+    // curated table is bucketed for downstream co-located reads
+    assert(curated.columns.contains("bucket"))
+  }
 }
