@@ -77,6 +77,30 @@ object Main {
         Summary.corpusSummary(ExtractJob.pageStats(spark, output))
           .show(truncate = false)
 
+      // curate an extraction output (or any (id,text,lang) doc table) into
+      // a training corpus: dedup → quality funnel → PII scrub → bucketed
+      // write + per-doc verdict table (see pipeline/CurateJob)
+      case "curate" =>
+        val input = required(opts, "input")
+        val output = required(opts, "output")
+        val cfg = graft.pipeline.CurateConfig(
+          minChars = opts.getOrElse("min-chars", "120").toInt,
+          langs = opts.getOrElse("langs", "en,de,fr").split(",").toSeq,
+          minQuality = opts.getOrElse("min-quality", "0.3").toDouble,
+          nearDupThreshold = opts.getOrElse("near-threshold", "0.5").toDouble,
+          scrubPii = !opts.contains("keep-pii"),
+          buckets = opts.getOrElse("buckets", "64").toInt)
+        val docs = spark.read.parquet(input)
+        val idCol = opts.getOrElse("id-col", "doc_id")
+        val textCol = opts.getOrElse("text-col", "text")
+        val langCol = opts.getOrElse("lang-col", "lang")
+        val stats = graft.pipeline.CurateJob.run(
+          spark, docs, idCol, textCol, langCol, output, cfg)
+        val dropStr = stats.drops.toSeq.sortBy(-_._2)
+          .map { case (r, n) => s"$r=$n" }.mkString(" ")
+        println(s"[graft] curate input=${stats.input} kept=${stats.kept} " +
+          dropStr)
+
       case other =>
         System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
     } finally spark.stop()
@@ -109,5 +133,9 @@ object Main {
       |          [--warc] (input is CC-style WARC files, not a parquet table)
       |          [--wet [DIR]] (also write WARC conversion records)
       |  synth   --n N --output P [--seed S]
-      |  summary --output P""".stripMargin)
+      |  summary --output P
+      |  curate  --input P --output P [--min-chars N] [--langs en,de,fr]
+      |          [--min-quality Q] [--near-threshold T] [--keep-pii]
+      |          [--buckets N] [--id-col C] [--text-col C] [--lang-col C]"""
+      .stripMargin)
 }
