@@ -1781,8 +1781,10 @@ object SparkEntry {
     // division on identical small integers rounds identically in both
     // engines.
     m += "q53_incremental_dedup" ->
-      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+      """WITH d0 AS (SELECT doc_id, coalesce(text, '') AS text
         |           FROM documents),
+        |w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+        |           FROM d0),
         |s AS (SELECT doc_id, text, list_distinct(list_transform(
         |        range(1, greatest(len(words) - 1, 1)),
         |        i -> array_to_string(words[i:i+2], ' '))) AS sh FROM w),
@@ -1809,13 +1811,15 @@ object SparkEntry {
     // for J ≥ 0.5; LSH recall pinned by OpsSpec at sf0.01 AND sf0.1).
     m += "q54_curation_verdicts" ->
       """WITH RECURSIVE
-        |ek AS (SELECT doc_id, md5(text) AS k FROM documents),
+        |d0 AS (SELECT doc_id, coalesce(text, '') AS text, lang
+        |       FROM documents),
+        |ek AS (SELECT doc_id, md5(text) AS k FROM d0),
         |ekeep AS (SELECT k, min(doc_id) AS keep FROM ek GROUP BY 1),
         |exact_losers AS (
         |  SELECT e.doc_id FROM ek e JOIN ekeep kk USING (k)
         |  WHERE e.doc_id <> kk.keep),
         |tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
         |sh0 AS (
         |  SELECT doc_id,
         |    CASE WHEN len(toks) < 3 THEN []
@@ -1855,7 +1859,7 @@ object SparkEntry {
         |  SELECT doc_id FROM comp WHERE doc_id <> component),
         |padded AS (
         |  SELECT doc_id, text, ' ' || replace(text, ' ', '  ') || ' ' AS pad
-        |  FROM documents),
+        |  FROM d0),
         |f AS (
         |  SELECT doc_id, text,
         |    CAST((length(pad) - length(replace(pad, ' the ', ''))) / 5
@@ -1905,7 +1909,7 @@ object SparkEntry {
         |       WHEN q.quality < 0.3 THEN 'low_quality'
         |       WHEN rep.repetitive THEN 'repetitive'
         |       ELSE 'kept' END AS verdict
-        |FROM documents d
+        |FROM d0 d
         |LEFT JOIN exact_losers el ON d.doc_id = el.doc_id
         |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
         |LEFT JOIN q ON d.doc_id = q.doc_id

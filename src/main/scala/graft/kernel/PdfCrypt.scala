@@ -31,11 +31,11 @@ final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean,
     v5: Boolean = false) {
 
   /** Algorithm 1 per-object key: MD5(fileKey ∥ objNum LE24 ∥ gen LE16
-    * [∥ sAlT for AES]), truncated to min(keyLen+5, 16). Generation is 0
-    * for every object this parser keeps (last-definition-wins scan).
-    * V5 (AES-256) uses the FILE key directly — ISO 32000-2 dropped the
-    * per-object derivation. */
-  private def objectKey(num: Int): Array[Byte] =
+    * [∥ sAlT for AES]), truncated to min(keyLen+5, 16). The generation
+    * comes from the object header (nonzero after incremental updates —
+    * using 0 there would RC4-garble silently). V5 (AES-256) uses the FILE
+    * key directly — ISO 32000-2 dropped the per-object derivation. */
+  private def objectKey(num: Int, gen: Int): Array[Byte] =
     if (v5) fileKey
     else {
       val salt =
@@ -44,7 +44,8 @@ final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean,
       val h = PdfCrypt.md5(
         fileKey,
         Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
-          ((num >> 16) & 0xFF).toByte, 0, 0),
+          ((num >> 16) & 0xFF).toByte,
+          (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte),
         salt)
       h.take(math.min(fileKey.length + 5, 16))
     }
@@ -53,15 +54,16 @@ final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean,
     * CBC IV in the first 16 bytes; padding is PKCS#5. Malformed ciphertext
     * (short, bad padding) yields None so the page DEGRADES to the OCR path
     * instead of throwing mid-kernel. */
-  def decryptStream(num: Int, data: Array[Byte]): Option[Array[Byte]] =
+  def decryptStream(num: Int, gen: Int,
+      data: Array[Byte]): Option[Array[Byte]] =
     try {
-      if (!aes) Some(PdfCrypt.rc4(objectKey(num), data))
+      if (!aes) Some(PdfCrypt.rc4(objectKey(num, gen), data))
       else if (data.length < 32 || data.length % 16 != 0) {
         if (data.isEmpty) Some(data) else None
       } else {
         val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
         c.init(Cipher.DECRYPT_MODE,
-          new SecretKeySpec(objectKey(num), "AES"),
+          new SecretKeySpec(objectKey(num, gen), "AES"),
           new IvParameterSpec(java.util.Arrays.copyOfRange(data, 0, 16)))
         Some(c.doFinal(data, 16, data.length - 16))
       }
@@ -71,13 +73,14 @@ final case class PdfCrypt(fileKey: Array[Byte], aes: Boolean,
     * corpus): RC4 is symmetric; AES prepends a deterministic per-object
     * IV (MD5 of the object key — fixtures must be bit-reproducible, so no
     * SecureRandom). */
-  def encryptStream(num: Int, data: Array[Byte]): Array[Byte] =
-    if (!aes) PdfCrypt.rc4(objectKey(num), data)
+  def encryptStream(num: Int, data: Array[Byte], gen: Int = 0): Array[Byte] =
+    if (!aes) PdfCrypt.rc4(objectKey(num, gen), data)
     else {
-      val iv = PdfCrypt.md5(objectKey(num))
+      val iv = PdfCrypt.md5(objectKey(num, gen))
       val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
       c.init(Cipher.ENCRYPT_MODE,
-        new SecretKeySpec(objectKey(num), "AES"), new IvParameterSpec(iv))
+        new SecretKeySpec(objectKey(num, gen), "AES"),
+        new IvParameterSpec(iv))
       iv ++ c.doFinal(data)
     }
 }
@@ -333,8 +336,6 @@ object PdfCrypt {
   // ------------------------------------------------------------ parser side
 
   private val PatEncryptRef = Py.re("""/Encrypt\s+(\d+)\s+\d+\s+R""")
-  private val PatIdHex = Py.re(
-    """/ID\s*\[\s*<([0-9a-fA-F\s]*)>\s*<[0-9a-fA-F\s]*>\s*\]""")
   private val PatV = Py.re("""/V\s+(\d+)""")
   private val PatR = Py.re("""/R\s+(\d+)""")
   private val PatLength = Py.re("""/Length\s+(\d+)""")
@@ -342,10 +343,70 @@ object PdfCrypt {
   private val PatStdFilter = Py.re("""/Filter\s*/Standard""")
   private val PatCfmAes = Py.re("""/CFM\s*/AESV2""")
   private val PatCfmAes3 = Py.re("""/CFM\s*/AESV3""")
-  private val PatCfmRc4 = Py.re("""/CFM\s*/V2""")
-  private val PatCfmNone = Py.re("""/CFM\s*/(None|Identity)""")
-  private val PatStmFIdentity = Py.re("""/StmF\s*/Identity""")
+  private val PatCfm = Py.re("""/CFM\s*/(\w+)""")
+  private val PatStmF = Py.re("""/StmF\s*/(\w+)""")
+  private val PatCfDict = Py.re("""/CF\s*<<""")
   private val PatNoMeta = Py.re("""/EncryptMetadata\s+false""")
+
+  /** The dict text with nested `<< … >>` sub-dicts blanked out, so
+    * depth-0 key greps (/Length, /StmF) cannot match keys of a nested
+    * crypt-filter dict — key order in PDF dicts is unspecified. */
+  private def topLevelText(dict: String): String = {
+    val sb = new StringBuilder(dict.length)
+    var depth = 0
+    var i = 0
+    while (i < dict.length) {
+      val two = i + 1 < dict.length
+      if (two && dict.charAt(i) == '<' && dict.charAt(i + 1) == '<') {
+        depth += 1
+        sb.append(if (depth <= 1) "<<" else "  ")
+        i += 2
+      } else if (two && dict.charAt(i) == '>' && dict.charAt(i + 1) == '>') {
+        sb.append(if (depth <= 1) ">>" else "  ")
+        depth -= 1
+        i += 2
+      } else {
+        sb.append(if (depth <= 1) dict.charAt(i) else ' ')
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** The balanced `<< … >>` starting at the first `<<` at/after `from`. */
+  private def balanced(s: String, from: Int): String = {
+    val start = s.indexOf("<<", from)
+    if (start < 0) return ""
+    var depth = 0
+    var j = start
+    while (j + 1 < s.length) {
+      if (s.charAt(j) == '<' && s.charAt(j + 1) == '<') { depth += 1; j += 2 }
+      else if (s.charAt(j) == '>' && s.charAt(j + 1) == '>') {
+        depth -= 1; j += 2
+        if (depth == 0) return s.substring(start, j)
+      } else j += 1
+    }
+    ""
+  }
+
+  /** The /CFM of the crypt filter the top-level /StmF names (§7.6.5):
+    * None when /StmF is absent (spec default Identity) or unresolvable;
+    * Some("Identity") when /StmF /Identity. Only the NAMED /CF entry is
+    * consulted — a secondary crypt filter's /CFM never shadows it. */
+  private def activeStreamCfm(dict: String): Option[String] =
+    group1(PatStmF, topLevelText(dict)) match {
+      case None => None
+      case Some("Identity") => Some("Identity")
+      case Some(name) =>
+        val m = PatCfDict.matcher(dict)
+        if (!m.find()) None
+        else {
+          val cf = balanced(dict, m.end() - 2)
+          val ent = cf.indexOf("/" + name)
+          if (ent < 0) None
+          else group1(PatCfm, balanced(cf, ent))
+        }
+    }
 
   private def group1(pat: java.util.regex.Pattern, s: String): Option[String] = {
     val m = pat.matcher(s)
@@ -399,18 +460,32 @@ object PdfCrypt {
         if (v < 1 || v > 4 || r < 2 || r > 4)
           throw new PdfEncryptedException(
             s"encrypted PDF (/Encrypt): unsupported revision V=$v R=$r")
-        val aes = v == 4 && PatCfmAes.matcher(dict).find()
-        if (v == 4 && !aes && !PatCfmRc4.matcher(dict).find() &&
-          !PatCfmNone.matcher(dict).find() &&
-          !PatStmFIdentity.matcher(dict).find())
-          throw new PdfEncryptedException(
-            "encrypted PDF (/Encrypt): unsupported V4 crypt filter")
-        if (v == 4 && (PatCfmNone.matcher(dict).find() ||
-          PatStmFIdentity.matcher(dict).find()))
-          return None // Identity filter: streams are not actually encrypted
+        // V4 crypt-filter resolution follows the SPEC's indirection, not a
+        // whole-dict grep (a /CFM inside a secondary /CF entry must not
+        // shadow the active one): the stream filter is the /CF entry NAMED
+        // by /StmF (spec default /Identity = streams not encrypted).
+        val aes = v == 4 && {
+          val cfm = activeStreamCfm(dict)
+          cfm match {
+            case None | Some("Identity") | Some("None") =>
+              if (cfm.isEmpty && PatCfmAes.matcher(dict).find())
+                // tolerated: /StmF absent but a lone /AESV2 StdCF present
+                // (writers that omit the default-naming keys)
+                true
+              else return None // Identity: streams are not encrypted
+            case Some("AESV2") => true
+            case Some("V2") => false
+            case Some(other) => throw new PdfEncryptedException(
+              s"encrypted PDF (/Encrypt): unsupported V4 crypt filter /$other")
+          }
+        }
+        // /Length must come from the TOP-LEVEL dict — V4 dicts carry a
+        // nested byte-valued /Length inside /CF entries, and key order in
+        // PDF dicts is unspecified, so grep the depth-0 text only.
         val keyBytes =
           if (r == 2) 5
-          else group1(PatLength, dict).map(_.toInt / 8).getOrElse(5)
+          else group1(PatLength, topLevelText(dict)).map(_.toInt / 8)
+            .getOrElse(if (v == 4) 16 else 5)
         if (keyBytes < 5 || keyBytes > 16)
           throw new PdfEncryptedException(
             s"encrypted PDF (/Encrypt): unsupported key length ${keyBytes * 8}")
@@ -422,9 +497,7 @@ object PdfCrypt {
         val u = stringValue(dict, "/U").getOrElse(
           throw new PdfEncryptedException(
             "encrypted PDF (/Encrypt): missing /U"))
-        val id0 = group1(PatIdHex, trailer)
-          .map(h => hexBytes(h.filterNot(_.isWhitespace)))
-          .getOrElse(Array.emptyByteArray)
+        val id0 = firstId(trailer)
         val key = fileKey(Array.emptyByteArray, o, p, id0, r, keyBytes,
           encryptMetadata)
         if (!userKeyValid(key, u, id0, r))
@@ -434,9 +507,25 @@ object PdfCrypt {
     }
   }
 
-  private def hexBytes(h: String): Array[Byte] = {
-    val even = if (h.length % 2 == 1) h + "0" else h
-    even.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
+  /** First /ID array entry — hex OR literal string (both are legal plain
+    * string objects per §14.4); empty when absent/unparsable. */
+  private def firstId(trailer: String): Array[Byte] = {
+    val i = trailer.indexOf("/ID")
+    if (i < 0) return Array.emptyByteArray
+    var j = i + 3
+    while (j < trailer.length && trailer.charAt(j).isWhitespace) j += 1
+    if (j >= trailer.length || trailer.charAt(j) != '[')
+      return Array.emptyByteArray
+    j += 1
+    while (j < trailer.length && trailer.charAt(j).isWhitespace) j += 1
+    if (j >= trailer.length) return Array.emptyByteArray
+    val decoded = trailer.charAt(j) match {
+      case '<' => Some(PdfParse.hexString(trailer, j)._1)
+      case '(' => Some(PdfParse.literalString(trailer, j)._1)
+      case _ => None
+    }
+    decoded.map(_.toCharArray.map(c => (c & 0xFF).toByte))
+      .getOrElse(Array.emptyByteArray)
   }
 
   /** The byte value of dict key `name` (`/O`, `/U`): literal `(…)` or hex

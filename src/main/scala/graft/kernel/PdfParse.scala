@@ -67,7 +67,7 @@ object PdfParse {
 
   // precompiled patterns — PdfParse runs per document inside the kernel,
   // so pattern compilation must happen once per JVM, not once per call
-  private val PatObj = Py.re("""(\d+)\s+\d+\s+obj""")
+  private val PatObj = Py.re("""(\d+)\s+(\d+)\s+obj""")
   private val PatRef = Py.re("""(\d+)\s+\d+\s+R""")
   private val PatPage = Py.re("""/Type\s*/Page(?![a-zA-Z])""")
   private val PatCatalog = Py.re("""/Type\s*/Catalog""")
@@ -544,7 +544,7 @@ object PdfParse {
     * ObjStm carry `start = -1` and no payload range (the spec forbids
     * streams inside object streams). */
   private[kernel] final case class PdfObj(
-      num: Int, body: String, start: Int,
+      num: Int, gen: Int, body: String, start: Int,
       streamRange: Option[(Int, Int)] = None)
 
   /** All `N 0 obj … endobj` bodies keyed by object number (generation
@@ -565,6 +565,7 @@ object PdfParse {
     while (m.find()) {
       if (m.start() >= skipUntil) {
         val num = m.group(1).toInt
+        val gen = m.group(2).toInt
         val bodyStart = m.end()
         val e0 = raw.indexOf("endobj", bodyStart)
         val s0 = streamKeywordAt(raw, bodyStart, e0)
@@ -579,7 +580,7 @@ object PdfParse {
             .filter(end => end <= raw.length && endstreamFollows(raw, end))
           exactEnd match {
             case Some(end) =>
-              out(num) = PdfObj(num, dict, bodyStart, Some((dataStart, end)))
+              out(num) = PdfObj(num, gen, dict, bodyStart, Some((dataStart, end)))
               skipUntil = raw.indexOf("endstream", end) + "endstream".length
             case None =>
               val dataEnd = raw.indexOf("endstream", dataStart)
@@ -587,16 +588,16 @@ object PdfParse {
                 var trimmedEnd = dataEnd
                 if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\n') trimmedEnd -= 1
                 if (trimmedEnd > dataStart && raw.charAt(trimmedEnd - 1) == '\r') trimmedEnd -= 1
-                out(num) = PdfObj(num, dict, bodyStart, Some((dataStart, trimmedEnd)))
+                out(num) = PdfObj(num, gen, dict, bodyStart, Some((dataStart, trimmedEnd)))
                 skipUntil = dataEnd + "endstream".length
               } else {
                 // truncated stream: keep the dict, payload unusable
-                out(num) = PdfObj(num, dict, bodyStart, None)
+                out(num) = PdfObj(num, gen, dict, bodyStart, None)
                 skipUntil = dataStart
               }
           }
         } else if (e0 >= 0) {
-          out(num) = PdfObj(num, raw.substring(bodyStart, e0), bodyStart, None)
+          out(num) = PdfObj(num, gen, raw.substring(bodyStart, e0), bodyStart, None)
         }
       }
     }
@@ -675,7 +676,7 @@ object PdfParse {
               else s.length
             if (start >= 0 && start <= end && end <= s.length &&
               !objs.contains(num) && !extra.contains(num))
-              extra(num) = PdfObj(num, s.substring(start, end), -1, None)
+              extra(num) = PdfObj(num, 0, s.substring(start, end), -1, None)
           }
         }
       }
@@ -765,7 +766,7 @@ object PdfParse {
         val payload = java.util.Arrays.copyOfRange(bytes, s, e)
         val plain = crypt match {
           case Some(c) if !PatXRefType.matcher(obj.body).find() =>
-            c.decryptStream(obj.num, payload)
+            c.decryptStream(obj.num, obj.gen, payload)
           case _ => Some(payload)
         }
         plain.flatMap(decodeFilters(_, obj.body))

@@ -49,10 +49,24 @@ final case class CurateStats(input: Long, kept: Long, drops: Map[String, Long])
   */
 object CurateJob {
 
-  /** Per-document verdicts: (idCol, verdict) for every input row. */
+  /** Stable long key for any id column: integral ids pass through (keeps
+    * q54 oracle-comparable), string ids (e.g. ExtractJob's `url`) hash via
+    * xxhash64 — so `curate --id-col url` over an extraction output WORKS
+    * instead of silently casting every key to null. */
+  private def docKey(docs: DataFrame, idCol: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(idCol).cast("long")
+      case _ => xxhash64(col(idCol).cast("string"))
+    }
+  }
+
+  /** Per-document verdicts: (doc_id key, verdict) for every input row. */
   def verdicts(docs: DataFrame, idCol: String, textCol: String,
       langCol: String, cfg: CurateConfig): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+    val base = docs.select(docKey(docs, idCol).as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"), col(langCol).as("lang"))
 
     // dedup losers (exact keeps the min id per group; near keeps each
@@ -102,14 +116,17 @@ object CurateJob {
     v.write.mode("overwrite").parquet(s"$outDir/verdicts")
     val committed = spark.read.parquet(s"$outDir/verdicts")
 
+    // keepers retain EVERY original column (url, spans, …) plus the
+    // derived doc_id key — curating an extraction output must not strip
+    // its identity columns
     val keepers = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        coalesce(col(textCol), lit("")).as("text"), col(langCol).as("lang"))
+      .withColumn("doc_id", docKey(docs, idCol))
       .join(committed.filter(col("verdict") === "kept").select("doc_id"),
         Seq("doc_id"), "left_semi")
     val scrubbed =
       if (cfg.scrubPii)
-        keepers.withColumn("text", TextOps.scrubPii(col("text")))
+        keepers.withColumn(textCol,
+          TextOps.scrubPii(coalesce(col(textCol), lit(""))))
       else keepers
     scrubbed
       .withColumn("bucket",

@@ -614,4 +614,75 @@ class PdfParseSpec extends AnyFunSuite {
     assert(!hPwd.sameElements(h6))
     assert(!PdfCrypt.hash2B(empty, salt2, empty, r = 6).sameElements(h6))
   }
+
+  test("encrypt-dict robustness: key order is unspecified — /CF before the " +
+    "top-level /Length, a secondary /CFM /None entry, and a literal-string " +
+    "/ID must all still decrypt (spec-faithful resolution, not dict greps)") {
+    val enc = PdfParse.writePdf(Seq(proseLines), encrypt = Some(PdfCrypt.AesOwner))
+    val raw = new String(enc, StandardCharsets.ISO_8859_1)
+    val expected = PdfParse.parse(enc).pages.map(_.textLayer)
+
+    // 1. alphabetical-ish order: /CF (with its byte-valued /Length 16)
+    //    BEFORE the top-level /Length 128
+    val d0 = raw.indexOf("<< /Filter /Standard")
+    assert(d0 > 0)
+    val dEnd = raw.indexOf(">>\nendobj", d0)
+    val dict = raw.substring(d0, raw.indexOf("\nendobj", d0))
+    val cf = " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+    assert(dict.contains(cf), dict)
+    val reordered = "<< " + cf.trim + " " +
+      dict.stripPrefix("<< ").replace(cf, "") // /CF moved to the front
+    val mutated1 = raw.replace(dict, reordered)
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParse.parse(mutated1).pages.map(_.textLayer) == expected,
+      "reordered dict must still decrypt")
+
+    // 2. a secondary crypt filter with /CFM /None must not shadow the
+    //    active /StdCF (the old whole-dict grep would disable decryption)
+    val withSecondary = raw.replace(cf,
+      " /CF << /StdCF << /CFM /AESV2 /Length 16 >> " +
+        "/NoCrypt << /CFM /None >> >>")
+    val mutated2 = withSecondary.getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParse.parse(mutated2).pages.map(_.textLayer) == expected,
+      "secondary /None filter must not disable AES decryption")
+
+    // 3. /ID as literal strings instead of hex strings
+    val idm = java.util.regex.Pattern.compile("/ID \\[<([0-9a-f]+)> <[0-9a-f]+>\\]")
+      .matcher(raw)
+    assert(idm.find(), "fixture should carry a hex /ID")
+    val idBytes = idm.group(1).grouped(2)
+      .map(h => Integer.parseInt(h, 16).toChar).mkString
+    val esc = idBytes.replace("\\", "\\\\")
+      .replace("(", "\\(").replace(")", "\\)")
+      .replace("\r", "\\r").replace("\n", "\\n")
+    val litId = s"/ID [($esc) ($esc)]"
+    val mutated3 = raw.replace(idm.group(0), litId)
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParse.parse(mutated3).pages.map(_.textLayer) == expected,
+      "literal-string /ID must derive the same file key")
+  }
+
+  test("nonzero object generation feeds the per-object RC4 key (silent " +
+    "mojibake guard for incrementally-updated encrypted files)") {
+    val ops = "BT /F1 12 Tf 72 720 Td\n(generation one text) Tj\nET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val (dict, idHex, crypt) = PdfCrypt.forWriting(PdfCrypt.Rc4Owner,
+      "gen-test".getBytes(StandardCharsets.UTF_8))
+    val payload = crypt.encryptStream(4, ops, gen = 1) // content obj is 4 1
+    val head = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 1 R >>\nendobj\n" +
+      s"4 1 obj\n<< /Length ${payload.length} >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val tail = ("\nendstream\nendobj\n" +
+      s"5 0 obj\n$dict\nendobj\n" +
+      s"trailer\n<< /Size 6 /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<$idHex> <$idHex>] >>\nstartxref\n0\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val doc = PdfParse.parse(head ++ payload ++ tail)
+    assert(doc.pages.head.textLayer == "generation one text",
+      s"got: '${doc.pages.head.textLayer}'")
+  }
 }

@@ -288,16 +288,39 @@ class PipelineSpec extends AnyFunSuite {
     val keptIds = curated.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptIds == v.filter(_._2 == "kept").keySet)
     // PII scrubbed in the curated copy
-    if (keptIds.contains(6L)) {
-      val t6 = curated.filter(col("doc_id") === 6L)
-        .select("text").head().getString(0)
-      assert(!t6.contains("a@b.com") && t6.contains("<EMAIL>"),
-        t6.takeRight(60))
-    }
+    assert(v(6L) == "kept", s"doc 6 constructed as a keeper, got ${v(6L)}")
+    val t6 = curated.filter(col("doc_id") === 6L)
+      .select("text").head().getString(0)
+    assert(!t6.contains("a@b.com") && t6.contains("<EMAIL>"),
+      t6.takeRight(60))
     assert(stats.input == 7L)
     assert(stats.kept == keptIds.size.toLong)
     assert(stats.drops.values.sum + stats.kept == stats.input)
     // curated table is bucketed for downstream co-located reads
     assert(curated.columns.contains("bucket"))
+  }
+
+  test("CurateJob over a url-keyed table (the extraction-output shape): " +
+    "string ids hash to stable keys, nothing silently nulls out") {
+    import spark.implicits._
+    def prose2(seed: Int): String =
+      (0 until 60).map(i =>
+        s"v${seed * 911 + 2 * i} the v${seed * 911 + 2 * i + 1}").mkString(" ")
+    val docs = Seq(
+      ("https://a.example/1", prose2(1), "en"),
+      ("https://a.example/2", prose2(1), "en"), // exact dup of /1
+      ("https://b.example/3", prose2(3), "en")
+    ).toDF("url", "extracted_text", "lang")
+    val out = Files.createTempDirectory("graft_curate_url_").toString
+    val stats = CurateJob.run(spark, docs, "url", "extracted_text", "lang",
+      out, CurateConfig(scrubPii = false))
+    assert(stats.input == 3L)
+    assert(stats.kept == 2L)
+    assert(stats.drops == Map("exact_dup" -> 1L))
+    val curated = spark.read.parquet(s"$out/curated")
+    // original identity column survives; derived key is non-null
+    assert(curated.columns.contains("url"))
+    assert(curated.filter(col("doc_id").isNull).count() == 0)
+    assert(curated.count() == 2)
   }
 }
