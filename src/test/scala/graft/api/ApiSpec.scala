@@ -89,6 +89,30 @@ class ApiSpec extends AnyFunSuite {
     assert(r.raw.extractedText.nonEmpty)
   }
 
+  test("owner-locked encrypted PDFs through the public API: identical " +
+    "result to the plain file (PyMuPDF-parity — the reference never sees " +
+    "empty-user-password files as encrypted)") {
+    import graft.kernel.{PdfCrypt, PdfParse}
+    val lines = Seq(
+      "The court heard the appeal of the plaintiff and the defendant today.",
+      "The order of the court is that the petition should proceed to law.")
+    val pages = Seq(lines ++ lines ++ lines)
+    val plain = OcrDetection.detectOcr(PdfParse.writePdf(pages))
+    for (mode <- Seq(PdfCrypt.Rc4Owner, PdfCrypt.AesOwner,
+        PdfCrypt.Aes256Owner)) {
+      val enc = OcrDetection.detectOcr(
+        PdfParse.writePdf(pages, encrypt = Some(mode)))
+      assert(enc.status == plain.status, s"$mode")
+      assert(enc.raw.extractedText == plain.raw.extractedText, s"$mode")
+      assert(enc.raw.error.isEmpty, s"$mode: ${enc.raw.error}")
+    }
+    // password-locked stays a distinct error through the API too
+    val locked = OcrDetection.detectOcr(
+      PdfParse.writePdf(pages, encrypt = Some(PdfCrypt.UserLocked)))
+    assert(locked.raw.docKind == "error")
+    assert(locked.raw.error.exists(_.contains("encrypted")))
+  }
+
   test("SQL function registration exposes the kernel to spark.sql") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").appName("graft-api-sql")
