@@ -182,12 +182,17 @@ object SparkEntry {
             .otherwise("partial").as("status"))
     }),
 
-    // A3 — type counts + percentages
+    // A3 — type counts + percentages. The grand total comes from a
+    // broadcast single-row aggregate crossJoin, not a global window: the
+    // input is already the tiny type-counts aggregate, but the window
+    // shape would single-partition it (and warns); the broadcast-total
+    // join is the scale-clean way to express percentage-of-total.
     "q07_type_counts" -> ((s, dir) => {
       val counts = pageFeatures(t(s, dir, "documents"))
         .groupBy(col("page_type")).agg(count(lit(1)).as("cnt"))
-      counts.withColumn("pct",
-        col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()))
+      counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+        .withColumn("pct", col("cnt") * 100.0 / col("total"))
+        .drop("total")
     }),
 
     // A4 — average confidence (scaled-integer sum → engine-exact double)
