@@ -102,6 +102,79 @@ object StreamingExtract {
       }
   }
 
+  // ------------------------------------------------------------- curation
+
+  /** One verdict row of the STREAMING curation funnel. */
+  final case class StreamVerdict(
+      url: String, text: String, lang: String, verdict: String)
+
+  /** Streaming curation — CurateJob's funnel applied continuously with
+    * BATCH-PARITY verdict precedence (exact_dup > funnel reasons > kept):
+    *
+    *   - the funnel filters (length / language / quality / repetition) are
+    *     row-local Column expressions, so they stream unchanged — they are
+    *     evaluated BEFORE the stateful stage and carried into it;
+    *   - exact dedup runs as `flatMapGroupsWithState` keyed on the content
+    *     hash: the FIRST document seen per hash keeps its funnel verdict,
+    *     every later arrival (any micro-batch) becomes `exact_dup` —
+    *     first-seen-wins is the only well-defined keep rule over an
+    *     unbounded stream (the batch job's min-id rule needs the whole
+    *     corpus);
+    *   - per-key state is one boolean; `stateTtl` (non-empty) bounds it
+    *     with a processing-time timeout — a hash not re-seen within the
+    *     TTL is evicted, so re-appearances after that are treated as new:
+    *     the standard streaming-dedup memory/recall trade, stated
+    *     explicitly. Use it ONLY with continuous triggers: under
+    *     `Trigger.AvailableNow` pending processing-time timeouts keep the
+    *     drain loop alive (measured here: the query never terminates), so
+    *     the default is no timeout.
+    *
+    * Near-dup LSH needs cross-batch candidate JOINS and stays a batch
+    * (CurateJob) concern; run it over the curated table periodically. */
+  def curateVerdicts(docs: Dataset[DocResult],
+      cfg: graft.pipeline.CurateConfig = graft.pipeline.CurateConfig(),
+      stateTtl: String = ""): Dataset[StreamVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val text = coalesce($"extracted_text", lit(""))
+    val sig = graft.ops.TextOps.repetitionSignals(
+      docs.toDF().withColumn("curation_text", text), "curation_text",
+      repetitiveTopPpm = cfg.repetitiveTopPpm)
+    val funnel = when(length($"curation_text") < cfg.minChars, "too_short")
+      .when(!$"lang".isin(cfg.langs.map(lit): _*), "lang_filter")
+      .when(graft.ops.TextOps.qualityProxy($"curation_text") < cfg.minQuality,
+        "low_quality")
+      .when($"repetitive", "repetitive")
+      .otherwise("kept")
+    val keyed = sig.select($"url", $"curation_text".as("text"), $"lang",
+      funnel.as("funnel_verdict"), md5($"curation_text").as("content_hash"))
+      .as[(String, String, String, String, String)]
+
+    val timeout =
+      if (stateTtl.isEmpty) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
+    keyed
+      .groupByKey(_._5)
+      .flatMapGroupsWithState[Boolean, StreamVerdict](
+        OutputMode.Append(), timeout) {
+        (_: String, rows: Iterator[(String, String, String, String, String)],
+            state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(false)
+            val out = rows.map { case (url, text, lang, fv, _) =>
+              val verdict = if (seen) "exact_dup" else { seen = true; fv }
+              StreamVerdict(url, text, lang, verdict)
+            }.toVector // drain before updating state
+            state.update(seen)
+            if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
+            out.iterator
+          }
+      }
+  }
+
   private[streaming] def hostOf(url: String): String = {
     val noScheme = url.indexOf("://") match {
       case -1 => url

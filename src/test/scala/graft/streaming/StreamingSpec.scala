@@ -83,4 +83,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingExtract.hostOf("a.example/x") == "a.example")
     assert(StreamingExtract.hostOf("https://a.example") == "a.example")
   }
+
+  test("streaming curation: funnel verdicts match the batch semantics and " +
+    "cross-micro-batch exact dedup emits later duplicates as exact_dup") {
+    val inputDir = tmp(); val outDir = tmp(); val checkpoint = tmp()
+    def page(url: String, text: String, lang: String) =
+      (url, new java.sql.Timestamp(1735689600000L),
+        ("<html><body><article><p>" + text + "</p></article></body></html>")
+          .getBytes("UTF-8"), "", lang)
+    def prose(seed: Int): String =
+      (0 until 60).map(i =>
+        s"s${seed * 877 + 2 * i} the s${seed * 877 + 2 * i + 1}").mkString(" ")
+
+    // micro-batch 1
+    Seq(
+      page("https://a/1", prose(1), "en"),  // kept
+      page("https://a/2", "tiny", "en"),    // too_short
+      page("https://a/3", prose(3), "xx")   // lang_filter
+    ).toDF("url", "warc_ts", "html", "text", "lang")
+      .coalesce(1).write.mode("append").parquet(inputDir)
+
+    def runOnce(): Unit = {
+      val pages = spark.readStream
+        .schema(StreamingExtract.pageSchema).parquet(inputDir)
+      val docs = StreamingExtract.transform(spark, pages, JobConfig(buckets = 4))
+      val q = StreamingExtract.curateVerdicts(docs)
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/verdicts")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val v1 = spark.read.parquet(s"$outDir/verdicts")
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("verdict")).toMap
+    assert(v1 == Map("https://a/1" -> "kept", "https://a/2" -> "too_short",
+      "https://a/3" -> "lang_filter"), v1.toString)
+
+    // micro-batch 2: an exact duplicate of /1's content arrives later —
+    // state carried across the restart via the checkpoint
+    Seq(page("https://b/9", prose(1), "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .coalesce(1).write.mode("append").parquet(inputDir)
+    runOnce()
+    val v2 = spark.read.parquet(s"$outDir/verdicts")
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("verdict")).toMap
+    assert(v2("https://b/9") == "exact_dup", v2.toString)
+    assert(v2.size == 4)
+  }
 }
