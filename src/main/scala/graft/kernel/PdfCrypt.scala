@@ -344,13 +344,46 @@ object PdfCrypt {
   private val PatCfmAes = Py.re("""/CFM\s*/AESV2""")
   private val PatCfmAes3 = Py.re("""/CFM\s*/AESV3""")
   private val PatCfm = Py.re("""/CFM\s*/(\w+)""")
+  private val PatCfmV2 = Py.re("""/CFM\s*/V2(?![A-Za-z0-9])""")
   private val PatStmF = Py.re("""/StmF\s*/(\w+)""")
   private val PatCfDict = Py.re("""/CF\s*<<""")
   private val PatNoMeta = Py.re("""/EncryptMetadata\s+false""")
 
+  /** The dict text with every STRING VALUE blanked (literal `(…)` with
+    * escape/nesting handling, hex `<…>`): binary /O //U literal values can
+    * contain raw `<<`//`>>` byte pairs that would corrupt depth tracking.
+    * Structural scans (depth, /CF entry lookup) run on the masked text;
+    * VALUE reads (stringValue, firstId) run on the raw text. */
+  private def maskStrings(dict: String): String = {
+    val sb = new StringBuilder(dict.length)
+    var i = 0
+    while (i < dict.length) {
+      val c = dict.charAt(i)
+      if (c == '(') {
+        val end = PdfParse.literalString(dict, i)._2
+        sb.append('(')
+        var k = i + 1
+        while (k < end) { sb.append(' '); k += 1 }
+        i = end
+      } else if (c == '<' && i + 1 < dict.length && dict.charAt(i + 1) == '<') {
+        sb.append("<<") // dict-open is ONE token — its second '<' must not
+        i += 2 //          be misread as a hex-string opener
+      } else if (c == '<') {
+        val end0 = dict.indexOf('>', i)
+        val end = if (end0 < 0) dict.length else end0 + 1
+        sb.append('<')
+        var k = i + 1
+        while (k < end) { sb.append(' '); k += 1 }
+        i = end
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** The dict text with nested `<< … >>` sub-dicts blanked out, so
     * depth-0 key greps (/Length, /StmF) cannot match keys of a nested
-    * crypt-filter dict — key order in PDF dicts is unspecified. */
+    * crypt-filter dict — key order in PDF dicts is unspecified. Callers
+    * pass [[maskStrings]]-masked text. */
   private def topLevelText(dict: String): String = {
     val sb = new StringBuilder(dict.length)
     var depth = 0
@@ -393,16 +426,22 @@ object PdfCrypt {
     * None when /StmF is absent (spec default Identity) or unresolvable;
     * Some("Identity") when /StmF /Identity. Only the NAMED /CF entry is
     * consulted — a secondary crypt filter's /CFM never shadows it. */
-  private def activeStreamCfm(dict: String): Option[String] =
-    group1(PatStmF, topLevelText(dict)) match {
+  private def activeStreamCfm(masked: String): Option[String] =
+    group1(PatStmF, topLevelText(masked)) match {
       case None => None
       case Some("Identity") => Some("Identity")
       case Some(name) =>
-        val m = PatCfDict.matcher(dict)
+        val m = PatCfDict.matcher(masked)
         if (!m.find()) None
         else {
-          val cf = balanced(dict, m.end() - 2)
-          val ent = cf.indexOf("/" + name)
+          val cf = balanced(masked, m.end() - 2)
+          // delimiter-aware entry lookup: "/StdCF" must not match the
+          // "/StdCF2" entry's prefix
+          val needle = "/" + name
+          var ent = cf.indexOf(needle)
+          while (ent >= 0 && ent + needle.length < cf.length &&
+            Character.isLetterOrDigit(cf.charAt(ent + needle.length)))
+            ent = cf.indexOf(needle, ent + 1)
           if (ent < 0) None
           else group1(PatCfm, balanced(cf, ent))
         }
@@ -464,14 +503,16 @@ object PdfCrypt {
         // whole-dict grep (a /CFM inside a secondary /CF entry must not
         // shadow the active one): the stream filter is the /CF entry NAMED
         // by /StmF (spec default /Identity = streams not encrypted).
+        val masked = maskStrings(dict)
         val aes = v == 4 && {
-          val cfm = activeStreamCfm(dict)
+          val cfm = activeStreamCfm(masked)
           cfm match {
             case None | Some("Identity") | Some("None") =>
-              if (cfm.isEmpty && PatCfmAes.matcher(dict).find())
-                // tolerated: /StmF absent but a lone /AESV2 StdCF present
-                // (writers that omit the default-naming keys)
-                true
+              // tolerated: /StmF absent but a lone crypt filter present
+              // (writers that omit the default-naming keys) — BOTH
+              // variants, AESV2 and V2/RC4, symmetric
+              if (cfm.isEmpty && PatCfmAes.matcher(masked).find()) true
+              else if (cfm.isEmpty && PatCfmV2.matcher(masked).find()) false
               else return None // Identity: streams are not encrypted
             case Some("AESV2") => true
             case Some("V2") => false
@@ -484,7 +525,7 @@ object PdfCrypt {
         // PDF dicts is unspecified, so grep the depth-0 text only.
         val keyBytes =
           if (r == 2) 5
-          else group1(PatLength, topLevelText(dict)).map(_.toInt / 8)
+          else group1(PatLength, topLevelText(masked)).map(_.toInt / 8)
             .getOrElse(if (v == 4) 16 else 5)
         if (keyBytes < 5 || keyBytes > 16)
           throw new PdfEncryptedException(
@@ -507,6 +548,21 @@ object PdfCrypt {
     }
   }
 
+  /** Decode the PDF string object starting at `s(j)` — `(` literal or
+    * non-dict `<` hex — into its bytes (chars are bytes: the text is
+    * ISO-8859-1-decoded raw bytes). The ONE decoder both /O //U //UE
+    * values and /ID entries share. */
+  private def pdfStringAt(s: String, j: Int): Option[Array[Byte]] = {
+    if (j >= s.length) return None
+    val decoded = s.charAt(j) match {
+      case '(' => Some(PdfParse.literalString(s, j)._1)
+      case '<' if j + 1 >= s.length || s.charAt(j + 1) != '<' =>
+        Some(PdfParse.hexString(s, j)._1)
+      case _ => None
+    }
+    decoded.map(_.toCharArray.map(c => (c & 0xFF).toByte))
+  }
+
   /** First /ID array entry — hex OR literal string (both are legal plain
     * string objects per §14.4); empty when absent/unparsable. */
   private def firstId(trailer: String): Array[Byte] = {
@@ -518,14 +574,7 @@ object PdfCrypt {
       return Array.emptyByteArray
     j += 1
     while (j < trailer.length && trailer.charAt(j).isWhitespace) j += 1
-    if (j >= trailer.length) return Array.emptyByteArray
-    val decoded = trailer.charAt(j) match {
-      case '<' => Some(PdfParse.hexString(trailer, j)._1)
-      case '(' => Some(PdfParse.literalString(trailer, j)._1)
-      case _ => None
-    }
-    decoded.map(_.toCharArray.map(c => (c & 0xFF).toByte))
-      .getOrElse(Array.emptyByteArray)
+    pdfStringAt(trailer, j).getOrElse(Array.emptyByteArray)
   }
 
   /** The byte value of dict key `name` (`/O`, `/U`): literal `(…)` or hex
@@ -536,21 +585,13 @@ object PdfCrypt {
     while (i >= 0) {
       var j = i + name.length
       while (j < dict.length && Character.isWhitespace(dict.charAt(j))) j += 1
-      if (j < dict.length) {
-        val decoded = dict.charAt(j) match {
-          case '(' => Some(PdfParse.literalString(dict, j)._1)
-          case '<' if j + 1 < dict.length && dict.charAt(j + 1) != '<' =>
-            Some(PdfParse.hexString(dict, j)._1)
-          case _ => None
-        }
-        decoded match {
-          case Some(s) =>
-            return Some(s.toCharArray.map(c => (c & 0xFF).toByte))
-          case None => // keep scanning: "/OP" etc. can false-prefix-match
-        }
+      pdfStringAt(dict, j) match {
+        case some @ Some(_) => return some
+        case None => // keep scanning: "/OP" etc. can false-prefix-match
       }
       i = dict.indexOf(name, i + 1)
     }
     None
   }
+
 }

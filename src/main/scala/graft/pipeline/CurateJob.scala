@@ -59,15 +59,36 @@ object CurateJob {
     docs.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         col(idCol).cast("long")
-      case _ => xxhash64(col(idCol).cast("string"))
+      case _ =>
+        // a null id must stay null (xxhash64 would map every null to the
+        // same seed constant, silently merging all null-id docs)
+        when(col(idCol).isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col(idCol).cast("string")))
     }
   }
 
   /** Per-document verdicts: (doc_id key, verdict) for every input row. */
   def verdicts(docs: DataFrame, idCol: String, textCol: String,
-      langCol: String, cfg: CurateConfig): DataFrame = {
-    val base = docs.select(docKey(docs, idCol).as("doc_id"),
+      langCol: String, cfg: CurateConfig): DataFrame =
+    verdictsWithHash(docs, idCol, textCol, langCol, cfg)
+      .select(col("doc_id"), col("verdict"))
+
+  /** [[verdicts]] plus the row's content hash — what [[run]] persists, so
+    * the keeper join matches on (doc_id, content_hash) and a dropped
+    * document sharing its id with a keeper (same url recrawled with
+    * different content) can never leak into the curated output. Rows with
+    * a NULL id get verdict `null_id` (invalid input — they never reach
+    * the dedup machinery). Ids duplicated across DIFFERENT contents
+    * should be recrawl-deduped first (q49 latest-capture): the near-dup
+    * verdict is id-keyed, so such rows share their near verdict. */
+  private[pipeline] def verdictsWithHash(docs: DataFrame, idCol: String,
+      textCol: String, langCol: String, cfg: CurateConfig): DataFrame = {
+    val withKey = docs.select(docKey(docs, idCol).as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"), col(langCol).as("lang"))
+    val invalid = withKey.filter(col("doc_id").isNull)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        lit("null_id").as("verdict"))
+    val base = withKey.filter(col("doc_id").isNotNull)
 
     // dedup losers (exact keeps the min id per group; near keeps each
     // connected component's min-id representative)
@@ -77,7 +98,8 @@ object CurateJob {
     val keepPerKey = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("keep"))
     val exactLosers = keyed.join(keepPerKey, Seq("k"))
       .filter(col("doc_id") =!= col("keep"))
-      .select(col("doc_id")).withColumn("x_exact", lit(true))
+      .select(col("doc_id"), col("k")).distinct()
+      .withColumn("x_exact", lit(true))
     val pairs = Dedup.minhashNearDups(base, "doc_id", "text",
       shingleK = cfg.shingleK, numHashes = cfg.numHashes,
       numBands = cfg.numBands, threshold = cfg.nearDupThreshold)
@@ -91,11 +113,12 @@ object CurateJob {
       repetitiveTopPpm = cfg.repetitiveTopPpm)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("quality", TextOps.qualityProxy(col("text")))
+      .withColumn("k", md5(col("text")))
 
     sig
-      .join(exactLosers, Seq("doc_id"), "left_outer")
+      .join(exactLosers, Seq("doc_id", "k"), "left_outer")
       .join(nearLosers, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("k").as("content_hash"),
         when(col("x_exact"), "exact_dup")
           .when(col("x_near"), "near_dup")
           .when(col("n_chars") < cfg.minChars, "too_short")
@@ -103,6 +126,7 @@ object CurateJob {
           .when(col("quality") < cfg.minQuality, "low_quality")
           .when(col("repetitive"), "repetitive")
           .otherwise("kept").as("verdict"))
+      .unionByName(invalid)
   }
 
   /** Run the funnel and write `outDir/curated` (bucketed by id hash,
@@ -112,17 +136,21 @@ object CurateJob {
   def run(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, langCol: String, outDir: String,
       cfg: CurateConfig = CurateConfig()): CurateStats = {
-    val v = verdicts(docs, idCol, textCol, langCol, cfg)
+    val v = verdictsWithHash(docs, idCol, textCol, langCol, cfg)
     v.write.mode("overwrite").parquet(s"$outDir/verdicts")
     val committed = spark.read.parquet(s"$outDir/verdicts")
 
     // keepers retain EVERY original column (url, spans, …) plus the
     // derived doc_id key — curating an extraction output must not strip
-    // its identity columns
+    // its identity columns. The join matches (doc_id, content_hash), so a
+    // dropped doc sharing its id with a keeper cannot leak in.
     val keepers = docs
       .withColumn("doc_id", docKey(docs, idCol))
-      .join(committed.filter(col("verdict") === "kept").select("doc_id"),
-        Seq("doc_id"), "left_semi")
+      .withColumn("content_hash", md5(coalesce(col(textCol), lit(""))))
+      .join(committed.filter(col("verdict") === "kept")
+        .select("doc_id", "content_hash"),
+        Seq("doc_id", "content_hash"), "left_semi")
+      .drop("content_hash")
     val scrubbed =
       if (cfg.scrubPii)
         keepers.withColumn(textCol,

@@ -685,4 +685,47 @@ class PdfParseSpec extends AnyFunSuite {
     assert(doc.pages.head.textLayer == "generation one text",
       s"got: '${doc.pages.head.textLayer}'")
   }
+
+  test("encrypt-dict robustness round 2: string values containing '<<', " +
+    "prefix-colliding /CF entry names, and a lone /V2 filter without " +
+    "/StmF all resolve correctly") {
+    val enc = PdfParse.writePdf(Seq(proseLines), encrypt = Some(PdfCrypt.AesOwner))
+    val raw = new String(enc, StandardCharsets.ISO_8859_1)
+    val expected = PdfParse.parse(enc).pages.map(_.textLayer)
+    val cf = " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+
+    // 1. a string VALUE containing '<<' placed before the top-level
+    //    /Length (binary /O-style payloads do this): depth tracking must
+    //    mask string values or /Length disappears
+    val withNote = raw.replace("<< /Filter /Standard",
+      "<< /GraftNote (xx<<yy) /Filter /Standard")
+    assert(PdfParse.parse(withNote.getBytes(StandardCharsets.ISO_8859_1))
+      .pages.map(_.textLayer) == expected,
+      "'<<' inside a string value must not corrupt depth tracking")
+
+    // 2. a /CF entry whose name PREFIX-collides with the active one
+    //    (/StdCF2 before /StdCF): the lookup must be delimiter-aware
+    val withPrefix = raw.replace(cf,
+      " /CF << /StdCF2 << /CFM /None >> /StdCF << /CFM /AESV2 /Length 16 >> >>")
+    assert(PdfParse.parse(withPrefix.getBytes(StandardCharsets.ISO_8859_1))
+      .pages.map(_.textLayer) == expected,
+      "/StdCF2 must not shadow /StdCF")
+
+    // 3. V4 RC4 (/CFM /V2) with NO /StmF: tolerated symmetrically to the
+    //    AESV2 carve-out (sloppy writers omit the default-naming keys)
+    val rc4 = PdfParse.writePdf(Seq(proseLines), encrypt = Some(PdfCrypt.Rc4Owner))
+    val rc4raw = new String(rc4, StandardCharsets.ISO_8859_1)
+    val expectedRc4 = PdfParse.parse(rc4).pages.map(_.textLayer)
+    // rewrite the V2 R3 dict into a V4 R4 dict with a /CF but no /StmF
+    val v4NoStmF = rc4raw.replace("/V 2 /R 3 /Length 128",
+      "/V 4 /R 4 /Length 128") match {
+      case d =>
+        val i = d.indexOf("/U <")
+        val end = d.indexOf(">", i + 4) + 1
+        d.substring(0, end) + " /CF << /StdCF << /CFM /V2 >> >>" + d.substring(end)
+    }
+    assert(PdfParse.parse(v4NoStmF.getBytes(StandardCharsets.ISO_8859_1))
+      .pages.map(_.textLayer) == expectedRc4,
+      "lone /CFM /V2 without /StmF must still decrypt (RC4)")
+  }
 }

@@ -323,4 +323,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(curated.filter(col("doc_id").isNull).count() == 0)
     assert(curated.count() == 2)
   }
+
+  test("CurateJob duplicate-id and null-id robustness: a dropped recrawl " +
+    "sharing its url with a keeper cannot leak into the curated output; " +
+    "null ids get the null_id verdict and never merge") {
+    import spark.implicits._
+    def prose3(seed: Int): String =
+      (0 until 60).map(i =>
+        s"u${seed * 733 + 2 * i} the u${seed * 733 + 2 * i + 1}").mkString(" ")
+    val docs = Seq(
+      ("https://r.example/x", prose3(1), "en"),  // recrawl 1: kept
+      ("https://r.example/x", "stub", "en"),     // recrawl 2: too_short
+      (null.asInstanceOf[String], prose3(9), "en"), // null id
+      (null.asInstanceOf[String], "tiny", "en"),    // another null id
+      ("https://r.example/y", prose3(5), "en")   // kept
+    ).toDF("url", "text", "lang")
+    val out = Files.createTempDirectory("graft_curate_dup_").toString
+    val stats = CurateJob.run(spark, docs, "url", "text", "lang", out,
+      CurateConfig(scrubPii = false))
+    assert(stats.input == 5L)
+    assert(stats.drops.getOrElse("null_id", 0L) == 2L, stats.drops.toString)
+    val curated = spark.read.parquet(s"$out/curated")
+      .select("url", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    // the too_short recrawl of /x must NOT appear even though its url
+    // (and thus doc_id) matches the kept snapshot
+    assert(!curated.exists(_._2 == "stub"), curated.mkString("; "))
+    assert(curated.map(_._1).toSet == Set("https://r.example/x",
+      "https://r.example/y"))
+    assert(curated.length == 2)
+  }
 }
