@@ -169,7 +169,8 @@ object PdfParse {
             .getOrElse(Vector.empty)
           Some(extractTextGeomF(streams.map((_, fonts)) ++ formStreams))
         } else None
-      val images = leaf.resources.map(xobjectImages(_, objs)).getOrElse(Vector.empty)
+      val images = leaf.resources
+        .map(xobjectImages(_, objs, bytes, crypt)).getOrElse(Vector.empty)
       PdfPage(w, h, text, altTextLayer = alt, images)
     }
     PdfDoc(pages)
@@ -1207,9 +1208,18 @@ object PdfParse {
 
   /** Image XObjects reachable from a resolved /Resources dict — including
     * images nested inside Form XObjects (the standard wrapping for scanned
-    * page content), followed recursively with cycle protection. */
+    * page content), followed recursively with cycle protection.
+    *
+    * `/Filter /DCTDecode` payloads (the dominant scanned-page layout — the
+    * stream IS a literal JPEG) are carried as the image's `data`, after
+    * decryption when the document is encrypted: S6's smart extraction can
+    * then return the EMBEDDED bytes directly instead of re-rendering —
+    * the reference's v0.3.0 optimization (README.md:151-158, 5× faster /
+    * 8× smaller payloads). Other encodings (Flate raw bitmaps, JBIG2, …)
+    * keep empty data and fall through to the S5 render. */
   private def xobjectImages(
-      resources: String, objs: Map[Int, PdfObj],
+      resources: String, objs: Map[Int, PdfObj], bytes: Array[Byte],
+      crypt: Option[PdfCrypt],
       visited: mutable.Set[Int] = mutable.Set.empty): Vector[PdfImage] = {
     val m = PatXObjDict.matcher(resources)
     if (!m.find()) return Vector.empty
@@ -1217,25 +1227,46 @@ object PdfParse {
     val out = Vector.newBuilder[PdfImage]
     while (rm.find()) {
       val n = rm.group(1).toInt
-      if (visited.add(n)) objs.get(n).map(_.body).foreach { body =>
+      if (visited.add(n)) objs.get(n).foreach { obj =>
+        val body = obj.body
         if (PatSubImage.matcher(body).find()) {
           val wm = PatWidth.matcher(body)
           val hm = PatHeight.matcher(body)
           if (wm.find() && hm.find()) {
             val w = wm.group(1).toInt; val h = hm.group(1).toInt
+            val data =
+              if (filterNames(body) == Vector("DCTDecode"))
+                rawPayload(obj, bytes, crypt).getOrElse(Array.empty[Byte])
+              else Array.empty[Byte]
             // placement unknown without full graphics-state tracking: use a
             // nominal rect at intrinsic size
             out += PdfImage(w, h, Vector(PdfRect(0, 0, w.toDouble, h.toDouble)),
-              Array.empty[Byte])
+              data)
           }
         } else if (PatSubForm.matcher(body).find()) {
           resolveResources(body, objs)
-            .foreach(r => out ++= xobjectImages(r, objs, visited))
+            .foreach(r => out ++= xobjectImages(r, objs, bytes, crypt, visited))
         }
       }
     }
     out.result()
   }
+
+  /** An object's stream payload decrypted but NOT filter-decoded — for
+    * passthrough containers (DCTDecode JPEG) where the encoded stream is
+    * the deliverable. */
+  private def rawPayload(obj: PdfObj, bytes: Array[Byte],
+      crypt: Option[PdfCrypt]): Option[Array[Byte]] =
+    obj.streamRange.flatMap { case (s, e) =>
+      if (s < 0 || e > bytes.length || s > e) None
+      else {
+        val payload = java.util.Arrays.copyOfRange(bytes, s, e)
+        crypt match {
+          case Some(c) => c.decryptStream(obj.num, obj.gen, payload)
+          case None => Some(payload)
+        }
+      }
+    }
 
   // --------------------------------------------------------------- writing
 
@@ -1250,7 +1281,8 @@ object PdfParse {
       images: Seq[(Int, Int)] = Seq.empty,
       pageWidth: Double = 612,
       pageHeight: Double = 792,
-      encrypt: Option[PdfCrypt.Mode] = None): Array[Byte] = {
+      encrypt: Option[PdfCrypt.Mode] = None,
+      embedJpeg: Boolean = false): Array[Byte] = {
     val objects = mutable.ArrayBuffer[Array[Byte]]() // 1-indexed bodies
     def obj(n: Int, body: String): Array[Byte] =
       s"$n 0 obj\n$body\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
@@ -1306,10 +1338,17 @@ object PdfParse {
 
     images.zipWithIndex.foreach { case ((w, h), j) =>
       val num = imgObjBase + j
-      val data = encStream(num, Array.emptyByteArray)
+      // embedJpeg: the XObject stream is a REAL baseline JPEG under
+      // /Filter /DCTDecode — the dominant scanned-page layout, and the
+      // input S6's embedded-image reuse passes through verbatim
+      val payload =
+        if (embedJpeg) MediaCodec.renderJpeg(w, h) else Array.emptyByteArray
+      val filter = if (embedJpeg) " /Filter /DCTDecode" else ""
+      val data = encStream(num, payload)
       val body =
         s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
-          s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length ${data.length} >>"
+          s"/ColorSpace /DeviceGray /BitsPerComponent 8$filter " +
+          s"/Length ${data.length} >>"
       val head = s"$num 0 obj\n$body\nstream\n"
         .getBytes(StandardCharsets.ISO_8859_1)
       val tail = "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)

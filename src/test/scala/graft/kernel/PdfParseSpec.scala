@@ -728,4 +728,32 @@ class PdfParseSpec extends AnyFunSuite {
       .pages.map(_.textLayer) == expectedRc4,
       "lone /CFM /V2 without /StmF must still decrypt (RC4)")
   }
+
+  test("S6 embedded-image reuse on REAL PDFs: a scanned page whose image " +
+    "XObject is a /DCTDecode stream returns the EMBEDDED JPEG verbatim " +
+    "(the reference's v0.3.0 5x optimization), incl. under encryption") {
+    import java.util.Base64
+    for (mode <- Seq(None, Some(PdfCrypt.Rc4Owner), Some(PdfCrypt.Aes256Owner))) {
+      // image-only page, one large DCTDecode image covering the page
+      val bytes = PdfParse.writePdf(Seq(Seq.empty), compress = true,
+        images = Seq((1200, 1600)), encrypt = mode, embedJpeg = true)
+      val doc = PdfParse.parse(bytes)
+      val img = doc.pages.head.images.head
+      assert(img.pixelWidth == 1200 && img.pixelHeight == 1600, s"$mode")
+      // the carried data is the literal JPEG (decrypted when encrypted)
+      assert(img.data.length > 2 &&
+        (img.data(0) & 0xFF) == 0xFF && (img.data(1) & 0xFF) == 0xD8,
+        s"$mode: expected JPEG magic, got ${img.data.take(4).toSeq}")
+      val expected = graft.kernel.MediaCodec.renderJpeg(1200, 1600)
+      assert(java.util.Arrays.equals(img.data, expected),
+        s"$mode: embedded payload must round-trip verbatim")
+      // end-to-end: the kernel's S6 page image IS the embedded base64
+      val ex = new Extractor(ProbeConfig(includeImages = true))
+      val d = ex.extract(bytes)
+      assert(d.status == "true", s"$mode: scanned page needs OCR")
+      val pageImage = d.pageResults.head.pageImage
+      assert(pageImage.contains(Base64.getEncoder.encodeToString(expected)),
+        s"$mode: S6 must reuse the embedded JPEG, not re-render")
+    }
+  }
 }
