@@ -1540,7 +1540,7 @@ object SparkEntry {
         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '') AS hostport,
         |    coalesce(regexp_extract(url,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS rawpath,
-        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+        |    coalesce(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '') AS q
         |  FROM u),
         |c2 AS (
         |  SELECT doc_id, url, scheme,
@@ -1679,7 +1679,7 @@ object SparkEntry {
         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '') AS hostport,
         |    coalesce(regexp_extract(url,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS rawpath,
-        |    coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+        |    coalesce(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '') AS q
         |  FROM u),
         |c2 AS (
         |  SELECT doc_id, ts_epoch, scheme,

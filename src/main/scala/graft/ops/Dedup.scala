@@ -37,44 +37,109 @@ object Dedup {
 
   /** Connected components over a near-duplicate PAIR table — the dedup
     * endgame: pairs become clusters and one representative (the min id)
-    * survives per cluster. Distributed min-label propagation: each round
-    * is one equi-join shuffle (labels onto edge endpoints) plus one
-    * map-side-combining `min` aggregate; labels converge to the minimum
-    * id reachable. Rounds = cluster DIAMETER, which for near-dup clusters
-    * is small (members pairwise-collide in some band, so clusters are
-    * dense — 2–4 rounds in practice); `maxIter` bounds pathological
-    * chains, and alternating small-star/large-star (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14 — public)
-    * is the known O(log n) upgrade if chain-shaped graphs ever matter.
-    * `localCheckpoint` cuts lineage each round so the plan stays
-    * constant-size across iterations. Convergence is checked with one
-    * scalar aggregate per round (never a data collect).
+    * survives per cluster. Alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    * public): each round is two keyed shuffles (a map-side-combining
+    * per-vertex `min` aggregate + an equi-join re-emitting edges toward
+    * that min), and the edge set converges to a star forest rooted at each
+    * component's minimum id in O(log diameter) rounds — a diameter-10
+    * chain converges in ≤4 rounds where plain min-label propagation needs
+    * 10 (OpsSpec pins this). Dense LSH near-dup clusters still converge
+    * in 2–3 rounds. `localCheckpoint` cuts lineage each round so the plan
+    * stays constant-size across iterations; convergence is checked with
+    * scalar counts (never a data collect). If `maxIter` rounds pass
+    * without a fixpoint (diameter > 2^maxIter — astronomically large pair
+    * graphs only) the call THROWS rather than silently returning labels
+    * that would leak duplicates through `dropNearDuplicates`.
     *
     * Returns (id, component): every vertex of the pair graph with the min
     * reachable id as its component label — deterministic regardless of
     * partitioning or iteration count past convergence. */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** `connectedComponents` plus the number of large+small-star rounds it
+    * took to converge — exposed so tests can pin the O(log diameter)
+    * round count. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
     val dirE = pairs.select(
       col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val edges = dirE.union(dirE.select(col("dst"), col("src")))
+      .filter(col("src") =!= col("dst"))
+    // canonical larger→smaller direction; vertices snapshot before the
+    // star rounds rewrite the edge set
+    var edges = dirE
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
       .distinct().localCheckpoint()
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
     var iter = 0
-    var done = false
+    var done = edges.isEmpty
     while (!done && iter < maxIter) {
-      val updated = ccRound(edges, labels).localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") < col("prev")).count()
-      labels = updated
-      done = changed == 0
+      edges = smallStar(largeStar(edges)).localCheckpoint()
       iter += 1
+      // the star fixpoint is detected STRUCTURALLY on the round's own
+      // output (a star forest: one edge per src, no src is another edge's
+      // dst), so convergence costs no extra confirmation round
+      done = isStarForest(edges)
     }
-    labels
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds — " +
+          "labels would be incomplete and dropNearDuplicates would leak " +
+          "duplicates; raise maxIter")
+    // converged star forest: every non-root points at its component root
+    val labels = verts
+      .join(edges.select(col("src").as("id"), col("dst").as("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+    (labels, iter)
+  }
+
+  /** A canonical (src > dst) edge set is the large/small-star fixpoint iff
+    * it is a star forest rooted at each component's minimum: every src
+    * carries exactly one edge, and no src is another edge's dst. Both
+    * checks are scalar aggregates over the pair graph (tiny relative to
+    * the corpus), never a data collect. */
+  private def isStarForest(edges: DataFrame): Boolean = {
+    val singleEdgePerSrc = edges.groupBy("src")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty
+    singleEdgePerSrc &&
+      edges.select(col("src")).intersect(edges.select(col("dst"))).isEmpty
+  }
+
+  /** Large-star round (Kiveris et al. §3): for every vertex u, connect each
+    * STRICTLY LARGER neighbor v to m = min({u} ∪ N(u)). One symmetrized
+    * per-vertex min aggregate (map-side combining) + one equi-join; output
+    * stays in canonical larger→smaller form. */
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+    sym.join(mins, Seq("src"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), least(col("src"), col("mn")).as("dst"))
+      .distinct()
+  }
+
+  /** Small-star round (Kiveris et al. §3): for every vertex u, connect u
+    * and each not-larger neighbor to m = min({u} ∪ N≤(u)). Edges arrive
+    * canonical (src > dst), so the smaller-neighbor set is exactly the
+    * grouped dst values. */
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("src").agg(min("dst").as("mn"))
+    val nbr = edges.join(mins, Seq("src"))
+      .select(col("dst").as("src"), col("mn").as("dst"))
+    val self = mins.select(col("src"), col("mn").as("dst"))
+    nbr.union(self)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
   }
 
   /** Apply-side of near-dup clustering: drop every row whose id belongs
@@ -89,19 +154,6 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
-  }
-
-  /** One propagation round: new label(v) = min(label(v), min over
-    * neighbors u of label(u)) — one equi-join on the edge endpoint plus a
-    * map-side-combining min aggregate (plan shape locked in PlanSpec). */
-  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val neighborCand = edges
-      .join(labels.select(col("id").as("dst"), col("component").as("cand")),
-        Seq("dst"))
-      .select(col("src").as("id"), col("cand"))
-    labels.select(col("id"), col("component").as("cand"))
-      .union(neighborCand)
-      .groupBy("id").agg(min("cand").as("component"))
   }
 
   /** k-word shingles of a token array (empty when fewer than k tokens). */

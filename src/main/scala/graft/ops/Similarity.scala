@@ -199,8 +199,12 @@ object Similarity {
     // persist the cast vectors: Lloyd's re-reads the corpus every
     // iteration, and caching also MATERIALIZES the array<double> cast so
     // column pruning cannot re-inline it into the per-centroid transform
-    // lambda (the measured HOF re-evaluation trap)
+    // lambda (the measured HOF re-evaluation trap).
+    // Null / wrong-dimension vectors are dropped BEFORE assignment:
+    // zip_with pads length mismatches with null, cosine then yields null,
+    // and a cluster=null stats row would NPE on getLong below.
     val base = corpus.select(col(vecCol).cast("array<double>").as("cv"))
+      .filter(col("cv").isNotNull && size(col("cv")) === dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     while (iter < iterations) {
@@ -216,7 +220,7 @@ object Similarity {
         .agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = cents.map(_.clone())
-      stats.foreach { row =>
+      stats.filterNot(_.isNullAt(0)).foreach { row =>
         val c = row.getLong(0).toInt - 1 // array_position is 1-based
         val n = row.getLong(1)
         if (c >= 0 && c < nlist && n > 0) {
@@ -288,4 +292,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Ungrouped variant — the bands alone are the bucketing. Without a group
+    * column the candidate-join key cardinality drops from
+    * |groups| × numBands × 2^bandBits to numBands × 2^bandBits, so at large
+    * corpus sizes pick numPlanes/numBands so that 2^(numPlanes/numBands)
+    * keeps per-bucket occupancy bounded (each bucket is joined with itself;
+    * the pair count per bucket is quadratic in its occupancy). With a
+    * natural blocking key available, prefer the grouped overload. */
+  def cosineNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int,
+      numBands: Int,
+      dim: Int,
+      seed: Long): DataFrame = {
+    val g = "__graft_ungrouped_band_key"
+    cosineNearDups(df.withColumn(g, lit(0)), idCol, vecCol, g, threshold,
+      numPlanes, numBands, dim, seed)
+  }
+
+  /** Ungrouped variant with the grouped overload's default parameters. */
+  def cosineNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame =
+    cosineNearDups(df, idCol, vecCol, threshold, 16, 4, 64, 42L)
 }

@@ -31,18 +31,47 @@ object TextOps {
     size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
       .cast("long")
 
-  /** n-gram-heuristic language ID over (en, de, fr) stopword markers.
+  /** Stopword-marker language ID — a DEMONSTRATION heuristic, not a
+    * langdetect/fastText replacement: it covers exactly the languages in
+    * its marker table and mislabels anything else as the nearest covered
+    * language (or "und"). Its value here is that it is SQL-portable and
+    * deterministic, so the DuckDB oracle can re-derive every guess; plug a
+    * real identifier in via the marker-table overload (more languages) or
+    * a kernel function (real models) when accuracy matters.
+    *
     * Marker hit counts are whole-word occurrences; the argmax (ties → the
-    * earlier language in the order en, de, fr) is the guess, "und" =
+    * earlier language in marker-table order) is the guess, "und" =
     * undetermined when no marker hits. */
-  def langIdGuess(text: Column): Column = {
-    val en = Seq("the", "and", "of", "is").map(wordOccurrences(text, _)).reduce(_ + _)
-    val de = Seq("der", "und", "die", "ist").map(wordOccurrences(text, _)).reduce(_ + _)
-    val fr = Seq("le", "et", "les", "est").map(wordOccurrences(text, _)).reduce(_ + _)
-    when(greatest(en, de, fr) === 0, "und")
-      .when(en >= de && en >= fr, "en")
-      .when(de >= fr, "de")
-      .otherwise("fr")
+  def langIdGuess(text: Column): Column = langIdGuess(text, defaultLangMarkers)
+
+  /** The (en, de, fr) stopword table the no-arg `langIdGuess` uses. */
+  val defaultLangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "et", "les", "est"))
+
+  /** Marker-table constructor: language ID over caller-supplied
+    * (langCode → whole-word markers) entries, so languages extend without
+    * editing the operator. Earlier entries win ties; the expression stays
+    * row-local and codegen'd (one replace/length chain per marker word —
+    * keep tables to a handful of high-frequency markers per language). */
+  def langIdGuess(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    require(markers.nonEmpty, "marker table must not be empty")
+    val counts = markers.map { case (lang, words) =>
+      lang -> words.map(wordOccurrences(text, _)).reduce(_ + _)
+    }
+    val anyHit = counts.map(_._2) match {
+      case Seq(only) => only
+      case cs => greatest(cs: _*)
+    }
+    // argmax with first-entry tie-break: entry i wins iff its count >=
+    // every LATER entry's count (earlier entries already had their chance)
+    val guess = counts.zipWithIndex.init.foldRight(lit(counts.last._1)) {
+      case (((lang, c), i), rest) =>
+        val laterCounts = counts.drop(i + 1).map(_._2)
+        when(laterCounts.map(c >= _).reduce(_ && _), lang).otherwise(rest)
+    }
+    when(anyHit === 0, "und").otherwise(guess)
   }
 
   /** SQL-portable quality proxy: stopword density + length band + numeric

@@ -32,7 +32,9 @@ object WebOps {
       .otherwise(hostPort)
     val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // Anchored pre-fragment match: a '?' inside the fragment (http://h/p#sec?x=1)
+    // must NOT fabricate a query — [^#]*? cannot cross the first '#'.
+    val query = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
       p => !(p.startsWith("utm_") || p === ""))
     val sortedQuery = array_join(array_sort(params), "&")

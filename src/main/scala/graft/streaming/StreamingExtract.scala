@@ -164,10 +164,16 @@ object StreamingExtract {
             Iterator.empty
           } else {
             var seen = state.getOption.getOrElse(false)
-            val out = rows.map { case (url, text, lang, fv, _) =>
-              val verdict = if (seen) "exact_dup" else { seen = true; fv }
-              StreamVerdict(url, text, lang, verdict)
-            }.toVector // drain before updating state
+            // The group iterator's order is NOT deterministic within a
+            // micro-batch; sort by url so the SAME row keeps its funnel
+            // verdict on every run (min url wins) before the rest become
+            // exact_dup. Per-group cardinality = same-content-hash rows in
+            // ONE micro-batch — bounded, fine to materialize.
+            val out = rows.toVector.sortBy(_._1).map {
+              case (url, text, lang, fv, _) =>
+                val verdict = if (seen) "exact_dup" else { seen = true; fv }
+                StreamVerdict(url, text, lang, verdict)
+            }
             state.update(seen)
             if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
             out.iterator

@@ -139,6 +139,13 @@ class OpsSpec extends AnyFunSuite {
     assert(found >= 8, s"recall too low: $found/10; pairs=$pairs")
     // every emitted pair really passes the exact-cosine threshold
     assert(pairs.forall { case (a, b) => a < b })
+
+    // ungrouped overload: no blocking key needed — bands alone bucket, and
+    // recall on the same corpus matches the constant-group run exactly
+    val ungrouped = Similarity.cosineNearDups(
+      e.union(dups).drop("label"), "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ungrouped == pairs, s"ungrouped=$ungrouped grouped=$pairs")
   }
 
   test("ngram jaccard prefix join ≡ naive all-pairs (completeness property)") {
@@ -244,16 +251,20 @@ class OpsSpec extends AnyFunSuite {
     // whose generated projection code overflowed the 64KB method limit.
   }
 
-  test("connected components: min-label propagation finds the exact " +
-    "clusters, incl. a diameter-10 chain (multi-round convergence)") {
+  test("connected components: small-star/large-star finds the exact " +
+    "clusters, incl. a diameter-10 chain in O(log diameter) rounds") {
     val edges = Seq(
       (1L, 2L), (2L, 3L), // triangle-ish cluster → comp 1
       (10L, 11L), // pair → comp 10
       (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L) // cycle → comp 20
     ) ++ (100L until 110L).map(i => (i, i + 1)) // chain of diameter 10
     val pairs = edges.toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (compDf, rounds) =
+      Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+    // min-label propagation needed diameter ≈ 10 rounds on this chain;
+    // star rounds must do it in ≤ 4 (log₂ 10 ≈ 3.3, +1 fixpoint check)
+    assert(rounds <= 4, s"star convergence took $rounds rounds")
+    val comp = compDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
     assert(comp(10L) == 10L && comp(11L) == 10L)
     assert((20L to 23L).forall(comp(_) == 20L))
@@ -295,6 +306,10 @@ class OpsSpec extends AnyFunSuite {
     assert(canon("example.com/a?x=1") == "example.com/a?x=1")
     assert(canon("other.org/b#frag") == "other.org/b")
     assert(canon("not a url at all") == "not a url at all")
+    // a '?' INSIDE the fragment must not fabricate a query (the query
+    // regex is anchored to the pre-fragment substring)
+    assert(canon("http://h.example/p#sec?x=1") == "http://h.example/p")
+    assert(canon("http://h.example/p?a=1#sec?z=9") == "http://h.example/p?a=1")
   }
 
   test("stratified sampling: deterministic membership matching the kernel " +
@@ -361,6 +376,16 @@ class OpsSpec extends AnyFunSuite {
       nlist = 3, nprobe = 1, centroids = Some(cents)))
     val brute = rows(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3))
     assert(ivf == brute)
+
+    // null / wrong-dimension corpus vectors are dropped before assignment
+    // (they used to NPE on the driver via a cluster=null stats row) and do
+    // not perturb the trained centroids
+    val dirty = e
+      .union(Seq((900L, null: Array[Float]), (901L, Array(1.0f)))
+        .toDF("vec_id", "embedding"))
+    val centsDirty = Similarity.trainQuantizer(dirty, "vec_id", "embedding",
+      nlist = 3, dim = dim, iterations = 5)
+    assert(centsDirty.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
   }
 
   test("vocabulary top-k: counts, deterministic ties, empty-token filter") {
@@ -403,6 +428,33 @@ class OpsSpec extends AnyFunSuite {
     val got = df.select(col("id"), TextOps.langIdGuess(col("text")).as("g"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("langIdGuess marker-table constructor: caller-supplied languages, " +
+    "first-entry tie break, default table ≡ no-arg overload") {
+    val df = Seq(
+      (1L, "el gato y el perro es aqui"), // es markers
+      (2L, "the cat and the dog is here"),
+      (3L, "qqq www zzz"), // no marker → und
+      (4L, "el the")) // 1-1 tie → first entry (es) wins
+      .toDF("id", "text")
+    val table = Seq(
+      "es" -> Seq("el", "y", "es", "los"),
+      "en" -> Seq("the", "and", "of", "is"))
+    val got = df.select(col("id"),
+      TextOps.langIdGuess(col("text"), table).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "es", 2L -> "en", 3L -> "und", 4L -> "es"))
+
+    // the explicit default table reproduces the no-arg overload exactly
+    val probe = Seq((1L, "the cat and dog"), (2L, "der hund und katze"),
+      (3L, "le chat et chien"), (4L, "")).toDF("id", "text")
+    val a = probe.select(TextOps.langIdGuess(col("text")).as("g"))
+      .collect().map(_.getString(0)).toSeq
+    val b = probe.select(
+      TextOps.langIdGuess(col("text"), TextOps.defaultLangMarkers).as("g"))
+      .collect().map(_.getString(0)).toSeq
+    assert(a == b)
   }
 
   test("wordOccurrences counts whole words incl. adjacent runs") {

@@ -163,16 +163,22 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
   }
 
-  test("connected-components round: label join keyed on the edge endpoint, " +
-    "min agg has a partial (map-side) phase") {
+  test("connected-components star rounds: per-vertex min agg has a partial " +
+    "(map-side) phase, shuffles keyed on the vertex, no cartesian product") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val labels = edges.select(col("src").as("id"))
-      .withColumn("component", col("id"))
-    val p = plan(Dedup.ccRound(edges, labels))
-    assert(p.contains("partial_min"), // map-side combine on the min agg
-      p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+    val edges = pairs.select(
+      greatest(col("id_a"), col("id_b")).as("src"),
+      least(col("id_a"), col("id_b")).as("dst"))
+    for (round <- Seq(Dedup.largeStar(edges), Dedup.smallStar(edges))) {
+      val p = plan(round)
+      assert(p.contains("partial_min"), // map-side combine on the min agg
+        p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), p.take(800))
+      val keys = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(keys.forall(_.contains("src")), keys.mkString("\n"))
+    }
   }
 
   test("dup-gram profile: every Exchange keyed on gram or doc_id, both " +
