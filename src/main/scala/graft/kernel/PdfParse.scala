@@ -107,6 +107,7 @@ object PdfParse {
   private val PatColors = Py.re("""/Colors\s+(\d+)""")
   private val PatBpc = Py.re("""/BitsPerComponent\s+(\d+)""")
   private val PatType0 = Py.re("""/Subtype\s*/Type0""")
+  private val PatEncodingIdentity = Py.re("""/Encoding\s*/Identity-[HV]""")
   private val PatLen = Py.re("""/Length\s+(\d+)""")
   private val PatLenIndirectTail = Py.re("""\s+\d+\s+R""")
 
@@ -368,21 +369,33 @@ object PdfParse {
 
   // -------------------------------------------------------------- ToUnicode
 
-  /** A font's character decoding: code width in bytes and the ToUnicode
-    * code→string map (PDF 32000-1 §9.10.3). */
+  /** A font's character decoding: code width in bytes, the ToUnicode
+    * code→string map (PDF 32000-1 §9.10.3), and — for Type0 fonts that
+    * declare `/Encoding /Identity-H|V` but embed no ToUnicode — the
+    * Unicode-CID passthrough flag (see `decodeIdentityCid`). */
   private[kernel] final case class FontCMap(
-      bytesPerCode: Int, map: Map[Int, String])
+      bytesPerCode: Int, map: Map[Int, String],
+      identityCid: Boolean = false)
 
   /** Resolve the /Font dict of a resources dict into per-name CMaps.
     * Simple fonts without a ToUnicode stream decode byte-identically
     * (standard Latin encodings) — correct for that subset. COMPOSITE
-    * (/Subtype /Type0, CID) fonts without ToUnicode are UNDECODABLE
-    * without the embedded font program: they are marked with an empty
-    * 2-byte CMap so their show strings yield NO text (instead of 1-byte
-    * mojibake that would inflate text_length and misroute the page as
-    * native text) — the page degrades to the needs-OCR path, the same
-    * conservative direction the reference's pipeline takes when the text
-    * layer is absent. */
+    * (/Subtype /Type0, CID) fonts without ToUnicode split by /Encoding:
+    *
+    *   - `/Identity-H|V`: CID = 2-byte code directly (PDF 32000-1 §9.7.5.2).
+    *     The dominant no-ToUnicode producer pattern maps CIDs straight to
+    *     Unicode code points (CIDToGIDMap tracks the font's Unicode cmap),
+    *     so codes decode via the plausibility-guarded passthrough in
+    *     `decodeIdentityCid` — this rescues the text layer of most
+    *     subsetted western and Unicode-CID CJK PDFs (the reference gets
+    *     the same text free via PyMuPDF's font program access,
+    *     _detector.py:250-296, which we don't ship).
+    *   - anything else (predefined CMap names, missing): UNDECODABLE
+    *     without the font program — marked with an empty 2-byte CMap so
+    *     show strings yield NO text (instead of 1-byte mojibake that would
+    *     inflate text_length and misroute the page as native text); the
+    *     page degrades to the needs-OCR path, the same conservative
+    *     direction the reference takes when the text layer is absent. */
   private def pageFonts(
       resources: String, objs: Map[Int, PdfObj],
       bytes: Array[Byte], crypt: Option[PdfCrypt]): Map[String, FontCMap] = {
@@ -400,7 +413,8 @@ object PdfParse {
               data <- streamData(tuObj, bytes, crypt)
             } out(name) = parseCMap(new String(data, StandardCharsets.ISO_8859_1))
           case None if PatType0.matcher(fontObj.body).find() =>
-            out(name) = FontCMap(2, Map.empty) // undecodable CID font
+            val identity = PatEncodingIdentity.matcher(fontObj.body).find()
+            out(name) = FontCMap(2, Map.empty, identityCid = identity)
           case None => // simple font: byte-identity decode, no entry
         }
       }
@@ -464,12 +478,39 @@ object PdfParse {
     FontCMap(width, map.toMap)
   }
 
+  /** Identity-H/V CID decode without a ToUnicode CMap: treat each 2-byte
+    * CID as a BMP code point, guarded against fabrication. Subset fonts
+    * whose CIDs are raw GLYPH INDICES assign small ints (gid 1, 2, 3 …) —
+    * those land in the control range and fail the plausibility test, so a
+    * glyph-index string degrades to "" (needs-OCR) instead of decoding as
+    * garbage; Unicode-CID strings (printable ASCII, Latin-1, letters and
+    * digits in any script, general punctuation) pass through intact. The
+    * whole string is rejected unless ≥80% of its codes are plausible —
+    * a mixed string is more likely glyph-indexed than Unicode-CID. */
+  private[kernel] def decodeIdentityCid(rawStr: String): String = {
+    val n = rawStr.length / 2
+    if (n == 0) return ""
+    val sb = new StringBuilder(n)
+    var plausible = 0
+    var i = 0
+    while (i + 1 < rawStr.length) {
+      val c = ((rawStr.charAt(i) & 0xFF) << 8) | (rawStr.charAt(i + 1) & 0xFF)
+      val ok = (c >= 0x20 && c <= 0x7E) || (c >= 0xA0 && c <= 0xFF) ||
+        (c >= 0x2000 && c <= 0x206F) || Character.isLetterOrDigit(c)
+      if (ok) { plausible += 1; sb.append(c.toChar) }
+      i += 2
+    }
+    if (plausible.toDouble / n >= 0.8) sb.toString else ""
+  }
+
   /** Decode a raw show-string (chars = bytes) through the active font. */
   private def decodeString(rawStr: String, font: Option[FontCMap]): String =
     font match {
       case None => rawStr
       case Some(f) if f.bytesPerCode == 2 && f.map.isEmpty =>
-        "" // undecodable CID font: degrade (1-byte fonts keep identity)
+        // Identity-encoded CID: guarded Unicode passthrough; otherwise
+        // undecodable CID font: degrade (1-byte fonts keep identity)
+        if (f.identityCid) decodeIdentityCid(rawStr) else ""
       case Some(f) if f.bytesPerCode == 1 =>
         val sb = new StringBuilder
         var i = 0
@@ -1282,7 +1323,8 @@ object PdfParse {
       pageWidth: Double = 612,
       pageHeight: Double = 792,
       encrypt: Option[PdfCrypt.Mode] = None,
-      embedJpeg: Boolean = false): Array[Byte] = {
+      embedJpeg: Boolean = false,
+      cidFont: Boolean = false): Array[Byte] = {
     val objects = mutable.ArrayBuffer[Array[Byte]]() // 1-indexed bodies
     def obj(n: Int, body: String): Array[Byte] =
       s"$n 0 obj\n$body\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
@@ -1306,11 +1348,18 @@ object PdfParse {
     objects += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
     objects += obj(2, s"<< /Type /Pages /Kids [$kids] /Count $nPages >>")
 
-    val imgRefs =
+    // font objects (Identity-H Type0 WITHOUT ToUnicode — the CID layout
+    // this parser rescues via decodeIdentityCid) come after the images
+    val fontObjNum = imgObjBase + images.length
+    val resParts = Seq(
+      if (cidFont) Some(s"/Font << /F1 $fontObjNum 0 R >>") else None,
       if (images.nonEmpty)
-        " /Resources << /XObject << " +
+        Some("/XObject << " +
           images.indices.map(j => s"/Im$j ${imgObjBase + j} 0 R").mkString(" ") +
-          " >> >>"
+          " >>")
+      else None).flatten
+    val imgRefs =
+      if (resParts.nonEmpty) s" /Resources << ${resParts.mkString(" ")} >>"
       else ""
 
     pageLines.zipWithIndex.foreach { case (lines, i) =>
@@ -1321,9 +1370,16 @@ object PdfParse {
           s"/Contents $contNum 0 R$imgRefs >>")
       val ops = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
       lines.zipWithIndex.foreach { case (line, li) =>
-        val esc = line.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
         if (li > 0) ops.append("T*\n")
-        ops.append(s"($esc) Tj\n")
+        if (cidFont) {
+          // 2-byte Identity-H codes = the text's UTF-16 units, as a hex
+          // show string (the layout Unicode-CID producers emit)
+          val hex = line.map(c => f"${c.toInt}%04X").mkString
+          ops.append(s"<$hex> Tj\n")
+        } else {
+          val esc = line.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+          ops.append(s"($esc) Tj\n")
+        }
       }
       ops.append("ET\n")
       val rawOps = ops.toString.getBytes(StandardCharsets.ISO_8859_1)
@@ -1355,7 +1411,17 @@ object PdfParse {
       objects += (head ++ data ++ tail)
     }
 
-    val encryptNum = imgObjBase + images.length
+    if (cidFont) {
+      objects += obj(fontObjNum,
+        "<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID " +
+          s"/Encoding /Identity-H /DescendantFonts [${fontObjNum + 1} 0 R] >>")
+      objects += obj(fontObjNum + 1,
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+          "/Supplement 0 >> /CIDToGIDMap /Identity >>")
+    }
+
+    val encryptNum = fontObjNum + (if (cidFont) 2 else 0)
     enc.foreach { case (dict, _, _) => objects += obj(encryptNum, dict) }
 
     // assemble with a real xref table

@@ -213,15 +213,24 @@ object Synth {
         // layers, so classification outputs are unchanged regardless of
         // layout or encryption
         val bytes = rng.nextInt(4) match {
-          case 0 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq))
+          // half the classic-layout docs carry an Identity-H Type0 font
+          // with NO ToUnicode (hex show strings of 2-byte Unicode CIDs) —
+          // the CID layout decodeIdentityCid rescues; keyed off idx/10
+          // (kind-7 rows all have idx ≡ 7 mod 10, so idx itself is always
+          // odd), not an rng draw, so every oracle-checked value is
+          // unchanged. The text layer is byte-identical either way.
+          case 0 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
+            cidFont = (idx / 10) % 2 == 0)
           case 1 => PdfParse.writePdfObjStm(d.pages.map(_.textLayer.split("\n").toSeq))
           case 2 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
             // alternate the two owner-locked handlers (RC4-128 R3 and
             // AES-256 R6) so BOTH decrypt paths run at corpus scale;
-            // keyed off idx, not an rng draw, to keep the draw sequence
-            // (and thus every oracle-checked value) unchanged
+            // keyed off idx/10 (kind-7 idx is always odd — a plain idx%2
+            // silently pinned this to AES-256 only), not an rng draw, to
+            // keep the draw sequence (and thus every oracle-checked
+            // value) unchanged
             encrypt = Some(
-              if (idx % 2 == 0) PdfCrypt.Rc4Owner else PdfCrypt.Aes256Owner))
+              if ((idx / 10) % 2 == 0) PdfCrypt.Rc4Owner else PdfCrypt.Aes256Owner))
           case _ => PdfPayload.serialize(d)
         }
         (bytes, d.pages.head.textLayer.take(120))

@@ -46,6 +46,22 @@ object KernelProfile {
     time("pdf18p_objstm15",
       docs.map(d => PdfParse.writePdfObjStm(d.pages.map(_.textLayer.split("\n").toSeq))))
     time("pdf18p_structured", docs.map(PdfPayload.serialize))
+    time("pdf18p_cid_identityH",
+      docs.map(d => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
+        cidFont = true)))
+
+    // CID docs must flow the TEXT path, not degrade to needs-OCR: the
+    // Identity-H text layer decodes byte-identically to the classic layout
+    val cidShare = rows.collect { case (7, b) if b != null &&
+      PdfParse.isRealPdf(b) &&
+      new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .contains("/Identity-H") => b }
+    val cidTextOk = cidShare.count { b =>
+      val r = ex.extract(b)
+      r.docKind == "pdf" && r.status != "true" && r.extractedText.length > 500
+    }
+    println(s"[kprof] cid_identityH_corpus_docs=${cidShare.length} " +
+      s"text_path_ok=$cidTextOk")
 
     // decryption overhead isolated: same 18-page docs, owner-locked
     time("pdf18p_rc4_128",

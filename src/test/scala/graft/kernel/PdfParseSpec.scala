@@ -321,18 +321,27 @@ class PdfParseSpec extends AnyFunSuite {
     assert(doc.pages(0).textLayer == "")
   }
 
-  test("CID/Type0 font WITHOUT ToUnicode degrades to an empty text layer " +
-    "(needs-OCR path), never 1-byte mojibake") {
-    val content = "BT /F1 12 Tf 72 720 Td <00480065006C006C006F> Tj ET"
-    val pdf = ("%PDF-1.4\n" +
+  /** Hand-assembled one-page PDF with a Type0 /F1 font whose dict is
+    * `fontBody`, showing `hexCodes` as a hex string. */
+  private def cidFixture(fontBody: String, hexCodes: String): Array[Byte] = {
+    val content = s"BT /F1 12 Tf 72 720 Td <$hexCodes> Tj ET"
+    ("%PDF-1.4\n" +
       "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
       "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
       "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
       "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n" +
       s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
-      "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NoMap " +
-      "/Encoding /Identity-H >>\nendobj\n" +
+      s"5 0 obj\n$fontBody\nendobj\n" +
       "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("CID/Type0 font with a predefined (non-Identity) CMap and no " +
+    "ToUnicode degrades to an empty text layer (needs-OCR path), never " +
+    "1-byte mojibake") {
+    val pdf = cidFixture(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /NoMap " +
+        "/Encoding /UniGB-UCS2-H >>",
+      "00480065006C006C006F") // would read "Hello" under Identity
     val doc = PdfParse.parse(pdf)
     assert(doc.pages(0).textLayer == "",
       s"undecodable CID text must yield nothing, got '${doc.pages(0).textLayer}'")
@@ -340,6 +349,49 @@ class PdfParseSpec extends AnyFunSuite {
     // direction, instead of classifying garbage as native text
     val d = new Extractor(ProbeConfig()).extract(pdf)
     assert(d.status == "true" && d.pages == Vector(1))
+  }
+
+  test("Identity-H WITHOUT ToUnicode: Unicode-CID hex strings decode (the " +
+    "subsetted/CJK rescue); glyph-index CIDs still degrade to empty") {
+    val idH = "<< /Type /Font /Subtype /Type0 /BaseFont /Sub " +
+      "/Encoding /Identity-H /DescendantFonts [9 0 R] >>"
+    // CID == Unicode code point (the common no-ToUnicode producer shape)
+    val doc = PdfParse.parse(cidFixture(idH, "00480065006C006C006F"))
+    assert(doc.pages(0).textLayer == "Hello",
+      s"Identity-H Unicode CIDs must decode, got '${doc.pages(0).textLayer}'")
+    // CJK Unicode CIDs decode too (isLetterOrDigit covers the CJK block)
+    val cjk = PdfParse.parse(cidFixture(idH, "65E5672C8A9E"))
+    assert(cjk.pages(0).textLayer == "日本語")
+    // subset font with raw GLYPH-INDEX CIDs (small ints): implausible as
+    // text → whole string rejected, page degrades to needs-OCR
+    val gid = PdfParse.parse(cidFixture(idH, "00010002000300040005"))
+    assert(gid.pages(0).textLayer == "",
+      s"glyph-index CIDs must degrade, got '${gid.pages(0).textLayer}'")
+    // mixed below the 80% plausibility bar (3 of 5 plausible) → rejected
+    val mixed = PdfParse.parse(cidFixture(idH, "00480001006500020066"))
+    assert(mixed.pages(0).textLayer == "")
+    // at/above the bar (4 of 5 plausible) → plausible codes survive
+    val mostly = PdfParse.parse(cidFixture(idH, "00480065000100660067"))
+    assert(mostly.pages(0).textLayer == "Hefg")
+  }
+
+  test("writePdf(cidFont=true): Identity-H layout round-trips the text " +
+    "layer byte-identically to the classic layout, through BOTH readers " +
+    "and the full extractor") {
+    val lines = Seq(
+      Seq("The court order and the filing were records.",
+        "Margin analysis of the appeal document."),
+      Seq("Second page statute evidence paragraph."))
+    val classic = PdfParse.writePdf(lines)
+    val cid = PdfParse.writePdf(lines, cidFont = true)
+    val dc = PdfParse.parse(classic, needAlt = true)
+    val di = PdfParse.parse(cid, needAlt = true)
+    assert(di.pages.map(_.textLayer) == dc.pages.map(_.textLayer))
+    assert(di.pages.map(_.altTextLayer) == dc.pages.map(_.altTextLayer),
+      "geometric reader must decode Identity-H identically")
+    val ex = new Extractor(ProbeConfig())
+    val (ec, ei) = (ex.extract(classic), ex.extract(cid))
+    assert(ei.extractedText == ec.extractedText && ei.status == ec.status)
   }
 
   test("inline images (BI … ID <binary> EI) are skipped by BOTH readers: " +
@@ -364,10 +416,11 @@ class PdfParseSpec extends AnyFunSuite {
     assert(PdfParse.extractTextOps(ops2) == "One\nTwo")
   }
 
-  test("form XObject with its OWN undecodable CID font degrades to empty " +
-    "alt text (form-local /Resources fonts are honored)") {
+  /** One-page PDF whose content is a single form XObject carrying its own
+    * /F1 Type0 font with dict `fontBody`. */
+  private def formCidFixture(fontBody: String): Array[Byte] = {
     val formOps = "BT /F1 12 Tf 72 720 Td <00480065006C006C006F> Tj ET"
-    val pdf = ("%PDF-1.4\n" +
+    ("%PDF-1.4\n" +
       "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
       "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
       "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
@@ -376,13 +429,28 @@ class PdfParseSpec extends AnyFunSuite {
       "5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] " +
       "/Resources << /Font << /F1 6 0 R >> >> " +
       s"/Length ${formOps.length} >>\nstream\n$formOps\nendstream\nendobj\n" +
-      "6 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /NoMap " +
-      "/Encoding /Identity-H >>\nendobj\n" +
+      s"6 0 obj\n$fontBody\nendobj\n" +
       "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("form XObject with its OWN undecodable CID font degrades to empty " +
+    "alt text (form-local /Resources fonts are honored)") {
+    val pdf = formCidFixture("<< /Type /Font /Subtype /Type0 " +
+      "/BaseFont /NoMap /Encoding /UniGB-UCS2-H >>")
     val doc = PdfParse.parse(pdf, needAlt = true)
     assert(doc.pages(0).textLayer == "")
     assert(doc.pages(0).altTextLayer == Some(""),
       s"form-local CID font must degrade, got ${doc.pages(0).altTextLayer}")
+  }
+
+  test("form XObject with a form-local Identity-H font: the geometric " +
+    "reader rescues its Unicode-CID text into the alt layer") {
+    val pdf = formCidFixture("<< /Type /Font /Subtype /Type0 " +
+      "/BaseFont /Sub /Encoding /Identity-H >>")
+    val doc = PdfParse.parse(pdf, needAlt = true)
+    assert(doc.pages(0).textLayer == "") // cursor reader: page content only
+    assert(doc.pages(0).altTextLayer == Some("Hello"),
+      s"form-local Identity-H must decode, got ${doc.pages(0).altTextLayer}")
   }
 
   test("stream payloads containing 'endstream' are framed by the direct " +
