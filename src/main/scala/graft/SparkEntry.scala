@@ -753,6 +753,27 @@ object SparkEntry {
           (length(col("text")) =!= col("n_chars")).as("length_mismatch"),
           col("text").isNull.as("null_text"))
         .filter(col("length_mismatch") || col("null_text"))
+    }),
+
+    // ANN IVF with a TRAINED quantizer (2 Lloyd's iterations), fully
+    // oracle-checked: the embeddings are quantized to integer components
+    // (floor(x·8) — ·8 is a power of two so the product is exact, floor is
+    // unambiguous in both engines), which makes every per-cluster partial
+    // sum EXACT regardless of summation order; each centroid is then one
+    // correctly-rounded division (sum/n), so the trained centroids — and
+    // every cosine computed from them via the shared sequential fold — are
+    // bit-identical between Spark and the DuckDB oracle's unrolled
+    // two-iteration Lloyd's SQL.
+    "q55_ann_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 8)).as("iv"))
+      val cents = Similarity.trainQuantizer(e, "vec_id", "iv",
+        nlist = 4, dim = 64, iterations = 2)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "iv",
+        k = 3, nlist = 4, nprobe = 2, centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
     })
   )
 
@@ -1226,6 +1247,74 @@ object SparkEntry {
         |    SELECT vec_id, cid,
         |      rank() OVER (PARTITION BY vec_id ORDER BY cs DESC) AS rk
         |    FROM asg WHERE vec_id < 10) WHERE rk <= 2),
+        |cand AS (
+        |  SELECT q.query_id, cc.vec_id AS neighbor_id
+        |  FROM qprobe q JOIN corpus_cluster cc
+        |    ON cc.cid = q.cid AND cc.vec_id <> q.query_id),
+        |sc AS (
+        |  SELECT query_id, neighbor_id,
+        |    ${foldCosine("x.v", "y.v", 64)} AS cosine
+        |  FROM cand
+        |  JOIN e x ON x.vec_id = query_id
+        |  JOIN e y ON y.vec_id = neighbor_id),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+        |FROM rk WHERE rank <= 3""".stripMargin
+
+    // q55: TRAINED-quantizer IVF — Lloyd's unrolled for two iterations in
+    // SQL. The integer-quantized vectors (floor(x·8)) make every partial
+    // sum exact, so sum/n centroids are bit-identical across engines;
+    // assignment argmax ties break to the smallest centroid index (the
+    // array_position-of-first-max rule), empty clusters keep the previous
+    // centroid.
+    def lloydIter(i: Int, prev: String, next: String): String =
+      s"""a$i AS (
+         |  SELECT e.vec_id, c.cid, ${foldCosine("e.v", "c.cv", 64)} AS cs
+         |  FROM e, $prev c),
+         |asg$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY cs DESC, cid ASC) AS rn
+         |    FROM a$i) WHERE rn = 1),
+         |n$i AS (SELECT cid, count(*) AS n FROM asg$i GROUP BY cid),
+         |s$i AS (
+         |  SELECT a.cid, dims.d, sum(e.v[dims.d]) AS sx
+         |  FROM asg$i a JOIN e USING (vec_id) CROSS JOIN dims
+         |  GROUP BY a.cid, dims.d),
+         |m$i AS (
+         |  SELECT s$i.cid, list(s$i.sx / n$i.n ORDER BY s$i.d) AS cv
+         |  FROM s$i JOIN n$i ON n$i.cid = s$i.cid GROUP BY s$i.cid),
+         |$next AS (
+         |  SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
+         |  FROM $prev LEFT JOIN m$i ON m$i.cid = $prev.cid)""".stripMargin
+    m += "q55_ann_ivf_trained" ->
+      s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x * 8)) AS v
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |c0 AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < 4),
+        |${lloydIter(1, "c0", "c1")},
+        |${lloydIter(2, "c1", "c2")},
+        |af AS (
+        |  SELECT e.vec_id, c.cid, ${foldCosine("e.v", "c.cv", 64)} AS cs
+        |  FROM e, c2 c),
+        |corpus_cluster AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM af) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      rank() OVER (PARTITION BY vec_id ORDER BY cs DESC) AS rk
+        |    FROM af WHERE vec_id < 10) WHERE rk <= 2),
         |cand AS (
         |  SELECT q.query_id, cc.vec_id AS neighbor_id
         |  FROM qprobe q JOIN corpus_cluster cc
