@@ -197,6 +197,65 @@ object MediaCodec {
   private def glyphRows(c: Char): Array[Int] =
     Glyphs.getOrElse(Character.toUpperCase(c), GlyphBlank)
 
+  /** Plot one glyph's ink with its cell's top-left raster corner at
+    * (x0, y0), pixel blocks `scale` wide/tall, clipped to the page. */
+  private def drawGlyph(g: Array[Int], x0: Double, y0: Double, scale: Double,
+      width: Int, height: Int)(plot: (Int, Int) => Unit): Unit = {
+    var r = 0
+    while (r < 7) {
+      val bits = g(r)
+      if (bits != 0) {
+        var c = 0
+        while (c < 5) {
+          if ((bits & (1 << (4 - c))) != 0) {
+            val px0 = math.max(0, (x0 + c * scale).toInt)
+            val px1 = math.max(px0 + 1, (x0 + (c + 1) * scale).toInt)
+            val py0 = math.max(0, (y0 + r * scale).toInt)
+            val py1 = math.max(py0 + 1, (y0 + (r + 1) * scale).toInt)
+            if (x0 + c * scale >= 0 && y0 + r * scale >= 0) {
+              var py = py0
+              while (py < py1 && py < height) {
+                var px = px0
+                while (px < px1 && px < width) { plot(px, py); px += 1 }
+                py += 1
+              }
+            }
+          }
+          c += 1
+        }
+      }
+      r += 1
+    }
+  }
+
+  /** Rasterize POSITIONED text runs (x, y, text) — PDF user space,
+    * baseline-left origin, y up, points — at `scale` (dpi/72) onto a
+    * `width`×`height` raster whose top edge is PDF y = pageHeightPts.
+    * This is the Td/Tm-exact S5 ink path: each run's glyph cells start at
+    * the run's own content-stream position (7-unit glyph height above the
+    * baseline, 6-unit advance per char — the same cell geometry as the
+    * line-grid fallback), so a two-column page renders as two ink columns
+    * instead of a left-aligned grid. Work is bounded by the pixel count:
+    * runs and chars outside the page clip. */
+  private def drawRuns(runs: Seq[(Double, Double, String)],
+      pageHeightPts: Double, scale: Double,
+      width: Int, height: Int)(plot: (Int, Int) => Unit): Unit = {
+    runs.foreach { case (rx, ry, text) =>
+      // glyph cell top in raster coords: baseline y + 7 font units up
+      val y0 = (pageHeightPts - ry - 7.0) * scale
+      if (y0 + 7 * scale >= 0 && y0 < height) {
+        val maxChars = math.max(0,
+          math.ceil((width / scale - rx) / 6.0).toInt)
+        var ci = 0
+        while (ci < text.length && ci < maxChars) {
+          val g = glyphRows(text.charAt(ci))
+          drawGlyph(g, (rx + ci * 6.0) * scale, y0, scale, width, height)(plot)
+          ci += 1
+        }
+      }
+    }
+  }
+
   /** Rasterize `lines` with the 5×7 font at `scale` (dpi/72), invoking
     * `plot(x, y)` for every ink pixel inside the page. Char cell 6×9 font
     * units, 4-unit margins; lines/chars overflowing the page are clipped —
@@ -215,30 +274,7 @@ object MediaCodec {
       var ci = 0
       while (ci < line.length && ci < maxChars) {
         val g = glyphRows(line.charAt(ci))
-        val x0 = margin + ci * cellW
-        var r = 0
-        while (r < 7) {
-          val bits = g(r)
-          if (bits != 0) {
-            var c = 0
-            while (c < 5) {
-              if ((bits & (1 << (4 - c))) != 0) {
-                val px0 = (x0 + c * scale).toInt
-                val px1 = math.max(px0 + 1, (x0 + (c + 1) * scale).toInt)
-                val py0 = (y0 + r * scale).toInt
-                val py1 = math.max(py0 + 1, (y0 + (r + 1) * scale).toInt)
-                var py = py0
-                while (py < py1 && py < height) {
-                  var px = px0
-                  while (px < px1 && px < width) { plot(px, py); px += 1 }
-                  py += 1
-                }
-              }
-              c += 1
-            }
-          }
-          r += 1
-        }
+        drawGlyph(g, margin + ci * cellW, y0, scale, width, height)(plot)
         ci += 1
       }
       li += 1
@@ -253,7 +289,8 @@ object MediaCodec {
     * grows with the pixel count, so DPI-size monotonicity holds like a
     * real rasterizer's output. */
   def renderPng(width: Int, height: Int, lines: Seq[String] = Seq.empty,
-      scale: Double = 1.0): Array[Byte] = {
+      scale: Double = 1.0,
+      runs: Seq[(Double, Double, String)] = Seq.empty): Array[Byte] = {
     val w = math.max(1, width)
     val h = math.max(1, height)
     def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
@@ -272,10 +309,12 @@ object MediaCodec {
       while (i < end) { scanlines(i) = 0xFF.toByte; i += 1 }
       r += 1
     }
-    drawText(lines, scale, w, h) { (x, y) =>
+    val ink = (x: Int, y: Int) => {
       val base = rowLen * y + 1 + 3 * x
       scanlines(base) = 0; scanlines(base + 1) = 0; scanlines(base + 2) = 0
     }
+    if (runs.nonEmpty) drawRuns(runs, h / scale, scale, w, h)(ink)
+    else drawText(lines, scale, w, h)(ink)
     val idat = deflateZlib(scanlines)
     PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.empty[Byte])
@@ -290,7 +329,8 @@ object MediaCodec {
     * 0 / ±40 — cat0 or cat6, both in the table. Each block costs bits, so
     * byte size grows with the block count — DPI-size monotonicity again. */
   def renderJpeg(width: Int, height: Int, lines: Seq[String] = Seq.empty,
-      scale: Double = 1.0): Array[Byte] = {
+      scale: Double = 1.0,
+      runs: Seq[(Double, Double, String)] = Seq.empty): Array[Byte] = {
     val w = math.max(1, width)
     val h = math.max(1, height)
     val out = new ByteArrayOutputStream()
@@ -333,9 +373,9 @@ object MediaCodec {
     val blocksW = (w + 7) / 8
     val blocksH = (h + 7) / 8
     val dark = new Array[Boolean](blocksW * blocksH)
-    drawText(lines, scale, w, h) { (x, y) =>
-      dark((y / 8) * blocksW + (x / 8)) = true
-    }
+    val ink = (x: Int, y: Int) => dark((y / 8) * blocksW + (x / 8)) = true
+    if (runs.nonEmpty) drawRuns(runs, h / scale, scale, w, h)(ink)
+    else drawText(lines, scale, w, h)(ink)
     // per block: DC difference to the target level (white 40, ink 0) —
     // diff ∈ {0, ±40}: cat0 code '0', or cat6 code '10' + 6 magnitude bits
     // (negative values in one's-complement style: v + 2^6 − 1)

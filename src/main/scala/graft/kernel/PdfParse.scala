@@ -163,16 +163,18 @@ object PdfParse {
         .flatMap(objs.get)
         .flatMap(streamData(_, bytes, crypt))
       val text = streams.map(extractTextOps(_, fonts)).mkString("\n")
-      val alt =
+      val (alt, runs) =
         if (needAlt) {
           val formStreams = leaf.resources
             .map(formXObjectStreams(_, objs, bytes, crypt, fonts))
             .getOrElse(Vector.empty)
-          Some(extractTextGeomF(streams.map((_, fonts)) ++ formStreams))
-        } else None
+          val rs = extractRunsF(streams.map((_, fonts)) ++ formStreams)
+          // runs double as the Td/Tm-exact ink source for S5 rasters
+          (Some(assembleRuns(rs)), rs.map(r => (r.x, r.y, r.text)))
+        } else (None, Vector.empty[(Double, Double, String)])
       val images = leaf.resources
         .map(xobjectImages(_, objs, bytes, crypt)).getOrElse(Vector.empty)
-      PdfPage(w, h, text, altTextLayer = alt, images)
+      PdfPage(w, h, text, altTextLayer = alt, images, posRuns = runs)
     }
     PdfDoc(pages)
   }
@@ -226,11 +228,23 @@ object PdfParse {
       fonts: Map[String, FontCMap] = Map.empty): String =
     extractTextGeomF(streams.map((_, fonts)))
 
+  /** One positioned show-string from the geometric reader: PDF user-space
+    * baseline-left origin (y up, points), nominal advance end. */
+  private[kernel] final case class TextRun(
+      y: Double, x: Double, endX: Double, text: String)
+
   /** Per-stream font maps variant: form XObjects carry their own
     * /Resources fonts layered over the page's. */
   private[kernel] def extractTextGeomF(
-      streams: Seq[(Array[Byte], Map[String, FontCMap])]): String = {
-    final case class Run(y: Double, x: Double, endX: Double, text: String)
+      streams: Seq[(Array[Byte], Map[String, FontCMap])]): String =
+    assembleRuns(extractRunsF(streams))
+
+  /** The geometric reader's positioned runs — also the Td/Tm-exact ink
+    * source for S5 rasters (MediaCodec.drawRuns). */
+  private[kernel] def extractRunsF(
+      streams: Seq[(Array[Byte], Map[String, FontCMap])]): Vector[TextRun] = {
+    type Run = TextRun
+    val Run = TextRun
     val runs = mutable.ArrayBuffer[Run]()
     streams.foreach { case (data, fonts) =>
       val s = new String(data, StandardCharsets.ISO_8859_1)
@@ -331,7 +345,12 @@ object PdfParse {
         }
       }
     }
-    // reassemble: top-to-bottom lines (2pt y tolerance), left-to-right runs
+    runs.toVector
+  }
+
+  /** Linearize positioned runs: top-to-bottom lines (2pt y tolerance),
+    * left-to-right runs, horizontal gap = word break. */
+  private def assembleRuns(runs: Vector[TextRun]): String = {
     val sorted = runs.sortBy(r => (-r.y, r.x))
     val sb = new StringBuilder
     var curY = Double.NaN

@@ -34,7 +34,12 @@ final case class PdfPage(
     height: Double,
     textLayer: String,
     altTextLayer: Option[String],
-    images: Vector[PdfImage])
+    images: Vector[PdfImage],
+    // Positioned show-strings (x, y, text) in PDF user space (baseline-
+    // left, y up, points) — populated by PdfParse's geometric pass on REAL
+    // PDFs so S5 rasters can place ink Td/Tm-exactly; empty for structured
+    // payloads (not serialized: GFTPDF1 carries feature-level data only).
+    posRuns: Vector[(Double, Double, String)] = Vector.empty)
 
 final case class PdfDoc(pages: Vector[PdfPage])
 

@@ -242,11 +242,14 @@ final class PdfProbe(cfg: ProbeConfig) {
     * page at `imageDpi` into a REAL container (complete decodable PNG with
     * IDAT scanlines, or a real baseline JPEG) whose pixel dims are the
     * page geometry scaled by dpi/72 — matching the pixmap contract. The
-    * page's text layer is drawn as 5×7-bitmap-font glyph INK at dpi scale
-    * (MediaCodec.drawText), so the raster is non-uniform, ink coverage
-    * tracks text_length, and the payload is consumable by a downstream
-    * OCR engine. (No vector/embedded-font rasterizer ships offline, so
-    * positioning is line-grid rather than Td-exact — documented.) */
+    * page's text layer is drawn as 5×7-bitmap-font glyph INK at dpi scale,
+    * so the raster is non-uniform, ink coverage tracks text_length, and
+    * the payload is consumable by a downstream OCR engine. When the
+    * geometric pass ran (real PDFs in accuracy mode), glyphs are placed
+    * Td/Tm-EXACTLY from the content stream's positioned runs
+    * (MediaCodec.drawRuns) — a two-column page renders as two ink columns;
+    * otherwise (structured payloads / performance mode) the line-grid
+    * fallback (MediaCodec.drawText) applies. */
   private def renderPage(page: PdfPage): String = {
     val scale = cfg.imageDpi / 72.0
     val w = math.max(1, math.round(page.width * scale).toInt)
@@ -256,11 +259,12 @@ final class PdfProbe(cfg: ProbeConfig) {
       if (page.textLayer.isEmpty) Seq.empty
       else page.textLayer.substring(0,
         math.min(page.textLayer.length, 20000)).split("\n", -1).toSeq
+    val runs = page.posRuns.take(4000) // bounded like the 20k-char cap
     val bytes =
       if (cfg.imageFormat.equalsIgnoreCase("jpeg") ||
         cfg.imageFormat.equalsIgnoreCase("jpg"))
-        MediaCodec.renderJpeg(w, h, lines, scale)
-      else MediaCodec.renderPng(w, h, lines, scale)
+        MediaCodec.renderJpeg(w, h, lines, scale, runs)
+      else MediaCodec.renderPng(w, h, lines, scale, runs)
     Base64.getEncoder.encodeToString(bytes)
   }
 

@@ -146,6 +146,90 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(one > 0 && many > one * 3)
   }
 
+  /** All ink pixel coordinates of one of our PNGs (independent decode). */
+  private def pngInkCoords(png: Array[Byte]): Set[(Int, Int)] = {
+    def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+        ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+    var o = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    while (o + 8 <= png.length) {
+      val len = be32(png, o)
+      val typ = new String(png.slice(o + 4, o + 8), "US-ASCII")
+      if (typ == "IHDR") { w = be32(png, o + 8); h = be32(png, o + 12) }
+      if (typ == "IDAT") idat.write(png, o + 8, len)
+      o += 12 + len
+    }
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val rowLen = 1 + 3 * w
+    val raw = new Array[Byte](rowLen * h)
+    var off = 0
+    while (!inf.finished() && off < raw.length)
+      off += inf.inflate(raw, off, raw.length - off)
+    inf.end()
+    (for {
+      r <- 0 until h
+      c <- 0 until w
+      if raw(r * rowLen + 1 + 3 * c) == 0
+    } yield (c, r)).toSet
+  }
+
+  test("Td-exact ink: positioned runs place glyphs at their content-stream " +
+    "coordinates — a two-column fixture renders two ink columns") {
+    // two columns on a 612×792 page: left margin x=72, right column x=306,
+    // both at baseline y=700 (PDF y up → raster rows near 792-707=85)
+    val runs = Seq((72.0, 700.0, "LEFT"), (306.0, 700.0, "RIGHT"))
+    val ink = pngInkCoords(MediaCodec.renderPng(612, 792, Seq.empty, 1.0, runs))
+    assert(ink.nonEmpty)
+    val xs = ink.map(_._1); val ys = ink.map(_._2)
+    // left column ink spans [72, 72+4·6+5); right spans [306, 306+5·6+5)
+    assert(xs.min >= 72 && xs.min < 78, s"left column start ${xs.min}")
+    assert(xs.max >= 306 && xs.max < 306 + 35, s"right column end ${xs.max}")
+    // the gutter between the columns carries NO ink
+    assert(!xs.exists(x => x >= 72 + 24 && x < 306), "gutter must be blank")
+    // vertical placement: glyph rows sit at raster y = 792-(700+7)..+7
+    assert(ys.min == 85 && ys.max <= 92, s"rows ${ys.min}..${ys.max}")
+
+    // shifting a run's Td x by +100 shifts its ink bounding box by exactly
+    // +100·scale; doubling dpi doubles the offset in pixels
+    def boxAt(x: Double, scale: Double): (Int, Int) = {
+      val px = pngInkCoords(MediaCodec.renderPng((612 * scale).toInt,
+        (792 * scale).toInt, Seq.empty, scale, Seq((x, 400.0, "M")))).map(_._1)
+      (px.min, px.max)
+    }
+    val (l1, _) = boxAt(100.0, 1.0)
+    val (l2, _) = boxAt(200.0, 1.0)
+    assert(l2 - l1 == 100, s"Td +100 must shift ink +100px, got ${l2 - l1}")
+    val (l3, _) = boxAt(100.0, 2.0)
+    val (l4, _) = boxAt(200.0, 2.0)
+    assert(l4 - l3 == 200, s"at 2x dpi Td +100 must shift +200px")
+  }
+
+  test("Td-exact ink end-to-end: a real two-column PDF parsed in accuracy " +
+    "mode renders its S5 raster with two ink columns at the Td positions") {
+    val content = "BT /F1 12 Tf 72 700 Td (LEFTCOL) Tj ET\n" +
+      "BT /F1 12 Tf 306 700 Td (RIGHTCOL) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc = PdfParse.parse(pdf, needAlt = true)
+    assert(doc.pages(0).posRuns.map(r => (r._1, r._2)).toSet ==
+      Set((72.0, 700.0), (306.0, 700.0)), doc.pages(0).posRuns.toString)
+    val probe = new PdfProbe(ProbeConfig(includeImages = true, imageDpi = 72))
+    val b64 = probe.getPageImageSmart(0, doc.pages(0), PageType.Text)
+    val ink = pngInkCoords(java.util.Base64.getDecoder.decode(b64))
+    val xs = ink.map(_._1)
+    assert(xs.min >= 72 && xs.min < 78, s"left column start ${xs.min}")
+    assert(xs.max >= 306, s"right column present, max x ${xs.max}")
+    assert(!xs.exists(x => x >= 72 + 45 && x < 306), "gutter must be blank")
+  }
+
   test("malformed payloads parse as unknown, never throw") {
     assert(MediaCodec.parse(null).kind == "unknown")
     assert(MediaCodec.parse(Array.empty[Byte]).kind == "unknown")
