@@ -108,6 +108,12 @@ object PdfParse {
   private val PatBpc = Py.re("""/BitsPerComponent\s+(\d+)""")
   private val PatType0 = Py.re("""/Subtype\s*/Type0""")
   private val PatEncodingIdentity = Py.re("""/Encoding\s*/Identity-[HV]""")
+  private val PatEncodingName = Py.re("""/Encoding\s*/(\w+)""")
+  private val PatEncodingRef = Py.re("""/Encoding\s+(\d+)\s+\d+\s+R""")
+  private val PatEncodingInline = Py.re("""/Encoding\s*<<""")
+  private val PatBaseEncoding = Py.re("""/BaseEncoding\s*/(\w+)""")
+  private val PatDifferences = Py.re("""/Differences\s*\[([^\]]*)\]""")
+  private val PatDiffTok = Py.re("""(\d+)|/([\w.]+)""")
   private val PatLen = Py.re("""/Length\s+(\d+)""")
   private val PatLenIndirectTail = Py.re("""\s+\d+\s+R""")
 
@@ -434,7 +440,12 @@ object PdfParse {
           case None if PatType0.matcher(fontObj.body).find() =>
             val identity = PatEncodingIdentity.matcher(fontObj.body).find()
             out(name) = FontCMap(2, Map.empty, identityCid = identity)
-          case None => // simple font: byte-identity decode, no entry
+          case None =>
+            // simple font: byte-identity decode, EXCEPT where an explicit
+            // /Encoding (WinAnsi/MacRoman base, /Differences glyph names)
+            // remaps codes — §9.6.5
+            val enc = simpleFontEncoding(fontObj.body, objs)
+            if (enc.nonEmpty) out(name) = FontCMap(1, enc)
         }
       }
     }
@@ -496,6 +507,157 @@ object PdfParse {
     }
     FontCMap(width, map.toMap)
   }
+
+  // ------------------------------------------------- simple-font encodings
+
+  /** Adobe Glyph List subset (AGL is public Adobe data): the names real
+    * /Differences arrays use for western text — ASCII punctuation/digits,
+    * typographic marks, and the Latin-1 accented set. Single-letter names
+    * are the letters themselves; `uniXXXX`/`uXXXX` parse as hex. */
+  private val GlyphNames: Map[String, String] = {
+    val m = mutable.Map[String, String]()
+    ('A' to 'Z').foreach(c => m(c.toString) = c.toString)
+    ('a' to 'z').foreach(c => m(c.toString) = c.toString)
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine")
+    digits.zipWithIndex.foreach { case (n, i) => m(n) = i.toString }
+    Seq(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",
+      "hyphen" -> "-", "period" -> ".", "slash" -> "/", "colon" -> ":",
+      "semicolon" -> ";", "less" -> "<", "equal" -> "=", "greater" -> ">",
+      "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      // typographic
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+      "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+      "ellipsis" -> "…", "dagger" -> "†", "daggerdbl" -> "‡",
+      "perthousand" -> "‰", "guilsinglleft" -> "‹",
+      "guilsinglright" -> "›", "fi" -> "ﬁ", "fl" -> "ﬂ",
+      "florin" -> "ƒ", "fraction" -> "⁄", "minus" -> "−",
+      "Euro" -> "€", "trademark" -> "™",
+      // Latin-1 supplement
+      "exclamdown" -> "¡", "cent" -> "¢", "sterling" -> "£",
+      "currency" -> "¤", "yen" -> "¥", "brokenbar" -> "¦",
+      "section" -> "§", "dieresis" -> "¨", "copyright" -> "©",
+      "ordfeminine" -> "ª", "guillemotleft" -> "«",
+      "logicalnot" -> "¬", "registered" -> "®", "macron" -> "¯",
+      "degree" -> "°", "plusminus" -> "±", "acute" -> "´",
+      "mu" -> "µ", "paragraph" -> "¶", "periodcentered" -> "·",
+      "cedilla" -> "¸", "ordmasculine" -> "º",
+      "guillemotright" -> "»", "onequarter" -> "¼",
+      "onehalf" -> "½", "threequarters" -> "¾",
+      "questiondown" -> "¿", "multiply" -> "×",
+      "divide" -> "÷",
+      "Agrave" -> "À", "Aacute" -> "Á", "Acircumflex" -> "Â",
+      "Atilde" -> "Ã", "Adieresis" -> "Ä", "Aring" -> "Å",
+      "AE" -> "Æ", "Ccedilla" -> "Ç", "Egrave" -> "È",
+      "Eacute" -> "É", "Ecircumflex" -> "Ê",
+      "Edieresis" -> "Ë", "Igrave" -> "Ì", "Iacute" -> "Í",
+      "Icircumflex" -> "Î", "Idieresis" -> "Ï", "Eth" -> "Ð",
+      "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó",
+      "Ocircumflex" -> "Ô", "Otilde" -> "Õ",
+      "Odieresis" -> "Ö", "Oslash" -> "Ø", "Ugrave" -> "Ù",
+      "Uacute" -> "Ú", "Ucircumflex" -> "Û",
+      "Udieresis" -> "Ü", "Yacute" -> "Ý", "Thorn" -> "Þ",
+      "germandbls" -> "ß",
+      "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+      "atilde" -> "ã", "adieresis" -> "ä", "aring" -> "å",
+      "ae" -> "æ", "ccedilla" -> "ç", "egrave" -> "è",
+      "eacute" -> "é", "ecircumflex" -> "ê",
+      "edieresis" -> "ë", "igrave" -> "ì", "iacute" -> "í",
+      "icircumflex" -> "î", "idieresis" -> "ï", "eth" -> "ð",
+      "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+      "ocircumflex" -> "ô", "otilde" -> "õ",
+      "odieresis" -> "ö", "oslash" -> "ø", "ugrave" -> "ù",
+      "uacute" -> "ú", "ucircumflex" -> "û",
+      "udieresis" -> "ü", "yacute" -> "ý", "thorn" -> "þ",
+      "ydieresis" -> "ÿ",
+      "OE" -> "Œ", "oe" -> "œ", "Scaron" -> "Š",
+      "scaron" -> "š", "Zcaron" -> "Ž", "zcaron" -> "ž",
+      "Ydieresis" -> "Ÿ", "dotlessi" -> "ı",
+      "circumflex" -> "ˆ", "tilde" -> "˜", "caron" -> "ˇ",
+      "breve" -> "˘", "dotaccent" -> "˙", "ring" -> "˚",
+      "ogonek" -> "˛", "hungarumlaut" -> "˝"
+    ).foreach { case (k, v) => m(k) = v }
+    m.toMap
+  }
+
+  /** AGL glyph name → Unicode string (uniXXXX / uXXXX[XX] parse as hex;
+    * unknown names → None, which keeps the code's byte-identity decode). */
+  private[kernel] def glyphToUnicode(name: String): Option[String] = {
+    if (name.startsWith("uni") && name.length >= 7) {
+      try Some(hexToInt(name.substring(3, 7)).toChar.toString)
+      catch { case _: NumberFormatException => None }
+    } else if (name.length >= 5 && name.length <= 7 && name.charAt(0) == 'u' &&
+      name.drop(1).forall(c => Character.digit(c, 16) >= 0)) {
+      try Some(new String(Character.toChars(
+        java.lang.Integer.parseInt(name.drop(1), 16))))
+      catch { case _: Exception => None }
+    } else GlyphNames.get(name)
+  }
+
+  /** Decode map of a simple font's /Encoding (PDF 32000-1 §9.6.5): base
+    * encoding deltas vs Latin-1 identity (WinAnsi = windows-1252 high
+    * range, MacRoman via the JDK charset when present) overlaid with the
+    * /Differences glyph-name remap. Empty when the font carries no
+    * encoding information beyond the identity default. */
+  private def simpleFontEncoding(
+      fontBody: String, objs: Map[Int, PdfObj]): Map[Int, String] = {
+    // the encoding is a bare name, an inline dict, or an indirect dict
+    val encDict: Option[String] =
+      firstRef(fontBody, PatEncodingRef).flatMap(objs.get).map(_.body).orElse {
+        val m = PatEncodingInline.matcher(fontBody)
+        if (m.find()) Some(balancedDict(fontBody, m.end() - 2)) else None
+      }
+    val baseName: Option[String] = encDict match {
+      case Some(d) =>
+        val m = PatBaseEncoding.matcher(d)
+        if (m.find()) Some(m.group(1)) else None
+      case None =>
+        val m = PatEncodingName.matcher(fontBody)
+        if (m.find()) Some(m.group(1)) else None
+    }
+    val out = mutable.Map[Int, String]()
+    baseName.flatMap(charsetFor).foreach { cs =>
+      var code = 0x80 // 0x00-0x7F is ASCII in every base encoding
+      while (code <= 0xFF) {
+        val s = new String(Array(code.toByte), cs)
+        if (s.length == 1 && s.charAt(0) != '�' &&
+          s.charAt(0) != code.toChar) out(code) = s
+        code += 1
+      }
+    }
+    encDict.foreach { d =>
+      val dm = PatDifferences.matcher(d)
+      while (dm.find()) {
+        val tok = PatDiffTok.matcher(dm.group(1))
+        var code = -1
+        while (tok.find()) {
+          if (tok.group(1) != null) code = tok.group(1).toInt
+          else if (code >= 0 && code <= 0xFF) {
+            glyphToUnicode(tok.group(2)).foreach(out(code) = _)
+            code += 1
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  private def charsetFor(base: String): Option[java.nio.charset.Charset] =
+    base match {
+      case "WinAnsiEncoding" => Some(java.nio.charset.Charset.forName("windows-1252"))
+      case "MacRomanEncoding" if java.nio.charset.Charset.isSupported("x-MacRoman") =>
+        Some(java.nio.charset.Charset.forName("x-MacRoman"))
+      case _ => None // StandardEncoding/unknown: identity is the best default
+    }
 
   /** Identity-H/V CID decode without a ToUnicode CMap: treat each 2-byte
     * CID as a BMP code point, guarded against fabrication. Subset fonts

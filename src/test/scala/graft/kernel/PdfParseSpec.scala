@@ -93,12 +93,17 @@ class PdfParseSpec extends AnyFunSuite {
   }
 
   test("fuzz: mutated real-PDF bytes never escape the kernel's row " +
-    "contract (valid DocExtract or error row, no exceptions)") {
+    "contract (valid DocExtract or error row, no exceptions) — classic " +
+    "AND Identity-H CID layouts") {
     val ex = new Extractor(ProbeConfig())
-    val base = PdfParse.writePdf(Seq(proseLines, proseLines), compress = true,
-      images = Seq((300, 400)))
+    val bases = Array(
+      PdfParse.writePdf(Seq(proseLines, proseLines), compress = true,
+        images = Seq((300, 400))),
+      PdfParse.writePdf(Seq(proseLines, proseLines), compress = true,
+        cidFont = true))
     val rng = new java.util.SplittableRandom(1234L)
     for (trial <- 0 until 200) {
+      val base = bases(trial % bases.length)
       val mutated = base.clone()
       val mutations = 1 + rng.nextInt(8)
       for (_ <- 0 until mutations) {
@@ -373,6 +378,51 @@ class PdfParseSpec extends AnyFunSuite {
     // at/above the bar (4 of 5 plausible) → plausible codes survive
     val mostly = PdfParse.parse(cidFixture(idH, "00480065000100660067"))
     assert(mostly.pages(0).textLayer == "Hefg")
+  }
+
+  test("simple-font /Encoding: /Differences glyph names remap codes " +
+    "(AGL subset + uniXXXX), unmapped codes keep byte identity") {
+    // code 65 ('A') → adieresis, 66 ('B') → Euro via uni20AC, 67 stays 'C'
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /F " +
+      "/Encoding << /Differences [ 65 /adieresis /uni20AC ] >> >>"
+    val content = "BT /F1 12 Tf 72 720 Td (ABC) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      s"5 0 obj\n$font\nendobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfParse.parse(pdf).pages(0).textLayer == "ä€C")
+  }
+
+  test("simple-font /Encoding: WinAnsiEncoding decodes the 0x80-0x9F " +
+    "range as cp1252 (curly quotes, em dash), indirect encoding dicts " +
+    "resolve, and an encoding-free font stays byte-identity") {
+    // \223hi\224\227ok = “hi”—ok under cp1252
+    val content = "BT /F1 12 Tf 72 720 Td (hiok) Tj ET"
+    def pdf(fontBody: String, extraObjs: String): Array[Byte] =
+      ("%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n" +
+        s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+        s"5 0 obj\n$fontBody\nendobj\n" + extraObjs +
+        "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val winAnsi = pdf("<< /Type /Font /Subtype /TrueType /BaseFont /F " +
+      "/Encoding /WinAnsiEncoding >>", "")
+    assert(PdfParse.parse(winAnsi).pages(0).textLayer == "“hi”—ok")
+    // indirect /Encoding object with BaseEncoding + Differences overlay
+    val indirect = pdf("<< /Type /Font /Subtype /TrueType /BaseFont /F " +
+      "/Encoding 6 0 R >>",
+      "6 0 obj\n<< /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 151 /endash ] >>\nendobj\n")
+    assert(PdfParse.parse(indirect).pages(0).textLayer == "“hi”–ok")
+    // no encoding info at all → Latin-1 identity (unchanged behavior)
+    val bare = pdf("<< /Type /Font /Subtype /TrueType /BaseFont /F >>", "")
+    assert(PdfParse.parse(bare).pages(0).textLayer == "hiok")
   }
 
   test("writePdf(cidFont=true): Identity-H layout round-trips the text " +
