@@ -774,6 +774,16 @@ object SparkEntry {
         k = 3, nlist = 4, nprobe = 2, centroids = Some(cents))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // BPE tokenizer training: the first 3 merges over the corpus
+    // vocabulary — pair counts are exact integers, the argmax tie-breaks
+    // deterministically, and the merge application's left-to-right
+    // non-overlapping `replace` semantics are identical in both engines,
+    // so the full training trace is hash-checked against an oracle that
+    // unrolls the iterations in SQL.
+    "q56_bpe_merges" -> ((s, dir) => {
+      TextOps.bpeMerges(t(s, dir, "documents"), "text", steps = 3)
     })
   )
 
@@ -1332,6 +1342,41 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
         |FROM rk WHERE rank <= 3""".stripMargin
+
+    // q56: BPE merge training unrolled — per step: pair explode over the
+    // current vocabulary symbol lists, exact-integer pair counts, argmax
+    // with (freq DESC, l ASC, r ASC) ties, then the merge applied via
+    // replace on a chr(1)-joined symbol string (left-to-right
+    // non-overlapping in both engines).
+    def bpeStep(i: Int): String =
+      s"""p$i AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |          j -> {'l': syms[j], 'r': syms[j + 1]})) AS p
+         |        FROM v$i)
+         |  GROUP BY p.l, p.r),
+         |b$i AS (SELECT l, r, freq FROM p$i
+         |        ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
+         |v${i + 1} AS (
+         |  SELECT cnt, string_split(
+         |    replace(array_to_string(syms, chr(1)),
+         |      (SELECT l || chr(1) || r FROM b$i),
+         |      (SELECT l || r FROM b$i)),
+         |    chr(1)) AS syms
+         |  FROM v$i)""".stripMargin
+    m += "q56_bpe_merges" ->
+      s"""WITH v1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |    list_transform(range(1, length(token) + 1), i -> token[i]) AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token),
+        |${bpeStep(1)},
+        |${bpeStep(2)},
+        |${bpeStep(3)}
+        |SELECT CAST(1 AS INTEGER) AS step, l AS left_sym, r AS right_sym,
+        |  freq AS pair_count FROM b1
+        |UNION ALL SELECT CAST(2 AS INTEGER), l, r, freq FROM b2
+        |UNION ALL SELECT CAST(3 AS INTEGER), l, r, freq FROM b3""".stripMargin
 
     // q28 langid: generated marker-count SQL (same padded-replace trick)
     def occSql(word: String): String = {

@@ -104,6 +104,67 @@ object TextOps {
       .orderBy(col("occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** BPE merge training over the corpus vocabulary — the first `steps`
+    * byte-pair-encoding merges (Sennrich et al. 2016, the standard
+    * tokenizer-training loop), returned as (step, left_sym, right_sym,
+    * pair_count).
+    *
+    * Shuffle story at 100 TB: the corpus is touched ONCE (token count →
+    * the vocabulary table, map-side combining); every merge iteration
+    * then runs on the VOCABULARY (bounded by distinct tokens, independent
+    * of corpus row count): one pair-explode + map-side-combining sum, one
+    * TakeOrdered(1), and a row-local merge application. The driver holds
+    * one (left, right) pair per step — like loading a trained quantizer,
+    * never corpus-sized state.
+    *
+    * Determinism: pair counts are exact integers; the argmax tie-breaks
+    * (count DESC, left ASC, right ASC — binary string order); the merge
+    * application is `replace` on a U+0001-joined symbol string, whose
+    * left-to-right non-overlapping semantics are identical in Spark and
+    * DuckDB — so the whole training trace is oracle-checkable (q56
+    * unrolls the iterations in SQL). Symbols are UTF-16-unit chars
+    * (ASCII-identical to code points; the oracle corpus is ASCII). */
+  def bpeMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sep = "\u0001" // never occurs in tokens
+    var vocab = df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        filter(split(col("token"), ""), x => x =!= "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      // guard: sequence(1, 0) would generate a DESCENDING sequence for
+      // single-symbol tokens — emit no pairs for them instead
+      val pairIdx = when(size(col("syms")) >= 2,
+        sequence(lit(1), size(col("syms")) - 1))
+        .otherwise(array().cast("array<int>"))
+      val top = vocab
+        .select(col("cnt"), explode(transform(pairIdx,
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, f))
+        vocab = vocab.select(col("cnt"),
+          split(replace(array_join(col("syms"), sep),
+            lit(l + sep + r), lit(l + r)), sep).as("syms"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
+  }
+
   /** PII scrubbing for training corpora: mask emails, IPv4 addresses and
     * international-format phone numbers with typed placeholder tokens.
     * A chain of codegen'd `regexp_replace` (row-local, no UDF); the

@@ -388,6 +388,22 @@ class OpsSpec extends AnyFunSuite {
     assert(centsDirty.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
   }
 
+  test("BPE merges: hand-computed trace on the classic low/lower/lowest " +
+    "corpus — tie-break, merged-symbol reuse, pair exhaustion") {
+    val df = Seq("low low low", "lower lowest").toDF("text")
+    val got = TextOps.bpeMerges(df, "text", steps = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // step 1: (l,o) and (o,w) both freq 5 → tie-break l<o picks (l,o)
+    // step 2: (lo,w) freq 5 — the merged symbol participates
+    // step 3: (low,e) freq 2 beats (e,r)/(e,s)/(s,t) at 1
+    assert(got == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "e", 2L)), got.toString)
+    // exhaustion: single-char tokens yield no pairs → empty trace
+    val none = TextOps.bpeMerges(Seq("a b a").toDF("text"), "text", 2)
+    assert(none.isEmpty)
+  }
+
   test("vocabulary top-k: counts, deterministic ties, empty-token filter") {
     val df = Seq(
       (1L, "b a a"), (2L, "a  c b"), (3L, "c b")).toDF("id", "text")
