@@ -784,6 +784,47 @@ object SparkEntry {
     // unrolls the iterations in SQL.
     "q56_bpe_merges" -> ((s, dir) => {
       TextOps.bpeMerges(t(s, dir, "documents"), "text", steps = 3)
+    }),
+
+    // BPE apply-side: per-doc symbol count under the 3 learned merges
+    // (the oracle re-derives the same merges in SQL, then applies the
+    // identical replace chain per token)
+    "q57_bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeMerges(docs, "text", steps = 3).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("doc_id"),
+        TextOps.bpeSymbolCount(col("text"), merges).as("bpe_symbols"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"))
+    }),
+
+    // Gopher-style quality signals (row-local projection; integer/ppm
+    // arithmetic + one exact division so every value is oracle-exact)
+    "q58_gopher_signals" -> ((s, dir) => {
+      TextOps.gopherQualitySignals(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // C4-style line-level corpus dedup: boilerplate lines planted across
+    // docs (header shared by ~1/7 of docs, footer by half) must drop;
+    // per-doc unique lines survive in order
+    "q59_line_dedup" -> ((s, dir) => {
+      val withLines = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("header-"), (col("doc_id") % 7).cast("string"), lit("\n"),
+        substring(col("text"), 1, 40), lit("\n"),
+        when(col("doc_id") % 2 === 0, lit("footer-common"))
+          .otherwise(concat(lit("tail-"), col("doc_id").cast("string"))))
+        .as("lined_text"))
+      TextOps.dropDuplicatedLines(withLines, "doc_id", "lined_text", minDocs = 3)
+    }),
+
+    // Crawl-curation cap: at most 5 docs per source, by (n_chars DESC,
+    // doc_id ASC) — run through the SKEW-PROOF two-phase salted variant,
+    // which must equal the plain window (the oracle)
+    "q60_per_source_cap" -> ((s, dir) => {
+      graft.ops.ScalePatterns.saltedTopKPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", k = 5,
+        orderBy = Seq(col("n_chars").desc, col("doc_id").asc), saltFactor = 4)
     })
   )
 
@@ -1378,11 +1419,120 @@ object SparkEntry {
         |UNION ALL SELECT CAST(2 AS INTEGER), l, r, freq FROM b2
         |UNION ALL SELECT CAST(3 AS INTEGER), l, r, freq FROM b3""".stripMargin
 
-    // q28 langid: generated marker-count SQL (same padded-replace trick)
+    // padded-replace whole-word occurrence count (q28/q30/q58 oracles)
     def occSql(word: String): String = {
       val needle = s" $word "
       s"(length(pad) - length(replace(pad, '$needle', ''))) / ${needle.length}"
     }
+
+    // q57: re-derive the same 3 merges (b1..b3), then apply the identical
+    // replace chain per token and sum symbol counts per doc.
+    m += "q57_bpe_apply" ->
+      s"""WITH v1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |    list_transform(range(1, length(token) + 1), i -> token[i]) AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token),
+        |${bpeStep(1)},
+        |${bpeStep(2)},
+        |${bpeStep(3)},
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |app AS (
+        |  SELECT doc_id, CAST(len(string_split(
+        |    replace(replace(replace(
+        |      array_to_string(list_transform(
+        |        range(1, length(token) + 1), i -> token[i]), chr(1)),
+        |      (SELECT l || chr(1) || r FROM b1), (SELECT l || r FROM b1)),
+        |      (SELECT l || chr(1) || r FROM b2), (SELECT l || r FROM b2)),
+        |      (SELECT l || chr(1) || r FROM b3), (SELECT l || r FROM b3)),
+        |    chr(1))) AS BIGINT) AS n
+        |  FROM tok WHERE token <> ''),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS s FROM app GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.s, 0) AS BIGINT) AS bpe_symbols,
+        |  CAST(CASE WHEN length(d.text) = 0 THEN 0
+        |       ELSE len(string_split(d.text, ' ')) END AS BIGINT) AS ws_tokens
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+
+    // q58: row-local Gopher signals — integer/exact arithmetic + single
+    // correctly-rounded divisions, so doubles match bit-for-bit.
+    val stopExpr58 = Seq("the", "and", "of", "is").map(occSql).mkString(" + ")
+    m += "q58_gopher_signals" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, text,
+        |    ' ' || replace(text, ' ', '  ') || ' ' AS pad,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS words
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, pad,
+        |    CAST(len(words) AS BIGINT) AS wc,
+        |    CAST(coalesce(list_sum(list_transform(words, t -> length(t))), 0)
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(words,
+        |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS ellipses,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      AS BIGINT) AS hashes
+        |  FROM w)
+        |SELECT doc_id,
+        |  wc AS word_count,
+        |  CASE WHEN wc = 0 THEN 0.0
+        |       ELSE CAST(sum_len AS DOUBLE) / wc END AS mean_word_len,
+        |  CASE WHEN wc = 0 THEN 0.0
+        |       ELSE (alpha * 1000000) / wc END AS alpha_word_ppm,
+        |  CASE WHEN wc = 0 THEN 0.0
+        |       ELSE ((ellipses + hashes) * 1000000) / wc END AS symbol_ppm,
+        |  CAST($stopExpr58 AS BIGINT) AS stop_hits
+        |FROM f""".stripMargin
+
+    // q59: C4-style line dedup over planted boilerplate — ban lines in
+    // ≥3 distinct docs, reassemble survivors in original order.
+    m += "q59_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'header-' || (doc_id % 7) || chr(10) ||
+        |    substr(text, 1, 40) || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'footer-common'
+        |         ELSE 'tail-' || doc_id END AS lined_text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ln) + 1),
+        |      i -> {'idx': i - 1, 'line': ln[i]})) AS p
+        |  FROM (SELECT doc_id, string_split(lined_text, chr(10)) AS ln FROM d)),
+        |l2 AS (SELECT doc_id, p.idx AS idx, p.line AS line FROM l),
+        |ban AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS c FROM l2 GROUP BY line)
+        |  WHERE c >= 3),
+        |fl AS (
+        |  SELECT l2.doc_id, l2.idx, l2.line,
+        |    (ban.line IS NOT NULL) AS banned
+        |  FROM l2 LEFT JOIN ban ON ban.line = l2.line)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    list(line ORDER BY idx) FILTER (WHERE NOT banned), chr(10)), '')
+        |    AS clean_text,
+        |  CAST(count(*) FILTER (WHERE NOT banned) AS BIGINT) AS kept_lines,
+        |  CAST(count(*) FILTER (WHERE banned) AS BIGINT) AS dropped_lines
+        |FROM fl GROUP BY doc_id""".stripMargin
+
+    // q60: per-source cap — plain window (the salted two-phase variant
+    // must be indistinguishable from it)
+    m += "q60_per_source_cap" ->
+      """SELECT doc_id, source, n_chars, rn FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin
+
+    // q28 langid: generated marker-count SQL (same padded-replace trick;
+    // occSql moved above q57/q58 which also use it)
     val enExpr = Seq("the", "and", "of", "is").map(occSql).mkString(" + ")
     val deExpr = Seq("der", "und", "die", "ist").map(occSql).mkString(" + ")
     val frExpr = Seq("le", "et", "les", "est").map(occSql).mkString(" + ")

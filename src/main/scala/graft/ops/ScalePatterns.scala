@@ -84,4 +84,37 @@ object ScalePatterns {
       sum(col("_cnt")).as("cnt") +: sumCols.map(c => sum(col(s"_sum_$c")).as(s"sum_$c"))
     partial.groupBy(col(keyCol)).agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Per-group top-k (crawl-curation cap: "keep at most k docs per host"):
+    * the straightforward window shape. Every row of a group lands in ONE
+    * task — fine for ordinary key distributions, the wrong shape for a
+    * mega-host; use `saltedTopKPerGroup` there. `orderBy` must be a total
+    * order (include a unique tiebreaker) for deterministic output. */
+  def topKPerGroup(
+      df: DataFrame, groupCol: String, k: Int, orderBy: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Skew-proof per-group top-k: phase 1 takes a LOCAL top-k within
+    * (group, salt) — bounding any single task to a salt-share of the
+    * hottest group — and phase 2 ranks the ≤ saltFactor·k survivors per
+    * group. Result is IDENTICAL to `topKPerGroup` (any global top-k row
+    * is top-k within its salt bucket, so phase 1 cannot drop it —
+    * OpsSpec asserts parity). The salt is a deterministic hash of the
+    * row's columns: replayable under task retry, no RNG. */
+  def saltedTopKPerGroup(
+      df: DataFrame, groupCol: String, k: Int, orderBy: Seq[Column],
+      saltFactor: Int): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFactor.toLong)))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("_salt")).orderBy(orderBy: _*)
+    val local = salted.withColumn("_lrn", row_number().over(w1))
+      .filter(col("_lrn") <= k).drop("_lrn", "_salt")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    local.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k)
+  }
 }

@@ -165,6 +165,88 @@ object TextOps {
     merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Apply-side of BPE: the number of symbols `text` tokenizes into under
+    * the given ordered merge list. Entirely row-local (one pass per
+    * token: char-split → the merge `replace` chain → count); merges never
+    * cross token boundaries because each token is segmented on its own.
+    * The merge application shares `bpeMerges`' left-to-right
+    * non-overlapping `replace` semantics, so the count is reproducible by
+    * the DuckDB oracle (q57) applying the same chain. */
+  def bpeSymbolCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val sep = "\u0001"
+    aggregate(
+      filter(split(text, " "), t => t =!= ""),
+      lit(0L),
+      (acc, tok) => {
+        val joined = array_join(filter(split(tok, ""), c => c =!= ""), sep)
+        val merged = merges.foldLeft(joined) { case (s, (l, r)) =>
+          replace(s, lit(l + sep + r), lit(l + r))
+        }
+        acc + size(split(merged, sep)).cast("long")
+      })
+  }
+
+  /** Gopher-style quality signals (Rae et al. 2021 §A1.1 subset that is
+    * exactly SQL-portable on a single-space corpus): word count, mean
+    * word length (ONE division of exact integers — bit-identical across
+    * engines), alphabetic-word share and symbol share in ppm (integer
+    * arithmetic), stopword hits. Entirely row-local — one codegen'd
+    * projection, no shuffle. Line-level signals (bullet/ellipsis lines)
+    * need a multi-line corpus and live with `dropDuplicatedLines`. */
+  def gopherQualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = filter(split(text, " "), t => t =!= "")
+    val wc = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val ellipses = ((length(text) -
+      length(replace(text, lit("..."), lit("")))) / 3).cast("long")
+    val hashes = (length(text) -
+      length(replace(text, lit("#"), lit("")))).cast("long")
+    val stops = Seq("the", "and", "of", "is")
+      .map(wordOccurrences(text, _)).reduce(_ + _)
+    df.select(col(idCol),
+      wc.as("word_count"),
+      when(wc === 0, 0.0)
+        .otherwise(sumLen.cast("double") / wc).as("mean_word_len"),
+      when(wc === 0, 0L)
+        .otherwise(alphaWords * 1000000L / wc).as("alpha_word_ppm"),
+      when(wc === 0, 0L)
+        .otherwise((ellipses + hashes) * 1000000L / wc).as("symbol_ppm"),
+      stops.as("stop_hits"))
+  }
+
+  /** C4-style line-level corpus dedup (Raffel et al. 2020 §2.2 / Lee et
+    * al. 2022): drop every line that occurs in at least `minDocs`
+    * DISTINCT documents (boilerplate headers/footers/nav), reassemble the
+    * survivors per document in original order.
+    *
+    * Shuffle story at 100 TB: line explode is row-local; the ban list is
+    * one line-keyed aggregate with map-side combine (duplicate lines
+    * collapse per partition before the wire — boilerplate by definition
+    * collapses massively); membership is a line-keyed equi-join (the ban
+    * list is usually broadcastable: it holds only lines crossing the
+    * threshold); reassembly is one doc-keyed aggregate. Nothing
+    * quadratic, no driver state. */
+  def dropDuplicatedLines(
+      df: DataFrame, idCol: String, textCol: String, minDocs: Int): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+    val banned = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select(col("line"), lit(true).as("banned"))
+    lines.join(banned, Seq("line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("banned").isNull,
+            struct(col("idx"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(when(col("banned").isNull, 1)).as("kept_lines"),
+        count(when(col("banned") === true, 1)).as("dropped_lines"))
+  }
+
   /** PII scrubbing for training corpora: mask emails, IPv4 addresses and
     * international-format phone numbers with typed placeholder tokens.
     * A chain of codegen'd `regexp_replace` (row-local, no UDF); the

@@ -404,6 +404,73 @@ class OpsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("BPE apply: symbol counts under an ordered merge list, merges " +
+    "confined to token boundaries") {
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    def cnt(s: String): Long =
+      Seq(s).toDF("text")
+        .select(TextOps.bpeSymbolCount(col("text"), merges).as("n"))
+        .collect()(0).getLong(0)
+    assert(cnt("low") == 1) // l o w → lo w → low
+    assert(cnt("lower") == 3) // low + e + r
+    assert(cnt("low lower") == 4)
+    assert(cnt("") == 0)
+    // 'l o' as separate tokens must NOT merge across the space
+    assert(cnt("l o") == 2)
+  }
+
+  test("gopher quality signals: hand-computed word/alpha/symbol stats") {
+    val df = Seq((1L, "the cat... #9 of all"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.gopherQualitySignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    // words: the, cat..., #9, of, all → 5; lens 3+6+2+2+3=16
+    // alpha words: the, cat..., of, all → 4; symbols: 1 ellipsis + 1 hash
+    val (wc, mwl, alpha, sym, stops) = got(1L)
+    assert(wc == 5 && mwl == 16.0 / 5)
+    assert(alpha == 4.0 * 1000000 / 5 && sym == 2.0 * 1000000 / 5)
+    assert(stops == 2) // the + of
+    assert(got(2L) == ((0L, 0.0, 0.0, 0.0, 0L)))
+  }
+
+  test("line-level corpus dedup: lines in >= minDocs distinct docs drop, " +
+    "survivors keep original order, all-banned docs yield empty text") {
+    val df = Seq(
+      (1L, "common\nuniq-one\ncommon2"),
+      (2L, "common\nuniq-two\ncommon2"),
+      (3L, "common\ncommon2"),
+      (4L, "solo line")).toDF("id", "text")
+    val got = TextOps.dropDuplicatedLines(df, "id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("uniq-one", 1L, 2L)))
+    assert(got(2L) == (("uniq-two", 1L, 2L)))
+    assert(got(3L) == (("", 0L, 2L))) // every line banned → empty doc kept
+    assert(got(4L) == (("solo line", 1L, 0L)))
+    // order preservation with interleaved bans
+    val df2 = Seq((1L, "b\nx\nb\ny"), (2L, "b"), (3L, "b")).toDF("id", "text")
+    val got2 = TextOps.dropDuplicatedLines(df2, "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(1L) == "x\ny")
+  }
+
+  test("per-group top-k: salted two-phase variant is indistinguishable " +
+    "from the plain window on a skewed corpus") {
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") % 10 < 8, "hot").otherwise(concat(lit("cold"),
+        (col("id") % 7).cast("string"))).as("grp"),
+      (col("id") * 37 % 1000).as("score"))
+    val order = Seq(col("score").desc, col("id").asc)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "grp", "score", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val plain = rows(ScalePatterns.topKPerGroup(df, "grp", 5, order))
+    val salted = rows(ScalePatterns.saltedTopKPerGroup(df, "grp", 5, order, 8))
+    assert(plain == salted)
+    assert(plain.count(_._2 == "hot") == 5)
+  }
+
   test("vocabulary top-k: counts, deterministic ties, empty-token filter") {
     val df = Seq(
       (1L, "b a a"), (2L, "a  c b"), (3L, "c b")).toDF("id", "text")
