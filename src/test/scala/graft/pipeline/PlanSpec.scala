@@ -181,6 +181,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("line-level dedup: every Exchange keyed on line or the doc id, " +
+    "the ban-list count aggregates with a partial phase, no product") {
+    import spark.implicits._
+    val df = Seq((1L, "a\nb"), (2L, "a\nc"), (3L, "a")).toDF("id", "text")
+    val p = plan(graft.ops.TextOps.dropDuplicatedLines(df, "id", "text", 2))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    val keys = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keys.nonEmpty && keys.forall(l =>
+      l.contains("line") || l.contains("id")), keys.mkString("\n"))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+  }
+
+  test("salted per-group top-k: phase-1 window keyed on (group, salt) so " +
+    "no single task holds a whole hot group; final window keyed on group") {
+    import spark.implicits._
+    val df = Seq((1L, "h", 10L), (2L, "h", 20L)).toDF("id", "grp", "score")
+    val p = plan(graft.ops.ScalePatterns.saltedTopKPerGroup(
+      df, "grp", 2, Seq(col("score").desc, col("id").asc), 4))
+    val keys = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keys.exists(l => l.contains("grp") && l.contains("_salt")),
+      "phase-1 (group, salt) exchange missing:\n" + keys.mkString("\n"))
+    assert(keys.exists(l => l.contains("grp") && !l.contains("_salt")),
+      "final group exchange missing:\n" + keys.mkString("\n"))
+  }
+
   test("dup-gram profile: every Exchange keyed on gram or doc_id, both " +
     "aggregates have partial (map-side) phases, no cartesian product") {
     val p = plan(graft.SparkEntry.queries("q51_dup_ngrams")(
