@@ -181,6 +181,80 @@ object StreamingExtract {
       }
   }
 
+  /** One per-(doc, band) near-dup observation: `dup_of` is the retained
+    * representative this doc near-duplicates in this band bucket (None =
+    * this doc became / remained a candidate representative here). */
+  final case class StreamNearDup(
+      url: String, band: Int, bucket: Long, dup_of: Option[String])
+
+  /** Per-band-bucket state: retained representatives, NEWEST FIRST,
+    * capped at `maxPerBucket` (recency eviction). */
+  final case class BucketReps(reps: List[(String, List[Long])])
+
+  /** Cross-micro-batch STREAMING near-dup detection — the SCALE.md design
+    * implemented: MinHash signatures and band buckets are row-local
+    * Column expressions (they stream unchanged); state lives per
+    * (band, bucket) in `flatMapGroupsWithState` as a bounded list of
+    * representative (url, signature) pairs. An arriving doc compares its
+    * FULL signature against the bucket's representatives (estimated
+    * Jaccard = matching minhash components / numHashes); at or above
+    * `threshold` it reports the best-matching representative (ties break
+    * to the smaller url — deterministic), otherwise it joins the
+    * representatives (evicting the oldest past `maxPerBucket`).
+    *
+    * Memory/recall trade, stated explicitly: state is bounded at
+    * buckets × maxPerBucket × (url + numHashes longs) — INDEPENDENT of
+    * stream length — so recall is windowed by per-bucket recency: a
+    * near-dup of a doc evicted from its bucket is missed. The periodic
+    * batch LSH job (CurateJob) remains the completeness backstop.
+    *
+    * Output is per (doc, band): a doc collides in up to numBands buckets,
+    * so the doc-level verdict is the batch reduction "any non-null
+    * dup_of" over the sink (a second stateful aggregation inside the
+    * same stream would stack stateful operators — kept out by design).
+    * Within a micro-batch, rows in a group process in url order, so the
+    * retained representative is deterministic across runs. */
+  def nearDupVerdicts(docs: Dataset[DocResult],
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.5,
+      maxPerBucket: Int = 16): Dataset[StreamNearDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandSize = numHashes / numBands
+    val toks = split(coalesce($"extracted_text", lit("")), " ")
+    val sigs = docs.toDF()
+      .select($"url", graft.ops.Dedup.shingleFingerprints(toks, shingleK).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("sig", graft.ops.Dedup.minhashSignature($"sh", numHashes))
+      .withColumn("bk",
+        explode(graft.ops.Dedup.bandKeys($"sig", numBands, bandSize)))
+      .select($"url", $"bk.band".cast("int").as("band"),
+        $"bk.bucket".as("bucket"), $"sig")
+      .as[(String, Int, Long, Seq[Long])]
+
+    sigs.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BucketReps, StreamNearDup](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, bucket), rows, state) =>
+          var reps = state.getOption.map(_.reps).getOrElse(Nil)
+          val out = rows.toVector.sortBy(_._1).map { case (url, _, _, sig) =>
+            val best = reps.iterator.map { case (repUrl, repSig) =>
+              val matching = repSig.iterator.zip(sig.iterator)
+                .count { case (a, b) => a == b }
+              (repUrl, matching.toDouble / numHashes)
+            }.filter(_._2 >= threshold).toList
+              .minByOption { case (u, s) => (-s, u) }
+            if (best.isEmpty) // only originals become representatives
+              reps = ((url, sig.toList) :: reps).take(maxPerBucket)
+            StreamNearDup(url, band, bucket, best.map(_._1))
+          }
+          state.update(BucketReps(reps))
+          out.iterator
+      }
+  }
+
   private[streaming] def hostOf(url: String): String = {
     val noScheme = url.indexOf("://") match {
       case -1 => url

@@ -133,4 +133,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(v2("https://b/9") == "exact_dup", v2.toString)
     assert(v2.size == 4)
   }
+
+  test("streaming near-dup: band-bucket state carries across micro-batch " +
+    "restarts — a later near-identical doc reports its representative, " +
+    "novel docs stay originals") {
+    val inputDir = tmp(); val outDir = tmp(); val checkpoint = tmp()
+    def page(url: String, text: String) =
+      (url, new java.sql.Timestamp(1735689600000L),
+        ("<html><body><article><p>" + text + "</p></article></body></html>")
+          .getBytes("UTF-8"), "", "en")
+    def prose(seed: Int): String =
+      (0 until 80).map(i =>
+        s"w${seed * 3001 + i} the w${seed * 3001 + i} of").mkString(" ")
+
+    Seq(page("https://a/1", prose(1)), page("https://a/2", prose(2)))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .coalesce(1).write.mode("append").parquet(inputDir)
+
+    def runOnce(): Unit = {
+      val pages = spark.readStream
+        .schema(StreamingExtract.pageSchema).parquet(inputDir)
+      val docs = StreamingExtract.transform(spark, pages, JobConfig(buckets = 4))
+      val q = StreamingExtract.nearDupVerdicts(docs)
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/neardup")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val r1 = spark.read.parquet(s"$outDir/neardup")
+      .collect().map(r => (r.getAs[String]("url"), r.getAs[String]("dup_of")))
+    // first batch: both docs are originals in every band
+    assert(r1.nonEmpty && r1.forall(_._2 == null), r1.mkString(", "))
+
+    // batch 2 (after a checkpointed restart): a near-identical copy of /1
+    // (one word changed) + a novel doc
+    Seq(page("https://b/9", prose(1).replace("w3001 the", "w3001x the")),
+      page("https://b/8", prose(7)))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .coalesce(1).write.mode("append").parquet(inputDir)
+    runOnce()
+    val r2 = spark.read.parquet(s"$outDir/neardup").collect()
+      .map(r => (r.getAs[String]("url"), Option(r.getAs[String]("dup_of"))))
+    val byUrl = r2.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // doc-level reduction: ANY band reporting a representative = near-dup
+    val hits = byUrl("https://b/9").flatten
+    assert(hits.nonEmpty && hits.toSet == Set("https://a/1"),
+      s"copy must report /1 in at least one band: ${byUrl("https://b/9")}")
+    assert(hits.size >= byUrl("https://b/9").size / 2,
+      "a near-identical doc should collide in most bands")
+    assert(byUrl("https://b/8").flatten.isEmpty, "novel doc must stay original")
+  }
 }
