@@ -1444,9 +1444,12 @@ object SparkEntry {
         |    replace(replace(replace(
         |      array_to_string(list_transform(
         |        range(1, length(token) + 1), i -> token[i]), chr(1)),
-        |      (SELECT l || chr(1) || r FROM b1), (SELECT l || r FROM b1)),
-        |      (SELECT l || chr(1) || r FROM b2), (SELECT l || r FROM b2)),
-        |      (SELECT l || chr(1) || r FROM b3), (SELECT l || r FROM b3)),
+        |      coalesce((SELECT l || chr(1) || r FROM b1), chr(2)),
+        |      coalesce((SELECT l || r FROM b1), '')),
+        |      coalesce((SELECT l || chr(1) || r FROM b2), chr(2)),
+        |      coalesce((SELECT l || r FROM b2), '')),
+        |      coalesce((SELECT l || chr(1) || r FROM b3), chr(2)),
+        |      coalesce((SELECT l || r FROM b3), '')),
         |    chr(1))) AS BIGINT) AS n
         |  FROM tok WHERE token <> ''),
         |per_doc AS (

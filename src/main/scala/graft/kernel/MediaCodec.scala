@@ -198,7 +198,9 @@ object MediaCodec {
     Glyphs.getOrElse(Character.toUpperCase(c), GlyphBlank)
 
   /** Plot one glyph's ink with its cell's top-left raster corner at
-    * (x0, y0), pixel blocks `scale` wide/tall, clipped to the page. */
+    * (x0, y0), pixel blocks `scale` wide/tall, clipped to the page: a
+    * block straddling an edge keeps its ON-PAGE pixels; a block fully
+    * outside paints nothing (Td positions may legally sit off-page). */
   private def drawGlyph(g: Array[Int], x0: Double, y0: Double, scale: Double,
       width: Int, height: Int)(plot: (Int, Int) => Unit): Unit = {
     var r = 0
@@ -208,15 +210,17 @@ object MediaCodec {
         var c = 0
         while (c < 5) {
           if ((bits & (1 << (4 - c))) != 0) {
-            val px0 = math.max(0, (x0 + c * scale).toInt)
-            val px1 = math.max(px0 + 1, (x0 + (c + 1) * scale).toInt)
-            val py0 = math.max(0, (y0 + r * scale).toInt)
-            val py1 = math.max(py0 + 1, (y0 + (r + 1) * scale).toInt)
-            if (x0 + c * scale >= 0 && y0 + r * scale >= 0) {
+            val bx0 = x0 + c * scale; val bx1 = x0 + (c + 1) * scale
+            val by0 = y0 + r * scale; val by1 = y0 + (r + 1) * scale
+            if (bx1 > 0 && by1 > 0 && bx0 < width && by0 < height) {
+              val px0 = math.max(0, bx0.toInt)
+              val px1 = math.min(width, math.max(px0 + 1, bx1.toInt))
+              val py0 = math.max(0, by0.toInt)
+              val py1 = math.min(height, math.max(py0 + 1, by1.toInt))
               var py = py0
-              while (py < py1 && py < height) {
+              while (py < py1) {
                 var px = px0
-                while (px < px1 && px < width) { plot(px, py); px += 1 }
+                while (px < px1) { plot(px, py); px += 1 }
                 py += 1
               }
             }

@@ -676,8 +676,13 @@ object PdfParse {
     var i = 0
     while (i + 1 < rawStr.length) {
       val c = ((rawStr.charAt(i) & 0xFF) << 8) | (rawStr.charAt(i + 1) & 0xFF)
+      // plausible text: printable ASCII, Latin-1, general punctuation,
+      // CJK symbols/punctuation (U+3000-303F incl. ideographic space and
+      // 。、「」), fullwidth/halfwidth forms (U+FF00-FFEF), letters/digits
+      // in any script — so real CJK sentences keep their punctuation
       val ok = (c >= 0x20 && c <= 0x7E) || (c >= 0xA0 && c <= 0xFF) ||
-        (c >= 0x2000 && c <= 0x206F) || Character.isLetterOrDigit(c)
+        (c >= 0x2000 && c <= 0x206F) || (c >= 0x3000 && c <= 0x303F) ||
+        (c >= 0xFF00 && c <= 0xFFEF) || Character.isLetterOrDigit(c)
       if (ok) { plausible += 1; sb.append(c.toChar) }
       i += 2
     }

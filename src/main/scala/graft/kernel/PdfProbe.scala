@@ -254,12 +254,13 @@ final class PdfProbe(cfg: ProbeConfig) {
     val scale = cfg.imageDpi / 72.0
     val w = math.max(1, math.round(page.width * scale).toInt)
     val h = math.max(1, math.round(page.height * scale).toInt)
-    // bounded: glyphs beyond the page clip anyway, so cap what we split
+    val runs = page.posRuns.take(4000) // bounded like the 20k-char cap
+    // bounded: glyphs beyond the page clip anyway, so cap what we split;
+    // skipped entirely when positioned runs drive the ink
     val lines: Seq[String] =
-      if (page.textLayer.isEmpty) Seq.empty
+      if (runs.nonEmpty || page.textLayer.isEmpty) Seq.empty
       else page.textLayer.substring(0,
         math.min(page.textLayer.length, 20000)).split("\n", -1).toSeq
-    val runs = page.posRuns.take(4000) // bounded like the 20k-char cap
     val bytes =
       if (cfg.imageFormat.equalsIgnoreCase("jpeg") ||
         cfg.imageFormat.equalsIgnoreCase("jpg"))

@@ -185,6 +185,10 @@ object Similarity {
       nlist: Int): Array[Array[Double]] = corpus
     .select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    // null embeddings would NPE on the driver below; wrong-dimension
+    // vectors are the caller's concern (no dim param here) but nulls are
+    // always invalid as centroids
+    .filter(col("v").isNotNull)
     .orderBy(col("id")).limit(nlist)
     .collect().map(_.getSeq[Double](1).toArray)
 

@@ -128,7 +128,10 @@ object TextOps {
     val spark = df.sparkSession
     val sep = "\u0001" // never occurs in tokens
     var vocab = df.select(explode(split(col(textCol), " ")).as("token"))
-      .filter(col("token") =!= "")
+      // tokens carrying the U+0001 separator itself would corrupt the
+      // joined-string merge application — excluded from training (real
+      // crawls do contain stray control bytes)
+      .filter(col("token") =!= "" && !col("token").contains(sep))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
         filter(split(col("token"), ""), x => x =!= "").as("syms"))
@@ -182,7 +185,11 @@ object TextOps {
         val merged = merges.foldLeft(joined) { case (s, (l, r)) =>
           replace(s, lit(l + sep + r), lit(l + r))
         }
-        acc + size(split(merged, sep)).cast("long")
+        // tokens carrying the U+0001 separator cannot be segmented via
+        // the joined-string trick (training excluded them too): their
+        // symbol count is the unmerged char count
+        acc + when(tok.contains(sep), length(tok))
+          .otherwise(size(split(merged, sep))).cast("long")
       })
   }
 
@@ -230,8 +237,11 @@ object TextOps {
     * quadratic, no driver state. */
   def dropDuplicatedLines(
       df: DataFrame, idCol: String, textCol: String, minDocs: Int): DataFrame = {
+    // null text (failed extractions) must not DROP the document from the
+    // output — it becomes one empty line, preserving row identity
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("idx", "line")))
     val banned = lines.groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("docs"))
       .filter(col("docs") >= minDocs)

@@ -202,11 +202,18 @@ object StreamingExtract {
     * to the smaller url — deterministic), otherwise it joins the
     * representatives (evicting the oldest past `maxPerBucket`).
     *
-    * Memory/recall trade, stated explicitly: state is bounded at
-    * buckets × maxPerBucket × (url + numHashes longs) — INDEPENDENT of
-    * stream length — so recall is windowed by per-bucket recency: a
-    * near-dup of a doc evicted from its bucket is missed. The periodic
-    * batch LSH job (CurateJob) remains the completeness backstop.
+    * Memory/recall trade, stated explicitly: each bucket's representative
+    * list is capped at `maxPerBucket`, but the NUMBER of (band, bucket)
+    * state keys grows with distinct content — an unbounded stream of
+    * novel docs grows the state store. `stateTtl` (non-empty) bounds it
+    * with a processing-time timeout: buckets idle past the TTL are
+    * evicted, so state tracks recent arrival activity instead of stream
+    * history. Like `curateVerdicts`' TTL, use it ONLY with continuous
+    * triggers (under `Trigger.AvailableNow` pending processing-time
+    * timeouts keep the drain loop alive — the measured hang — hence the
+    * no-timeout default). Recall is windowed either way (bucket cap +
+    * TTL); the periodic batch LSH job (CurateJob) remains the
+    * completeness backstop.
     *
     * Output is per (doc, band): a doc collides in up to numBands buckets,
     * so the doc-level verdict is the batch reduction "any non-null
@@ -219,7 +226,8 @@ object StreamingExtract {
       numHashes: Int = 32,
       numBands: Int = 8,
       threshold: Double = 0.5,
-      maxPerBucket: Int = 16): Dataset[StreamNearDup] = {
+      maxPerBucket: Int = 16,
+      stateTtl: String = ""): Dataset[StreamNearDup] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bandSize = numHashes / numBands
@@ -234,24 +242,33 @@ object StreamingExtract {
         $"bk.bucket".as("bucket"), $"sig")
       .as[(String, Int, Long, Seq[Long])]
 
+    val timeout =
+      if (stateTtl.isEmpty) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
     sigs.groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[BucketReps, StreamNearDup](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case ((band, bucket), rows, state) =>
-          var reps = state.getOption.map(_.reps).getOrElse(Nil)
-          val out = rows.toVector.sortBy(_._1).map { case (url, _, _, sig) =>
-            val best = reps.iterator.map { case (repUrl, repSig) =>
-              val matching = repSig.iterator.zip(sig.iterator)
-                .count { case (a, b) => a == b }
-              (repUrl, matching.toDouble / numHashes)
-            }.filter(_._2 >= threshold).toList
-              .minByOption { case (u, s) => (-s, u) }
-            if (best.isEmpty) // only originals become representatives
-              reps = ((url, sig.toList) :: reps).take(maxPerBucket)
-            StreamNearDup(url, band, bucket, best.map(_._1))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var reps = state.getOption.map(_.reps).getOrElse(Nil)
+            val out = rows.toVector.sortBy(_._1).map { case (url, _, _, sig) =>
+              val best = reps.iterator.map { case (repUrl, repSig) =>
+                val matching = repSig.iterator.zip(sig.iterator)
+                  .count { case (a, b) => a == b }
+                (repUrl, matching.toDouble / numHashes)
+              }.filter(_._2 >= threshold).toList
+                .minByOption { case (u, s) => (-s, u) }
+              if (best.isEmpty) // only originals become representatives
+                reps = ((url, sig.toList) :: reps).take(maxPerBucket)
+              StreamNearDup(url, band, bucket, best.map(_._1))
+            }
+            state.update(BucketReps(reps))
+            if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
+            out.iterator
           }
-          state.update(BucketReps(reps))
-          out.iterator
       }
   }
 

@@ -442,6 +442,16 @@ class PdfParseSpec extends AnyFunSuite {
     val ex = new Extractor(ProbeConfig())
     val (ec, ei) = (ex.extract(classic), ex.extract(cid))
     assert(ei.extractedText == ec.extractedText && ei.status == ec.status)
+
+    // Identity-H under ENCRYPTION: the hex show strings live inside
+    // RC4/AES-encrypted content streams; decrypt-then-decode must
+    // round-trip the same text layer
+    for (mode <- Seq(PdfCrypt.Rc4Owner, PdfCrypt.Aes256Owner)) {
+      val enc = PdfParse.writePdf(lines, cidFont = true, encrypt = Some(mode))
+      val de = PdfParse.parse(enc)
+      assert(de.pages.map(_.textLayer) == dc.pages.map(_.textLayer),
+        s"cid+$mode text layer mismatch")
+    }
   }
 
   test("inline images (BI … ID <binary> EI) are skipped by BOTH readers: " +
