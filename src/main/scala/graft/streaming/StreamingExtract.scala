@@ -272,6 +272,17 @@ object StreamingExtract {
       }
   }
 
+  /** Batch reduction over a `nearDupVerdicts` sink: per-doc verdict —
+    * a doc is a near-dup iff ANY band reported a representative; the
+    * reported representative is the smallest across bands
+    * (deterministic). Run this over the sink table, not inside the
+    * stream (it would stack a second stateful operator). */
+  def nearDupDocVerdicts(hits: DataFrame): DataFrame =
+    hits.groupBy(col("url"))
+      .agg(min(col("dup_of")).as("dup_of"),
+        count(when(col("dup_of").isNotNull, 1)).as("dup_bands"))
+      .withColumn("is_near_dup", col("dup_of").isNotNull)
+
   private[streaming] def hostOf(url: String): String = {
     val noScheme = url.indexOf("://") match {
       case -1 => url

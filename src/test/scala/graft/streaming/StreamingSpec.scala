@@ -186,5 +186,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.size >= byUrl("https://b/9").size / 2,
       "a near-identical doc should collide in most bands")
     assert(byUrl("https://b/8").flatten.isEmpty, "novel doc must stay original")
+
+    // doc-level reduction helper over the sink
+    val docV = StreamingExtract.nearDupDocVerdicts(
+      spark.read.parquet(s"$outDir/neardup"))
+      .collect().map(r => r.getAs[String]("url") ->
+        (r.getAs[Boolean]("is_near_dup"), Option(r.getAs[String]("dup_of"))))
+      .toMap
+    assert(docV("https://b/9") == ((true, Some("https://a/1"))))
+    assert(docV("https://b/8") == ((false, None)))
+    assert(docV("https://a/1") == ((false, None)))
   }
 }
