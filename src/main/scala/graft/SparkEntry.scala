@@ -783,14 +783,14 @@ object SparkEntry {
     // so the full training trace is hash-checked against an oracle that
     // unrolls the iterations in SQL.
     "q56_bpe_merges" -> ((s, dir) => {
-      TextOps.bpeMerges(t(s, dir, "documents"), "text", steps = 3)
+      TextOps.bpeMerges(spread(t(s, dir, "documents")), "text", steps = 3)
     }),
 
     // BPE apply-side: per-doc symbol count under the 3 learned merges
     // (the oracle re-derives the same merges in SQL, then applies the
     // identical replace chain per token)
     "q57_bpe_apply" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val merges = TextOps.bpeMerges(docs, "text", steps = 3).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       docs.select(col("doc_id"),
@@ -801,7 +801,8 @@ object SparkEntry {
     // Gopher-style quality signals (row-local projection; integer/ppm
     // arithmetic + one exact division so every value is oracle-exact)
     "q58_gopher_signals" -> ((s, dir) => {
-      TextOps.gopherQualitySignals(t(s, dir, "documents"), "doc_id", "text")
+      TextOps.gopherQualitySignals(spread(t(s, dir, "documents")),
+        "doc_id", "text")
     }),
 
     // C4-style line-level corpus dedup: boilerplate lines planted across
@@ -1386,9 +1387,23 @@ object SparkEntry {
 
     // q56: BPE merge training unrolled — per step: pair explode over the
     // current vocabulary symbol lists, exact-integer pair counts, argmax
-    // with (freq DESC, l ASC, r ASC) ties, then the merge applied via
-    // replace on a chr(1)-joined symbol string (left-to-right
-    // non-overlapping in both engines).
+    // with (freq DESC, l ASC, r ASC) ties, then the merge applied via the
+    // exact greedy left-to-right scan: list_reduce over chr(1)-prefixed
+    // symbols replicates Spark's sequential fold (the separator prefix
+    // anchors symbol starts; a fused symbol participates in the next
+    // comparison). When a step's bN is EMPTY (early exhaustion), its
+    // scalar subqueries are NULL, the CASE condition is never true, and
+    // the scan rejoins symbols unchanged — matching Spark's early stop.
+    // DuckDB forbids subqueries inside lambdas, so the step's merge pair
+    // arrives as plain columns (lcol, rcol) LEFT-JOINed onto the row —
+    // NULL on early exhaustion, which makes the CASE never fire.
+    def bpeScanSql(syms: String, lcol: String, rcol: String): String =
+      s"""list_filter(string_split(list_reduce(
+         |    list_prepend('', list_transform($syms, s -> chr(1) || s)),
+         |    (acc, x) -> CASE WHEN ends_with(acc, chr(1) || $lcol)
+         |        AND x = chr(1) || $rcol
+         |      THEN acc || substr(x, 2) ELSE acc || x END),
+         |  chr(1)), s -> s <> '')""".stripMargin
     def bpeStep(i: Int): String =
       s"""p$i AS (
          |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS freq
@@ -1399,12 +1414,9 @@ object SparkEntry {
          |b$i AS (SELECT l, r, freq FROM p$i
          |        ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
          |v${i + 1} AS (
-         |  SELECT cnt, string_split(
-         |    replace(array_to_string(syms, chr(1)),
-         |      (SELECT l || chr(1) || r FROM b$i),
-         |      (SELECT l || r FROM b$i)),
-         |    chr(1)) AS syms
-         |  FROM v$i)""".stripMargin
+         |  SELECT cnt, ${bpeScanSql("syms", s"bl$i", s"br$i")} AS syms
+         |  FROM v$i LEFT JOIN
+         |    (SELECT l AS bl$i, r AS br$i FROM b$i) ON TRUE)""".stripMargin
     m += "q56_bpe_merges" ->
       s"""WITH v1 AS (
         |  SELECT CAST(count(*) AS BIGINT) AS cnt,
@@ -1426,7 +1438,8 @@ object SparkEntry {
     }
 
     // q57: re-derive the same 3 merges (b1..b3), then apply the identical
-    // replace chain per token and sum symbol counts per doc.
+    // greedy-scan chain per token and sum symbol counts per doc (see the
+    // bpeScanSql comment for the early-exhaustion no-op behavior).
     m += "q57_bpe_apply" ->
       s"""WITH v1 AS (
         |  SELECT CAST(count(*) AS BIGINT) AS cnt,
@@ -1440,18 +1453,14 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents),
         |app AS (
-        |  SELECT doc_id, CAST(len(string_split(
-        |    replace(replace(replace(
-        |      array_to_string(list_transform(
-        |        range(1, length(token) + 1), i -> token[i]), chr(1)),
-        |      coalesce((SELECT l || chr(1) || r FROM b1), chr(2)),
-        |      coalesce((SELECT l || r FROM b1), '')),
-        |      coalesce((SELECT l || chr(1) || r FROM b2), chr(2)),
-        |      coalesce((SELECT l || r FROM b2), '')),
-        |      coalesce((SELECT l || chr(1) || r FROM b3), chr(2)),
-        |      coalesce((SELECT l || r FROM b3), '')),
-        |    chr(1))) AS BIGINT) AS n
-        |  FROM tok WHERE token <> ''),
+        |  SELECT doc_id, CAST(len(${bpeScanSql(bpeScanSql(bpeScanSql(
+            "list_transform(range(1, length(token) + 1), i -> token[i])",
+            "bl1", "br1"), "bl2", "br2"), "bl3", "br3")}) AS BIGINT) AS n
+        |  FROM tok
+        |  LEFT JOIN (SELECT l AS bl1, r AS br1 FROM b1) ON TRUE
+        |  LEFT JOIN (SELECT l AS bl2, r AS br2 FROM b2) ON TRUE
+        |  LEFT JOIN (SELECT l AS bl3, r AS br3 FROM b3) ON TRUE
+        |  WHERE token <> ''),
         |per_doc AS (
         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS s FROM app GROUP BY doc_id)
         |SELECT d.doc_id,

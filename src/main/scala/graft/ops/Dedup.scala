@@ -66,17 +66,19 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): (DataFrame, Int) = {
-    val dirE = pairs.select(
+    val dirE0 = pairs.select(
       col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // vertices snapshot BEFORE the self-pair filter: a vertex appearing
+    // only in (v, v) rows still belongs to the pair graph and must get a
+    // label (its own id), per the every-vertex contract
+    val verts = dirE0.select(col("src").as("id"))
+      .union(dirE0.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    // canonical larger→smaller direction, self-loops dropped
+    var edges = dirE0
       .filter(col("src") =!= col("dst"))
-    // canonical larger→smaller direction; vertices snapshot before the
-    // star rounds rewrite the edge set
-    var edges = dirE
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      .distinct().localCheckpoint()
-    val verts = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
       .distinct().localCheckpoint()
 
     var iter = 0

@@ -119,9 +119,14 @@ object TextOps {
     *
     * Determinism: pair counts are exact integers; the argmax tie-breaks
     * (count DESC, left ASC, right ASC — binary string order); the merge
-    * application is `replace` on a U+0001-joined symbol string, whose
-    * left-to-right non-overlapping semantics are identical in Spark and
-    * DuckDB — so the whole training trace is oracle-checkable (q56
+    * application is the EXACT greedy left-to-right BPE scan
+    * (`applyMerge`: a sequential fold whose accumulator is a U+0001-
+    * joined symbol string — the separator anchors every symbol START, so
+    * a rule (o,w) can never falsely match the suffix of symbol "lo", and
+    * a merged symbol immediately participates in the next comparison,
+    * handling runs like [a,a,a,a] → [aa,aa] correctly). DuckDB
+    * reproduces the fold with `list_reduce` over the same pre-separated
+    * elements, so the whole training trace is oracle-checkable (q56
     * unrolls the iterations in SQL). Symbols are UTF-16-unit chars
     * (ASCII-identical to code points; the oracle corpus is ASCII). */
   def bpeMerges(df: DataFrame, textCol: String, steps: Int): DataFrame = {
@@ -158,8 +163,7 @@ object TextOps {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, l, r, f))
         vocab = vocab.select(col("cnt"),
-          split(replace(array_join(col("syms"), sep),
-            lit(l + sep + r), lit(l + r)), sep).as("syms"))
+          applyMerge(col("syms"), l, r).as("syms"))
           .localCheckpoint()
         step += 1
       }
@@ -168,28 +172,47 @@ object TextOps {
     merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
   }
 
+  /** One greedy left-to-right BPE merge pass over a symbol array — the
+    * standard (Sennrich) scan: walk symbols once; when the previous
+    * retained symbol is `l` and the current is `r`, fuse them (the fused
+    * symbol then participates in the NEXT comparison, so [a,a,a,a] under
+    * (a,a) → [aa,aa]). Implemented as a sequential string fold whose
+    * accumulator joins symbols with U+0001: the separator prefix anchors
+    * each symbol's START, so `endswith(acc, sep+l)` is true iff the last
+    * whole symbol equals `l` — a rule (o,w) can never match the suffix
+    * of a longer symbol like "lo". DuckDB replicates the fold with
+    * `list_reduce` over identically pre-separated elements (q56/q57
+    * oracles). */
+  private[ops] def applyMerge(syms: Column, l: String, r: String): Column = {
+    val sep = "\u0001"
+    val folded = aggregate(syms, lit(""),
+      (acc, x) => when(endswith(acc, lit(sep + l)) && x === r, concat(acc, x))
+        .otherwise(concat(acc, lit(sep), x)))
+    filter(split(folded, sep), x => x =!= "")
+  }
+
   /** Apply-side of BPE: the number of symbols `text` tokenizes into under
     * the given ordered merge list. Entirely row-local (one pass per
     * token: char-split → the merge `replace` chain → count); merges never
     * cross token boundaries because each token is segmented on its own.
-    * The merge application shares `bpeMerges`' left-to-right
-    * non-overlapping `replace` semantics, so the count is reproducible by
-    * the DuckDB oracle (q57) applying the same chain. */
+    * The merge application is `bpeMerges`' exact greedy scan
+    * (`applyMerge`), so the count is reproducible by the DuckDB oracle
+    * (q57) applying the same fold chain. */
   def bpeSymbolCount(text: Column, merges: Seq[(String, String)]): Column = {
     val sep = "\u0001"
     aggregate(
       filter(split(text, " "), t => t =!= ""),
       lit(0L),
       (acc, tok) => {
-        val joined = array_join(filter(split(tok, ""), c => c =!= ""), sep)
-        val merged = merges.foldLeft(joined) { case (s, (l, r)) =>
-          replace(s, lit(l + sep + r), lit(l + r))
+        val syms0 = filter(split(tok, ""), c => c =!= "")
+        val merged = merges.foldLeft(syms0) { case (sy, (l, r)) =>
+          applyMerge(sy, l, r)
         }
         // tokens carrying the U+0001 separator cannot be segmented via
-        // the joined-string trick (training excluded them too): their
+        // the joined-string scan (training excluded them too): their
         // symbol count is the unmerged char count
         acc + when(tok.contains(sep), length(tok))
-          .otherwise(size(split(merged, sep))).cast("long")
+          .otherwise(size(merged)).cast("long")
       })
   }
 

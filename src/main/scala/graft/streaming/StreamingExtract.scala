@@ -255,14 +255,20 @@ object StreamingExtract {
           } else {
             var reps = state.getOption.map(_.reps).getOrElse(Nil)
             val out = rows.toVector.sortBy(_._1).map { case (url, _, _, sig) =>
-              val best = reps.iterator.map { case (repUrl, repSig) =>
-                val matching = repSig.iterator.zip(sig.iterator)
-                  .count { case (a, b) => a == b }
-                (repUrl, matching.toDouble / numHashes)
-              }.filter(_._2 >= threshold).toList
+              // a re-crawled URL must not match ITSELF (streams re-deliver
+              // urls routinely) — self is excluded from comparison and its
+              // representative entry is refreshed, never duplicated
+              val best = reps.iterator
+                .filter { case (repUrl, _) => repUrl != url }
+                .map { case (repUrl, repSig) =>
+                  val matching = repSig.iterator.zip(sig.iterator)
+                    .count { case (a, b) => a == b }
+                  (repUrl, matching.toDouble / numHashes)
+                }.filter(_._2 >= threshold).toList
                 .minByOption { case (u, s) => (-s, u) }
               if (best.isEmpty) // only originals become representatives
-                reps = ((url, sig.toList) :: reps).take(maxPerBucket)
+                reps = ((url, sig.toList) ::
+                  reps.filterNot(_._1 == url)).take(maxPerBucket)
               StreamNearDup(url, band, bucket, best.map(_._1))
             }
             state.update(BucketReps(reps))

@@ -270,6 +270,11 @@ class OpsSpec extends AnyFunSuite {
     assert((20L to 23L).forall(comp(_) == 20L))
     assert((100L to 110L).forall(comp(_) == 100L), s"chain: $comp")
     assert(comp.size == 3 + 2 + 4 + 11)
+    // a vertex appearing ONLY in a self-pair still gets a label
+    val selfOnly = Dedup.connectedComponents(
+      Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfOnly == Map(5L -> 5L, 1L -> 1L, 2L -> 1L), selfOnly.toString)
     // determinism: a second run produces the identical labeling
     val again = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -411,12 +416,29 @@ class OpsSpec extends AnyFunSuite {
       Seq(s).toDF("text")
         .select(TextOps.bpeSymbolCount(col("text"), merges).as("n"))
         .collect()(0).getLong(0)
-    assert(cnt("low") == 1) // l o w → lo w → low
+    assert(cnt("low") == 1) // l o w → lo w → low ((lo,w) is rule 2)
     assert(cnt("lower") == 3) // low + e + r
     assert(cnt("low lower") == 4)
     assert(cnt("") == 0)
     // 'l o' as separate tokens must NOT merge across the space
     assert(cnt("l o") == 2)
+
+    // EXACT scan semantics (the separator-string replace these replaced
+    // got both of these wrong):
+    // 1. a rule (o,w) must not match the SUFFIX of symbol "lo" — after
+    //    (l,o) produces [lo, w], rule (o,w) has nothing to merge
+    def cnt2(s: String, m: Seq[(String, String)]): Long =
+      Seq(s).toDF("text")
+        .select(TextOps.bpeSymbolCount(col("text"), m).as("n"))
+        .collect()(0).getLong(0)
+    assert(cnt2("low", Seq(("l", "o"), ("o", "w"))) == 2,
+      "rule (o,w) must not merge inside symbol 'lo'")
+    // 2. greedy left-to-right runs: [a,a,a,a] under (a,a) → [aa,aa];
+    //    [a,a,a] → [aa,a]
+    assert(cnt2("aaaa", Seq(("a", "a"))) == 2)
+    assert(cnt2("aaa", Seq(("a", "a"))) == 2)
+    // 3. a fused symbol participates in the NEXT rule: (a,a) then (aa,aa)
+    assert(cnt2("aaaa", Seq(("a", "a"), ("aa", "aa"))) == 1)
   }
 
   test("gopher quality signals: hand-computed word/alpha/symbol stats") {

@@ -170,9 +170,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(r1.nonEmpty && r1.forall(_._2 == null), r1.mkString(", "))
 
     // batch 2 (after a checkpointed restart): a near-identical copy of /1
-    // (one word changed) + a novel doc
+    // (one word changed), a novel doc, and /1 RE-CRAWLED with identical
+    // content (streams re-deliver urls — must not self-match)
     Seq(page("https://b/9", prose(1).replace("w3001 the", "w3001x the")),
-      page("https://b/8", prose(7)))
+      page("https://b/8", prose(7)),
+      page("https://a/1", prose(1)))
       .toDF("url", "warc_ts", "html", "text", "lang")
       .coalesce(1).write.mode("append").parquet(inputDir)
     runOnce()
@@ -186,6 +188,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.size >= byUrl("https://b/9").size / 2,
       "a near-identical doc should collide in most bands")
     assert(byUrl("https://b/8").flatten.isEmpty, "novel doc must stay original")
+    // the re-crawled /1 must NOT report itself as its own near-dup
+    assert(byUrl("https://a/1").flatten.isEmpty,
+      s"re-crawled url self-matched: ${byUrl("https://a/1")}")
 
     // doc-level reduction helper over the sink
     val docV = StreamingExtract.nearDupDocVerdicts(
