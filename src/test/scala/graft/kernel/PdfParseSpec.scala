@@ -423,6 +423,12 @@ class PdfParseSpec extends AnyFunSuite {
     // no encoding info at all → Latin-1 identity (unchanged behavior)
     val bare = pdf("<< /Type /Font /Subtype /TrueType /BaseFont /F >>", "")
     assert(PdfParse.parse(bare).pages(0).textLayer == "hiok")
+    // MacRomanEncoding maps the SAME bytes differently (93=ì 94=î
+    // 97=ó in MacRoman) — the JDK x-MacRoman charset provides the table
+    val mac = pdf("<< /Type /Font /Subtype /TrueType /BaseFont /F " +
+      "/Encoding /MacRomanEncoding >>", "")
+    assert(PdfParse.parse(mac).pages(0).textLayer == "ìhiîóok",
+      s"MacRoman decode: '${PdfParse.parse(mac).pages(0).textLayer}'")
   }
 
   test("writePdf(cidFont=true): Identity-H layout round-trips the text " +
