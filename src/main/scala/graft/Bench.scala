@@ -8,6 +8,25 @@ import org.apache.spark.sql.SparkSession
   * and prints exactly ONE JSON line. */
 object Bench {
 
+  /** Host-capacity probe (tools/host_probe.py, BENCH.md §0d): aggregate
+    * md5 Mops/s across 32 worker processes, ~55–76 in a healthy window
+    * on this VM (§0d's recorded samples), below ~40 in a brownout. The
+    * timed suite is BRACKETED by two
+    * probes and both ride the JSON artifact, so a low extraction sample
+    * with degraded probes is evidenced as host phase in the sample
+    * itself, not argued after the fact. -1.0 = probe unavailable. */
+  private def hostProbe(seconds: Int = 6): Double =
+    try {
+      val script = new java.io.File("tools/host_probe.py")
+      if (!script.exists()) -1.0
+      else {
+        val out = scala.sys.process.Process(
+          Seq("python3", script.getPath, "32", seconds.toString)).!!
+        """aggregate=([0-9.]+)M""".r.findFirstMatchIn(out)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      }
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,6 +39,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val probeBefore = hostProbe()
 
     // warmup: JIT + codegen caches on a cheap query
     try SparkEntry.queries("q35_lineitem_pricing")(spark, sfDir).count()
@@ -49,13 +70,17 @@ object Bench {
     val docsPerSec = cnt / extractSecs
     input.unpersist()
 
+    val probeAfter = hostProbe()
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + extractSecs
     println(
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
       f""""extract_docs":$cnt,"extract_secs":$extractSecs%.4f,""" +
-      f""""extract_docs_per_sec":$docsPerSec%.1f,"sf":"$sfDir"}""")
+      f""""extract_docs_per_sec":$docsPerSec%.1f,""" +
+      f""""probe_before_mops":$probeBefore%.2f,"probe_after_mops":$probeAfter%.2f,""" +
+      f""""probe_healthy_mops":"55-76","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1422,7 +1422,7 @@ object SparkEntry {
         |  SELECT CAST(count(*) AS BIGINT) AS cnt,
         |    list_transform(range(1, length(token) + 1), i -> token[i]) AS syms
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |  WHERE token <> '' GROUP BY token),
+        |  WHERE token <> '' AND NOT contains(token, chr(1)) GROUP BY token),
         |${bpeStep(1)},
         |${bpeStep(2)},
         |${bpeStep(3)}
@@ -1445,7 +1445,7 @@ object SparkEntry {
         |  SELECT CAST(count(*) AS BIGINT) AS cnt,
         |    list_transform(range(1, length(token) + 1), i -> token[i]) AS syms
         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |  WHERE token <> '' GROUP BY token),
+        |  WHERE token <> '' AND NOT contains(token, chr(1)) GROUP BY token),
         |${bpeStep(1)},
         |${bpeStep(2)},
         |${bpeStep(3)},
@@ -1453,9 +1453,11 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents),
         |app AS (
-        |  SELECT doc_id, CAST(len(${bpeScanSql(bpeScanSql(bpeScanSql(
+        |  SELECT doc_id, CAST(CASE WHEN contains(token, chr(1))
+        |    THEN length(token)
+        |    ELSE len(${bpeScanSql(bpeScanSql(bpeScanSql(
             "list_transform(range(1, length(token) + 1), i -> token[i])",
-            "bl1", "br1"), "bl2", "br2"), "bl3", "br3")}) AS BIGINT) AS n
+            "bl1", "br1"), "bl2", "br2"), "bl3", "br3")}) END AS BIGINT) AS n
         |  FROM tok
         |  LEFT JOIN (SELECT l AS bl1, r AS br1 FROM b1) ON TRUE
         |  LEFT JOIN (SELECT l AS bl2, r AS br2 FROM b2) ON TRUE

@@ -108,12 +108,22 @@ object PdfParse {
   private val PatBpc = Py.re("""/BitsPerComponent\s+(\d+)""")
   private val PatType0 = Py.re("""/Subtype\s*/Type0""")
   private val PatEncodingIdentity = Py.re("""/Encoding\s*/Identity-[HV]""")
+  // predefined UCS2-family CMaps (PDF 32000-1 §9.7.5.2 table 118): their
+  // 2-byte CODES are UCS-2 values by definition, so the text layer decodes
+  // exactly without the font program — unlike other predefined CMaps
+  // (GBK-EUC, 90ms-RKSJ, …) which stay undecodable without CMap data
+  private val PatEncodingUcs2 =
+    Py.re("""/Encoding\s*/Uni(?:GB|CNS|JIS|KS)-UCS2-[HV]""")
   private val PatEncodingName = Py.re("""/Encoding\s*/(\w+)""")
   private val PatEncodingRef = Py.re("""/Encoding\s+(\d+)\s+\d+\s+R""")
   private val PatEncodingInline = Py.re("""/Encoding\s*<<""")
   private val PatBaseEncoding = Py.re("""/BaseEncoding\s*/(\w+)""")
   private val PatDifferences = Py.re("""/Differences\s*\[([^\]]*)\]""")
-  private val PatDiffTok = Py.re("""(\d+)|/([\w.]+)""")
+  // full name tokens (a PDF name runs to the next delimiter): a partial
+  // match like /b-caron → "b" would map the code to the WRONG character;
+  // matching the whole token lets glyphToUnicode reject unknown forms so
+  // the code keeps its byte-identity decode instead
+  private val PatDiffTok = Py.re("""(\d+)|/([^\s/\[\]<>()]+)""")
   private val PatLen = Py.re("""/Length\s+(\d+)""")
   private val PatLenIndirectTail = Py.re("""\s+\d+\s+R""")
 
@@ -400,7 +410,8 @@ object PdfParse {
     * Unicode-CID passthrough flag (see `decodeIdentityCid`). */
   private[kernel] final case class FontCMap(
       bytesPerCode: Int, map: Map[Int, String],
-      identityCid: Boolean = false)
+      identityCid: Boolean = false,
+      ucs2: Boolean = false)
 
   /** Resolve the /Font dict of a resources dict into per-name CMaps.
     * Simple fonts without a ToUnicode stream decode byte-identically
@@ -415,7 +426,11 @@ object PdfParse {
     *     subsetted western and Unicode-CID CJK PDFs (the reference gets
     *     the same text free via PyMuPDF's font program access,
     *     _detector.py:250-296, which we don't ship).
-    *   - anything else (predefined CMap names, missing): UNDECODABLE
+    *   - `/UniGB-UCS2-H|V` `/UniCNS-UCS2-H|V` `/UniJIS-UCS2-H|V`
+    *     `/UniKS-UCS2-H|V`: the predefined UCS2-family CMaps whose codes
+    *     are UCS-2 code points by definition — EXACT verbatim decode, the
+    *     layout legacy CJK producers emit (table 118, PDF 32000-1).
+    *   - anything else (other predefined CMap names, missing): UNDECODABLE
     *     without the font program — marked with an empty 2-byte CMap so
     *     show strings yield NO text (instead of 1-byte mojibake that would
     *     inflate text_length and misroute the page as native text); the
@@ -439,7 +454,13 @@ object PdfParse {
             } out(name) = parseCMap(new String(data, StandardCharsets.ISO_8859_1))
           case None if PatType0.matcher(fontObj.body).find() =>
             val identity = PatEncodingIdentity.matcher(fontObj.body).find()
-            out(name) = FontCMap(2, Map.empty, identityCid = identity)
+            // UCS2-family predefined CMaps: the 2-byte show-string codes
+            // ARE UCS-2 code points by the CMap's definition (the CID
+            // lookup happens downstream of text content), so the decode
+            // is EXACT, not heuristic — no plausibility guard needed
+            val ucs2 = PatEncodingUcs2.matcher(fontObj.body).find()
+            out(name) = FontCMap(2, Map.empty,
+              identityCid = identity, ucs2 = ucs2)
           case None =>
             // simple font: byte-identity decode, EXCEPT where an explicit
             // /Encoding (WinAnsi/MacRoman base, /Differences glyph names)
@@ -589,18 +610,34 @@ object PdfParse {
     m.toMap
   }
 
-  /** AGL glyph name → Unicode string (uniXXXX / uXXXX[XX] parse as hex;
-    * unknown names → None, which keeps the code's byte-identity decode). */
+  /** AGL glyph name → Unicode string per the public AGL specification:
+    * '.'-suffixed variants (a.sc, one.oldstyle) map like their base name;
+    * uniXXXX[YYYY…] is a SEQUENCE of 4-hex-digit BMP units (all decoded,
+    * surrogate values rejected); uXXXX[X[X]] is one code point; anything
+    * unrecognized (b-caron, gNN, ornament names) → None, which keeps the
+    * code's byte-identity decode instead of emitting a wrong character. */
   private[kernel] def glyphToUnicode(name: String): Option[String] = {
-    if (name.startsWith("uni") && name.length >= 7) {
-      try Some(hexToInt(name.substring(3, 7)).toChar.toString)
-      catch { case _: NumberFormatException => None }
-    } else if (name.length >= 5 && name.length <= 7 && name.charAt(0) == 'u' &&
-      name.drop(1).forall(c => Character.digit(c, 16) >= 0)) {
+    val base = name.indexOf('.') match {
+      case i if i > 0 => name.substring(0, i)
+      case _ => name
+    }
+    if (base.startsWith("uni") && base.length > 3) {
+      val hex = base.substring(3)
+      // a PARTIAL parse (first 4 digits of uniXXXXYYYY) would decode the
+      // wrong text — malformed or surrogate groups reject the whole name
+      if (hex.length % 4 != 0 ||
+        !hex.forall(c => Character.digit(c, 16) >= 0)) None
+      else {
+        val units = hex.grouped(4).map(hexToInt).toSeq
+        if (units.exists(u => u >= 0xD800 && u <= 0xDFFF)) None
+        else Some(units.map(_.toChar).mkString)
+      }
+    } else if (base.length >= 5 && base.length <= 7 && base.charAt(0) == 'u' &&
+      base.drop(1).forall(c => Character.digit(c, 16) >= 0)) {
       try Some(new String(Character.toChars(
-        java.lang.Integer.parseInt(name.drop(1), 16))))
+        java.lang.Integer.parseInt(base.drop(1), 16))))
       catch { case _: Exception => None }
-    } else GlyphNames.get(name)
+    } else GlyphNames.get(base)
   }
 
   /** Decode map of a simple font's /Encoding (PDF 32000-1 §9.6.5): base
@@ -667,12 +704,28 @@ object PdfParse {
     * garbage; Unicode-CID strings (printable ASCII, Latin-1, letters and
     * digits in any script, general punctuation) pass through intact. The
     * whole string is rejected unless ≥80% of its codes are plausible —
-    * a mixed string is more likely glyph-indexed than Unicode-CID. */
+    * a mixed string is more likely glyph-indexed than Unicode-CID.
+    *
+    * Second guard, structural: larger subset fonts assign letter glyphs
+    * gids ~36–150, which land INSIDE the Latin plausibility ranges and
+    * would decode as shifted-alphabet mojibake the per-code test cannot
+    * catch — inflating text_length and misrouting pages off the needs-OCR
+    * path. Real Latin text carries vowel mass (~38% of letters, vs ~19%
+    * expected when a shift permutes the alphabet), so a long space-free
+    * Latin-only run must also look word-shaped: ≥25% of its ASCII letters
+    * vowels (aeiouy). Runs with spaces, non-Latin letters, or fewer than
+    * 8 letters keep the per-code test alone — they either already show
+    * structure a gid band cannot produce, or are too short to move
+    * text_length materially. */
   private[kernel] def decodeIdentityCid(rawStr: String): String = {
     val n = rawStr.length / 2
     if (n == 0) return ""
     val sb = new StringBuilder(n)
     var plausible = 0
+    var asciiLetters = 0
+    var vowels = 0
+    var spaces = 0
+    var nonLatin = 0
     var i = 0
     while (i + 1 < rawStr.length) {
       val c = ((rawStr.charAt(i) & 0xFF) << 8) | (rawStr.charAt(i + 1) & 0xFF)
@@ -683,10 +736,23 @@ object PdfParse {
       val ok = (c >= 0x20 && c <= 0x7E) || (c >= 0xA0 && c <= 0xFF) ||
         (c >= 0x2000 && c <= 0x206F) || (c >= 0x3000 && c <= 0x303F) ||
         (c >= 0xFF00 && c <= 0xFFEF) || Character.isLetterOrDigit(c)
-      if (ok) { plausible += 1; sb.append(c.toChar) }
+      if (ok) {
+        plausible += 1
+        sb.append(c.toChar)
+        if (c == 0x20) spaces += 1
+        else if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+          asciiLetters += 1
+          val lc = c | 0x20
+          if (lc == 'a' || lc == 'e' || lc == 'i' || lc == 'o' ||
+            lc == 'u' || lc == 'y') vowels += 1
+        } else if (c > 0xFF) nonLatin += 1
+      }
       i += 2
     }
-    if (plausible.toDouble / n >= 0.8) sb.toString else ""
+    if (plausible.toDouble / n < 0.8) return ""
+    if (asciiLetters >= 8 && spaces == 0 && nonLatin == 0 &&
+      vowels.toDouble / asciiLetters < 0.25) return ""
+    sb.toString
   }
 
   /** Decode a raw show-string (chars = bytes) through the active font. */
@@ -694,9 +760,21 @@ object PdfParse {
     font match {
       case None => rawStr
       case Some(f) if f.bytesPerCode == 2 && f.map.isEmpty =>
-        // Identity-encoded CID: guarded Unicode passthrough; otherwise
-        // undecodable CID font: degrade (1-byte fonts keep identity)
-        if (f.identityCid) decodeIdentityCid(rawStr) else ""
+        // UCS2-family predefined CMap: codes are UCS-2 by definition —
+        // exact verbatim decode (NULs dropped). Identity-encoded CID:
+        // guarded Unicode passthrough. Otherwise undecodable CID font:
+        // degrade (1-byte fonts keep identity).
+        if (f.ucs2) {
+          val sb = new StringBuilder(rawStr.length / 2)
+          var i = 0
+          while (i + 1 < rawStr.length) {
+            val c = ((rawStr.charAt(i) & 0xFF) << 8) | (rawStr.charAt(i + 1) & 0xFF)
+            if (c != 0) sb.append(c.toChar)
+            i += 2
+          }
+          sb.toString
+        } else if (f.identityCid) decodeIdentityCid(rawStr)
+        else ""
       case Some(f) if f.bytesPerCode == 1 =>
         val sb = new StringBuilder
         var i = 0
@@ -1510,7 +1588,12 @@ object PdfParse {
       pageHeight: Double = 792,
       encrypt: Option[PdfCrypt.Mode] = None,
       embedJpeg: Boolean = false,
-      cidFont: Boolean = false): Array[Byte] = {
+      cidFont: Boolean = false,
+      // /Encoding name of the Type0 font when cidFont: Identity-H (the
+      // dominant modern layout) or a predefined UCS2-family CMap name
+      // (UniJIS-UCS2-H etc. — the legacy CJK layout); both show 2-byte
+      // UTF-16-unit hex strings, so the text layer bytes are identical
+      cidEncoding: String = "Identity-H"): Array[Byte] = {
     val objects = mutable.ArrayBuffer[Array[Byte]]() // 1-indexed bodies
     def obj(n: Int, body: String): Array[Byte] =
       s"$n 0 obj\n$body\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
@@ -1598,12 +1681,20 @@ object PdfParse {
     }
 
     if (cidFont) {
+      // Registry/Ordering follows the encoding family (cosmetic for this
+      // parser, keeps external readers honest about the character set)
+      val ordering =
+        if (cidEncoding.startsWith("UniGB")) "GB1"
+        else if (cidEncoding.startsWith("UniCNS")) "CNS1"
+        else if (cidEncoding.startsWith("UniJIS")) "Japan1"
+        else if (cidEncoding.startsWith("UniKS")) "Korea1"
+        else "Identity"
       objects += obj(fontObjNum,
         "<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID " +
-          s"/Encoding /Identity-H /DescendantFonts [${fontObjNum + 1} 0 R] >>")
+          s"/Encoding /$cidEncoding /DescendantFonts [${fontObjNum + 1} 0 R] >>")
       objects += obj(fontObjNum + 1,
         "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID " +
-          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+          s"/CIDSystemInfo << /Registry (Adobe) /Ordering ($ordering) " +
           "/Supplement 0 >> /CIDToGIDMap /Identity >>")
     }
 

@@ -220,7 +220,13 @@ object Synth {
           // odd), not an rng draw, so every oracle-checked value is
           // unchanged. The text layer is byte-identical either way.
           case 0 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
-            cidFont = (idx / 10) % 2 == 0)
+            cidFont = (idx / 10) % 2 == 0,
+            // half the CID docs carry a predefined UCS2-family CMap
+            // instead of Identity-H (the legacy CJK producer layout the
+            // exact UCS-2 decode rescues) — keyed off idx/10 like the
+            // cidFont split, no rng draw, text layer byte-identical
+            cidEncoding =
+              if ((idx / 10) % 4 == 0) "UniJIS-UCS2-H" else "Identity-H")
           case 1 => PdfParse.writePdfObjStm(d.pages.map(_.textLayer.split("\n").toSeq))
           case 2 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
             // alternate the two owner-locked handlers (RC4-128 R3 and

@@ -176,10 +176,12 @@ object Similarity {
     * partial-sum order is partition-dependent, so trained centroids are
     * run-deterministic only up to summation order — fine for a trainer,
     * which is why q41's oracle keeps the deterministic sample quantizer. */
-  /** The deterministic sample quantizer both `ivfTopK` (default) and
-    * `trainQuantizer` (init) use — ONE definition so the trained
-    * quantizer cannot silently initialize differently from the
-    * oracle-checked sample one. */
+  /** The deterministic sample quantizer `ivfTopK` uses by default.
+    * `trainQuantizer` seeds with the same lowest-id rule but over its
+    * null-AND-dimension-filtered assignment base (it knows `dim`; this
+    * one does not), so on clean corpora the two initializations are
+    * identical — the q55 oracle's `WHERE vec_id < nlist` seed — while a
+    * wrong-dimension vector can never become a dead trained centroid. */
   def sampleCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int): Array[Array[Double]] = corpus
@@ -199,7 +201,16 @@ object Similarity {
       nlist: Int,
       dim: Int,
       iterations: Int = 5): Array[Array[Double]] = {
-    var cents = sampleCentroids(corpus, idCol, vecCol, nlist)
+    // seed from the SAME null-and-dimension-filtered base Lloyd's assigns
+    // over (not bare sampleCentroids): a wrong-dimension vector among the
+    // nlist lowest ids would seed a centroid whose cosine is always null —
+    // it never attracts members and is never repaired (a dead centroid)
+    var cents = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .orderBy(col("id")).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
     // persist the cast vectors: Lloyd's re-reads the corpus every
     // iteration, and caching also MATERIALIZES the array<double> cast so
     // column pruning cannot re-inline it into the per-centroid transform

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.mutable
+
 import graft.kernel.{Hashing, TextQuality}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -191,6 +193,136 @@ object TextOps {
     filter(split(folded, sep), x => x =!= "")
   }
 
+  /** BPE merge training with DRIVER-SIDE iterations — trace-identical to
+    * [[bpeMerges]] (same pair counts, same tie-breaks, same greedy merge
+    * scan), built for REALISTIC merge counts: `bpeMerges` runs one Spark
+    * job cycle per merge, so a 32k-merge tokenizer would mean 32k driver
+    * round trips over the cluster. This variant touches the corpus ONCE
+    * (the same map-side-combining token count), then collects the
+    * VOCABULARY — bounded by distinct tokens, a few million rows at any
+    * corpus size, never corpus-sized — and runs all `steps` Lloyd-free
+    * merge iterations in memory. The trade (SCALE.md §BPE): per-step
+    * driver CPU over vocabulary-sized arrays vs per-step cluster jobs;
+    * at 32k merges the driver loop wins by orders of magnitude, and an
+    * incremental pair-count refresh (only pairs touching the merged
+    * symbol change between steps) keeps each step sub-linear in vocab.
+    *
+    * Parity details: symbol split replicates Spark's `split(token, "")`
+    * (code-point steps); the argmax tie-break compares strings in UTF-8
+    * binary order (Spark's StringType ordering), which Java's UTF-16
+    * `compareTo` does NOT match for supplementary characters. */
+  def bpeMergesLocal(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sep = "\u0001"
+    val vocab: Array[(Long, Array[String])] = df
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "" && !col("token").contains(sep))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(1), splitCodePoints(r.getString(0))))
+
+    // pair counts maintained INCREMENTALLY: a full recount per step is
+    // O(total symbols); after a merge only tokens containing (l, r)
+    // change, so their old pair contributions are subtracted and the
+    // merged form's re-added — each step touches only affected tokens
+    val counts = mutable.HashMap[(String, String), Long]()
+    def addPairs(cnt: Long, ss: Array[String], signum: Long): Unit = {
+      var i = 0
+      while (i + 1 < ss.length) {
+        val k = (ss(i), ss(i + 1))
+        val v = counts.getOrElse(k, 0L) + signum * cnt
+        if (v == 0L) counts.remove(k) else counts.update(k, v)
+        i += 1
+      }
+    }
+    val toks = vocab.map { case (cnt, ss) => (cnt, ss) }
+    toks.foreach { case (cnt, ss) => addPairs(cnt, ss, 1L) }
+    val syms = mutable.ArrayBuffer(toks: _*)
+
+    val merges = mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax with Spark's (freq DESC, l ASC, r ASC) ties in UTF-8 order
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 && {
+              val c = utf8Compare(kv._1._1, best._1._1)
+              c < 0 || (c == 0 && utf8Compare(kv._1._2, best._1._2) < 0)
+            })) best = kv
+        }
+        val ((l, r), f) = best
+        merges += ((step, l, r, f))
+        var t = 0
+        while (t < syms.length) {
+          val (cnt, ss) = syms(t)
+          // only tokens actually containing the (l, r) pair change
+          var hit = false
+          var i = 0
+          while (!hit && i + 1 < ss.length) {
+            if (ss(i) == l && ss(i + 1) == r) hit = true
+            i += 1
+          }
+          if (hit) {
+            addPairs(cnt, ss, -1L)
+            val merged = applyMergeLocal(ss, l, r)
+            addPairs(cnt, merged, 1L)
+            syms(t) = (cnt, merged)
+          }
+          t += 1
+        }
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Spark's `split(s, "")`: code-point steps (a surrogate pair stays one
+    * symbol), one string per code point. */
+  private[ops] def splitCodePoints(s: String): Array[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** UTF-8 binary string order — Spark StringType's sort order (Java's
+    * UTF-16 `compareTo` disagrees for supplementary vs U+E000–U+FFFF). */
+  private[ops] def utf8Compare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** [[applyMerge]]'s greedy left-to-right scan, driver-side: the fused
+    * symbol participates in the NEXT comparison ([a,a,a,a] under (a,a) →
+    * [aa,aa]). */
+  private[ops] def applyMergeLocal(
+      ss: Array[String], l: String, r: String): Array[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    ss.foreach { x =>
+      if (out.nonEmpty && out.last == l && x == r)
+        out(out.length - 1) = out.last + x
+      else out += x
+    }
+    out.toArray
+  }
+
   /** Apply-side of BPE: the number of symbols `text` tokenizes into under
     * the given ordered merge list. Entirely row-local (one pass per
     * token: char-split → the merge `replace` chain → count); merges never
@@ -223,8 +355,14 @@ object TextOps {
     * arithmetic), stopword hits. Entirely row-local — one codegen'd
     * projection, no shuffle. Line-level signals (bullet/ellipsis lines)
     * need a multi-line corpus and live with `dropDuplicatedLines`. */
-  def gopherQualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text = col(textCol)
+  def gopherQualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +: gopherSignalCols(col(textCol)): _*)
+
+  /** The five Gopher signal columns over `text` (named word_count,
+    * mean_word_len, alpha_word_ppm, symbol_ppm, stop_hits) — exposed so
+    * the CurateJob funnel can fold them into its single row-local
+    * projection pass instead of a second scan. */
+  def gopherSignalCols(text: Column): Seq[Column] = {
     val words = filter(split(text, " "), t => t =!= "")
     val wc = size(words).cast("long")
     val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
@@ -235,7 +373,7 @@ object TextOps {
       length(replace(text, lit("#"), lit("")))).cast("long")
     val stops = Seq("the", "and", "of", "is")
       .map(wordOccurrences(text, _)).reduce(_ + _)
-    df.select(col(idCol),
+    Seq(
       wc.as("word_count"),
       when(wc === 0, 0.0)
         .otherwise(sumLen.cast("double") / wc).as("mean_word_len"),
@@ -251,13 +389,21 @@ object TextOps {
     * DISTINCT documents (boilerplate headers/footers/nav), reassemble the
     * survivors per document in original order.
     *
-    * Shuffle story at 100 TB: line explode is row-local; the ban list is
-    * one line-keyed aggregate with map-side combine (duplicate lines
-    * collapse per partition before the wire — boilerplate by definition
-    * collapses massively); membership is a line-keyed equi-join (the ban
-    * list is usually broadcastable: it holds only lines crossing the
-    * threshold); reassembly is one doc-keyed aggregate. Nothing
-    * quadratic, no driver state. */
+    * Shuffle story at 100 TB: line explode is row-local, and every
+    * corpus-scale shuffle is KEYED ON `xxhash64(line)` — a long — never
+    * on the raw line string (the exploded-lines side approaches corpus
+    * text volume, so string keys would double the wide shuffles' byte
+    * cost; the `incrementalDedupVerdicts` pattern). Exactness is kept in
+    * two phases: (1) a hash-keyed countDistinct picks candidate hashes
+    * crossing the threshold (map-side combine; duplicate lines collapse
+    * per partition — boilerplate by definition collapses massively); (2)
+    * only the tiny candidate subset re-aggregates on the actual string,
+    * so a 64-bit collision can neither ban an innocent line nor inflate a
+    * count. Membership is then a hash-keyed equi-join with a
+    * string-equality residual in the join condition (the ban list is
+    * usually broadcastable: it holds only lines crossing the threshold);
+    * reassembly is one doc-keyed aggregate. Nothing quadratic, no driver
+    * state. */
   def dropDuplicatedLines(
       df: DataFrame, idCol: String, textCol: String, minDocs: Int): DataFrame = {
     // null text (failed extractions) must not DROP the document from the
@@ -265,11 +411,27 @@ object TextOps {
     val lines = df.select(col(idCol),
       posexplode(split(coalesce(col(textCol), lit("")), "\n"))
         .as(Seq("idx", "line")))
-    val banned = lines.groupBy(col("line"))
+      .withColumn("line_h", xxhash64(col("line")))
+    val hotHashes = lines.groupBy(col("line_h"))
+      .agg(countDistinct(col(idCol)).as("hdocs"))
+      .filter(col("hdocs") >= minDocs)
+      .select(col("line_h"))
+    // exact re-count on the string over the candidate subset only, then
+    // ONE ban row per hash (the banned strings as a set) — so the
+    // membership join's key is the bare long and a hash collision can
+    // neither duplicate a joined row nor ban an innocent line (the
+    // residual check is array_contains AFTER the join, kept out of the
+    // join condition on purpose: an attr-equality residual would be
+    // extracted into the shuffle key, putting the string back on the wire)
+    val banned = lines.join(hotHashes, Seq("line_h"))
+      .groupBy(col("line_h"), col("line"))
       .agg(countDistinct(col(idCol)).as("docs"))
       .filter(col("docs") >= minDocs)
-      .select(col("line"), lit(true).as("banned"))
-    lines.join(banned, Seq("line"), "left")
+      .groupBy(col("line_h"))
+      .agg(collect_set(col("line")).as("banned_lines"))
+    lines.join(banned, Seq("line_h"), "left")
+      .withColumn("banned",
+        when(array_contains(col("banned_lines"), col("line")), lit(true)))
       .groupBy(col(idCol))
       .agg(
         array_join(transform(

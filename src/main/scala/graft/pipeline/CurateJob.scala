@@ -16,7 +16,23 @@ final case class CurateConfig(
     numHashes: Int = 32,
     numBands: Int = 8,
     scrubPii: Boolean = true,
-    buckets: Int = 64)
+    buckets: Int = 64,
+    // C4-style line-level dedup stage (Raffel 2020 §2.2): when > 0, lines
+    // occurring in ≥ this many distinct docs are stripped BEFORE the
+    // quality signals, and keepers are written with the cleaned text.
+    // Assumes unique doc ids (like the near-dup verdict); 0 = off.
+    lineDedupMinDocs: Int = 0,
+    // Gopher document-level thresholds (Rae 2021 §A1.1 subset matching
+    // gopherSignalCols): docs outside any band get verdict gopher_filter.
+    // Off by default — q54's funnel shape is unchanged unless opted in.
+    gopherFilter: Boolean = false,
+    gopherMinWords: Long = 50L,
+    gopherMaxWords: Long = 100000L,
+    gopherMinMeanWordLen: Double = 3.0,
+    gopherMaxMeanWordLen: Double = 10.0,
+    gopherMinAlphaPpm: Long = 800000L,
+    gopherMaxSymbolPpm: Long = 100000L,
+    gopherMinStopHits: Long = 2L)
 
 /** Per-reason document counts of a curation run, aggregated from the
   * committed verdict table (exactly-once, like ExtractJob's lineage). */
@@ -27,9 +43,10 @@ final case class CurateStats(input: Long, kept: Long, drops: Map[String, Long])
   * training corpus:
   *
   *   exact dedup → near dedup (MinHash-LSH + connected components, losers
-  *   dropped) → length filter → language filter → quality filter →
-  *   repetition filter (Gopher-style) → PII scrub → bucketed parquet write
-  *   with a per-document VERDICT table.
+  *   dropped) → [line-level dedup, C4-style, opt-in] → length filter →
+  *   language filter → quality filter → [Gopher threshold filter, opt-in]
+  *   → repetition filter (Gopher-style) → PII scrub → bucketed parquet
+  *   write with a per-document VERDICT table.
   *
   * Composition rules at 100 TB (each inherited from the operator it
   * reuses, plan shapes locked in PlanSpec/OpsSpec):
@@ -90,6 +107,21 @@ object CurateJob {
         lit("null_id").as("verdict"))
     val base = withKey.filter(col("doc_id").isNotNull)
 
+    // optional C4-style line dedup: the ban list is computed over the FULL
+    // corpus (boilerplate must be counted before any doc is dropped); the
+    // cleaned text feeds the quality signals and rides the verdict table
+    // so `run` can write keepers clean. Identity (content_hash) and the
+    // dedup stages stay on the ORIGINAL text — the hash must match what
+    // `run` derives from the input when joining keepers back.
+    val lineDedup = cfg.lineDedupMinDocs > 0
+    val sigSrc =
+      if (lineDedup)
+        base.join(TextOps.dropDuplicatedLines(
+            base, "doc_id", "text", cfg.lineDedupMinDocs)
+          .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+      else base
+    val sigText = if (lineDedup) "clean_text" else "text"
+
     // dedup losers (exact keeps the min id per group; near keeps each
     // connected component's min-id representative)
     // agg + join-back (the q21 shape): map-side combine on the content
@@ -108,25 +140,47 @@ object CurateJob {
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id")).withColumn("x_near", lit(true))
 
-    // row-local quality signals in one pass
-    val sig = TextOps.repetitionSignals(base, "text",
+    // row-local quality signals in one pass (over the line-deduped text
+    // when that stage is on — a doc that is boilerplate-only must fail
+    // too_short AFTER its boilerplate is stripped, the C4 order)
+    val sig0 = TextOps.repetitionSignals(sigSrc, sigText,
       repetitiveTopPpm = cfg.repetitiveTopPpm)
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("quality", TextOps.qualityProxy(col("text")))
+      .withColumn("n_chars", length(col(sigText)).cast("long"))
+      .withColumn("quality", TextOps.qualityProxy(col(sigText)))
       .withColumn("k", md5(col("text")))
+    val sig =
+      if (cfg.gopherFilter) {
+        val g = struct(TextOps.gopherSignalCols(col(sigText)): _*)
+        sig0.withColumn("g", g)
+      } else sig0
 
+    val gopherFails: org.apache.spark.sql.Column =
+      if (!cfg.gopherFilter) lit(false)
+      else col("g.word_count") < cfg.gopherMinWords ||
+        col("g.word_count") > cfg.gopherMaxWords ||
+        col("g.mean_word_len") < cfg.gopherMinMeanWordLen ||
+        col("g.mean_word_len") > cfg.gopherMaxMeanWordLen ||
+        col("g.alpha_word_ppm") < cfg.gopherMinAlphaPpm ||
+        col("g.symbol_ppm") > cfg.gopherMaxSymbolPpm ||
+        col("g.stop_hits") < cfg.gopherMinStopHits
+
+    val verdictCol =
+      when(col("x_exact"), "exact_dup")
+        .when(col("x_near"), "near_dup")
+        .when(col("n_chars") < cfg.minChars, "too_short")
+        .when(!col("lang").isin(cfg.langs.map(lit): _*), "lang_filter")
+        .when(col("quality") < cfg.minQuality, "low_quality")
+        .when(gopherFails, "gopher_filter")
+        .when(col("repetitive"), "repetitive")
+        .otherwise("kept").as("verdict")
+    val outCols =
+      Seq(col("doc_id"), col("k").as("content_hash"), verdictCol) ++
+        (if (lineDedup) Seq(col("clean_text")) else Nil)
     sig
       .join(exactLosers, Seq("doc_id", "k"), "left_outer")
       .join(nearLosers, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("k").as("content_hash"),
-        when(col("x_exact"), "exact_dup")
-          .when(col("x_near"), "near_dup")
-          .when(col("n_chars") < cfg.minChars, "too_short")
-          .when(!col("lang").isin(cfg.langs.map(lit): _*), "lang_filter")
-          .when(col("quality") < cfg.minQuality, "low_quality")
-          .when(col("repetitive"), "repetitive")
-          .otherwise("kept").as("verdict"))
-      .unionByName(invalid)
+      .select(outCols: _*)
+      .unionByName(invalid, allowMissingColumns = true)
   }
 
   /** Run the funnel and write `outDir/curated` (bucketed by id hash,
@@ -144,13 +198,23 @@ object CurateJob {
     // derived doc_id key — curating an extraction output must not strip
     // its identity columns. The join matches (doc_id, content_hash), so a
     // dropped doc sharing its id with a keeper cannot leak in.
-    val keepers = docs
+    val keyedDocs = docs
       .withColumn("doc_id", docKey(docs, idCol))
       .withColumn("content_hash", md5(coalesce(col(textCol), lit(""))))
-      .join(committed.filter(col("verdict") === "kept")
-        .select("doc_id", "content_hash"),
-        Seq("doc_id", "content_hash"), "left_semi")
-      .drop("content_hash")
+    val kept = committed.filter(col("verdict") === "kept")
+    val keepers =
+      if (cfg.lineDedupMinDocs > 0)
+        // line-deduped runs write the CLEANED text (carried on the
+        // verdict table so the ban list is computed exactly once)
+        keyedDocs
+          .join(kept.select("doc_id", "content_hash", "clean_text").distinct(),
+            Seq("doc_id", "content_hash"))
+          .withColumn(textCol, col("clean_text"))
+          .drop("content_hash", "clean_text")
+      else keyedDocs
+        .join(kept.select("doc_id", "content_hash"),
+          Seq("doc_id", "content_hash"), "left_semi")
+        .drop("content_hash")
     val scrubbed =
       if (cfg.scrubPii)
         keepers.withColumn(textCol,

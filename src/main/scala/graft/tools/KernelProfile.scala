@@ -49,19 +49,27 @@ object KernelProfile {
     time("pdf18p_cid_identityH",
       docs.map(d => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
         cidFont = true)))
+    time("pdf18p_cid_ucs2cmap",
+      docs.map(d => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
+        cidFont = true, cidEncoding = "UniJIS-UCS2-H")))
 
     // CID docs must flow the TEXT path, not degrade to needs-OCR: the
     // Identity-H text layer decodes byte-identically to the classic layout
-    val cidShare = rows.collect { case (7, b) if b != null &&
-      PdfParse.isRealPdf(b) &&
-      new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-        .contains("/Identity-H") => b }
-    val cidTextOk = cidShare.count { b =>
-      val r = ex.extract(b)
-      r.docKind == "pdf" && r.status != "true" && r.extractedText.length > 500
+    def cidCorpusCheck(tag: String, marker: String): Unit = {
+      val share = rows.collect { case (7, b) if b != null &&
+        PdfParse.isRealPdf(b) &&
+        new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+          .contains(marker) => b }
+      val textOk = share.count { b =>
+        val r = ex.extract(b)
+        r.docKind == "pdf" && r.status != "true" && r.extractedText.length > 500
+      }
+      println(s"[kprof] ${tag}_corpus_docs=${share.length} text_path_ok=$textOk")
     }
-    println(s"[kprof] cid_identityH_corpus_docs=${cidShare.length} " +
-      s"text_path_ok=$cidTextOk")
+    cidCorpusCheck("cid_identityH", "/Identity-H")
+    // predefined UCS2-family CMap docs must ALSO flow the text path
+    // (exact UCS-2 decode), not degrade to needs-OCR
+    cidCorpusCheck("cid_ucs2_cmap", "/UniJIS-UCS2-H")
 
     // decryption overhead isolated: same 18-page docs, owner-locked
     time("pdf18p_rc4_128",

@@ -340,20 +340,39 @@ class PdfParseSpec extends AnyFunSuite {
       "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
   }
 
-  test("CID/Type0 font with a predefined (non-Identity) CMap and no " +
-    "ToUnicode degrades to an empty text layer (needs-OCR path), never " +
-    "1-byte mojibake") {
+  test("CID/Type0 with a predefined UCS2-family CMap and no ToUnicode " +
+    "decodes EXACTLY (codes are UCS-2 by the CMap's definition); other " +
+    "predefined CMaps still degrade to empty, never 1-byte mojibake") {
+    // UCS2 family: verbatim decode, including CJK text — the legacy
+    // producer layout the reference reads free via PyMuPDF
+    val ucs2 = cidFixture(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /Legacy " +
+        "/Encoding /UniGB-UCS2-H >>",
+      "00480065006C006C006F")
+    assert(PdfParse.parse(ucs2).pages(0).textLayer == "Hello")
+    val cjk = cidFixture(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /Legacy " +
+        "/Encoding /UniJIS-UCS2-V >>",
+      "65E5672C8A9E")
+    assert(PdfParse.parse(cjk).pages(0).textLayer == "日本語")
+    // non-UCS2 predefined CMap (byte-oriented GBK-EUC): still undecodable
+    // without CMap data — empty text layer, page flows the OCR path
     val pdf = cidFixture(
       "<< /Type /Font /Subtype /Type0 /BaseFont /NoMap " +
-        "/Encoding /UniGB-UCS2-H >>",
-      "00480065006C006C006F") // would read "Hello" under Identity
+        "/Encoding /GBK-EUC-H >>",
+      "00480065006C006C006F")
     val doc = PdfParse.parse(pdf)
     assert(doc.pages(0).textLayer == "",
       s"undecodable CID text must yield nothing, got '${doc.pages(0).textLayer}'")
-    // end-to-end: the page flows down the OCR path, the conservative
-    // direction, instead of classifying garbage as native text
     val d = new Extractor(ProbeConfig()).extract(pdf)
     assert(d.status == "true" && d.pages == Vector(1))
+    // the writePdf UCS2 layout round-trips end-to-end down the TEXT path
+    val written = PdfParse.writePdf(
+      Seq(Seq("The quick brown fox jumps over the lazy dog " * 5)),
+      cidFont = true, cidEncoding = "UniJIS-UCS2-H")
+    val wd = new Extractor(ProbeConfig()).extract(written)
+    assert(wd.status != "true" && wd.extractedText.contains("quick brown fox"),
+      s"UCS2-CMap writePdf must extract, got status=${wd.status}")
   }
 
   test("Identity-H WITHOUT ToUnicode: Unicode-CID hex strings decode (the " +
@@ -380,6 +399,35 @@ class PdfParseSpec extends AnyFunSuite {
     assert(mostly.pages(0).textLayer == "Hefg")
   }
 
+  test("decodeIdentityCid structural guard: long space-free Latin runs " +
+    "without vowel mass (shifted-alphabet mojibake from gid~36-150 " +
+    "subsets) are rejected; real words, spaced runs and CJK pass") {
+    def hex(s: String) = s.map(c => f"${c.toInt}%04X").mkString
+    // the decoder's input is the raw byte string: one 2-byte code per
+    // output char (high byte first)
+    def raw(s: String): String = s.flatMap(c =>
+      Seq(((c.toInt >> 8) & 0xFF).toChar, (c.toInt & 0xFF).toChar)).mkString
+    // a larger subset font's glyph indices land on consonant codes —
+    // every code individually plausible, no vowel structure → rejected
+    assert(PdfParse.decodeIdentityCid(raw("bcdfghjklm")) == "")
+    // same codes WITH a space (real text shows structure) → accepted
+    assert(PdfParse.decodeIdentityCid(raw("bcdf hjklm")) == "bcdf hjklm")
+    // a real long word keeps its vowel mass → accepted
+    assert(PdfParse.decodeIdentityCid(raw("mountainside")) == "mountainside")
+    // vowel-poor but short (< 8 letters) → accepted (too little signal)
+    assert(PdfParse.decodeIdentityCid(raw("rhythm")) == "rhythm")
+    // CJK runs are exempt from the Latin structure test
+    val cjkStr = "日本語日本語日本語日本語"
+    assert(PdfParse.decodeIdentityCid(raw(cjkStr)) == cjkStr)
+    // end-to-end through the parser: the mojibake string degrades the
+    // page to needs-OCR instead of inflating text_length
+    val idH = "<< /Type /Font /Subtype /Type0 /BaseFont /Sub " +
+      "/Encoding /Identity-H /DescendantFonts [9 0 R] >>"
+    val moji = PdfParse.parse(cidFixture(idH, hex("Wkjqvbfzvmdl")))
+    assert(moji.pages(0).textLayer == "",
+      s"mojibake must degrade, got '${moji.pages(0).textLayer}'")
+  }
+
   test("simple-font /Encoding: /Differences glyph names remap codes " +
     "(AGL subset + uniXXXX), unmapped codes keep byte identity") {
     // code 65 ('A') → adieresis, 66 ('B') → Euro via uni20AC, 67 stays 'C'
@@ -395,6 +443,30 @@ class PdfParseSpec extends AnyFunSuite {
       s"5 0 obj\n$font\nendobj\n" +
       "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
     assert(PdfParse.parse(pdf).pages(0).textLayer == "ä€C")
+
+    // glyph-name robustness: names must match as FULL tokens — /b-caron
+    // is unknown AGL (no partial 'b' match → code 65 keeps identity);
+    // uniXXXXYYYY decodes BOTH units; '.'-suffixed variants map like
+    // their base name (AGL rule)
+    assert(PdfParse.glyphToUnicode("b-caron").isEmpty)
+    assert(PdfParse.glyphToUnicode("uni20AC0041").contains("€A"))
+    assert(PdfParse.glyphToUnicode("uni20A").isEmpty) // malformed length
+    assert(PdfParse.glyphToUnicode("uniD800").isEmpty) // surrogate
+    assert(PdfParse.glyphToUnicode("a.sc").contains("a"))
+    assert(PdfParse.glyphToUnicode("one.oldstyle").contains("1"))
+    val hyphen = "<< /Type /Font /Subtype /Type1 /BaseFont /F " +
+      "/Encoding << /Differences [ 65 /b-caron /uni20AC0041 ] >> >>"
+    val pdf2 = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      s"5 0 obj\n$hyphen\nendobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    // code 65 ('A') → /b-caron unknown → byte identity 'A'; the NAME must
+    // still consume its Differences slot, so code 66 ('B') → "€A"
+    assert(PdfParse.parse(pdf2).pages(0).textLayer == "A€AC")
   }
 
   test("simple-font /Encoding: WinAnsiEncoding decodes the 0x80-0x9F " +
@@ -501,8 +573,10 @@ class PdfParseSpec extends AnyFunSuite {
 
   test("form XObject with its OWN undecodable CID font degrades to empty " +
     "alt text (form-local /Resources fonts are honored)") {
+    // GBK-EUC-H: a predefined CMap that is NOT UCS2-family — undecodable
+    // without CMap data (UCS2 names now decode exactly, tested above)
     val pdf = formCidFixture("<< /Type /Font /Subtype /Type0 " +
-      "/BaseFont /NoMap /Encoding /UniGB-UCS2-H >>")
+      "/BaseFont /NoMap /Encoding /GBK-EUC-H >>")
     val doc = PdfParse.parse(pdf, needAlt = true)
     assert(doc.pages(0).textLayer == "")
     assert(doc.pages(0).altTextLayer == Some(""),

@@ -409,6 +409,27 @@ class OpsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("BPE driver-side training (bpeMergesLocal) is trace-identical to " +
+    "the per-step Spark loop: same merges, ties, counts, exhaustion") {
+    // a corpus exercising ties, merged-symbol reuse and repeated chars
+    val df = Seq("low low low", "lower lowest", "aaaa aa banana",
+      "the theme theater", "zz zz zz z").toDF("text")
+    def trace(got: org.apache.spark.sql.DataFrame) =
+      got.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val steps = 8
+    val spark1 = trace(TextOps.bpeMerges(df, "text", steps))
+    val local = trace(TextOps.bpeMergesLocal(df, "text", steps))
+    assert(local == spark1, s"\nspark: $spark1\nlocal: $local")
+    // exhaustion parity on a pairless corpus
+    assert(trace(TextOps.bpeMergesLocal(Seq("a b a").toDF("text"), "text", 2))
+      == trace(TextOps.bpeMerges(Seq("a b a").toDF("text"), "text", 2)))
+    // U+0001-carrying tokens are excluded identically
+    val dirty = Seq("low low", "ba\u0001d ba\u0001d ba\u0001d").toDF("text")
+    assert(trace(TextOps.bpeMergesLocal(dirty, "text", 3))
+      == trace(TextOps.bpeMerges(dirty, "text", 3)))
+  }
+
   test("BPE apply: symbol counts under an ordered merge list, merges " +
     "confined to token boundaries") {
     val merges = Seq(("l", "o"), ("lo", "w"))

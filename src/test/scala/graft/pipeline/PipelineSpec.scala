@@ -352,4 +352,53 @@ class PipelineSpec extends AnyFunSuite {
       "https://r.example/y"))
     assert(curated.length == 2)
   }
+
+  test("CurateJob opt-in stages: line-level dedup strips corpus " +
+    "boilerplate from keepers (and a boilerplate-only doc dies too_short " +
+    "AFTER stripping); Gopher thresholds add the gopher_filter verdict") {
+    import spark.implicits._
+    def prose(seed: Int): String =
+      (0 until 60).map(i =>
+        s"g${seed * 877 + 2 * i} the g${seed * 877 + 2 * i + 1}").mkString(" ")
+    val footer = "copyright footer all rights reserved"
+    val docs = Seq(
+      (1L, prose(1) + "\n" + footer, "en"),
+      (2L, prose(2) + "\n" + footer, "en"),
+      (3L, prose(3) + "\n" + footer, "en"),
+      (4L, footer, "en"),                       // boilerplate-ONLY doc
+      (5L, prose(5) + "\nunique closing line", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Files.createTempDirectory("graft_curate_line_").toString
+    val stats = CurateJob.run(spark, docs, "doc_id", "text", "lang", out,
+      CurateConfig(scrubPii = false, lineDedupMinDocs = 3))
+    val v = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(Seq(1L, 2L, 3L, 5L).forall(v(_) == "kept"), v.toString)
+    // the boilerplate-only doc's text is empty AFTER line dedup → too_short
+    assert(v(4L) == "too_short", v.toString)
+    val curated = spark.read.parquet(s"$out/curated")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // keepers carry the CLEANED text: footer stripped, own prose intact
+    assert(!curated(1L).contains(footer) && curated(1L).contains("g877"),
+      curated(1L).takeRight(80))
+    assert(curated(5L).contains("unique closing line"))
+    assert(stats.kept == 4L && stats.drops == Map("too_short" -> 1L))
+
+    // Gopher thresholds: an all-numbers doc fails alpha_word_ppm, a
+    // stopword-free doc fails stop_hits — both get gopher_filter; the
+    // stopword-dense prose passes
+    val gdocs = Seq(
+      (1L, prose(11), "en"),
+      (2L, (0 until 80).map(i => (1000 + i).toString).mkString(" "), "en"),
+      (3L, (0 until 80).map(i => s"zq${i}xv word${i}").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    val gout = Files.createTempDirectory("graft_curate_gopher_").toString
+    CurateJob.run(spark, gdocs, "doc_id", "text", "lang", gout,
+      CurateConfig(scrubPii = false, minQuality = 0.0, gopherFilter = true))
+    val gv = spark.read.parquet(s"$gout/verdicts")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(gv(1L) == "kept", gv.toString)
+    assert(gv(2L) == "gopher_filter", gv.toString)
+    assert(gv(3L) == "gopher_filter", gv.toString)
+  }
 }

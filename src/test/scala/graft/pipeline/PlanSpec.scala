@@ -181,16 +181,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("line-level dedup: every Exchange keyed on line or the doc id, " +
-    "the ban-list count aggregates with a partial phase, no product") {
+  test("line-level dedup: corpus-scale Exchanges keyed on xxhash64(line) " +
+    "or the doc id (never the raw string alone), membership join keyed on " +
+    "the hash, ban-list count aggregates with a partial phase, no product") {
     import spark.implicits._
     val df = Seq((1L, "a\nb"), (2L, "a\nc"), (3L, "a")).toDF("id", "text")
     val p = plan(graft.ops.TextOps.dropDuplicatedLines(df, "id", "text", 2))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(800))
+    // every shuffle key includes the long hash (line_h) or the doc id —
+    // a raw-string-only key would put corpus text volume on the wire
     val keys = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
     assert(keys.nonEmpty && keys.forall(l =>
-      l.contains("line") || l.contains("id")), keys.mkString("\n"))
+      l.contains("line_h") || l.contains("id")), keys.mkString("\n"))
+    // the membership (left outer) join keys on the hash alone; the
+    // string-equality residual is an array_contains AFTER the join
+    val joins = p.linesIterator.filter(_.contains("LeftOuter")).toSeq
+    assert(joins.nonEmpty && joins.forall(_.contains("line_h")),
+      joins.mkString("\n"))
     assert(p.contains("partial_count") || p.contains("partial"),
       p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
   }

@@ -202,4 +202,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(docV("https://b/8") == ((false, None)))
     assert(docV("https://a/1") == ((false, None)))
   }
+
+  test("streaming near-dup under the RocksDB state store provider: " +
+    "cross-batch state survives a checkpointed restart with state held " +
+    "off-heap (the crawl-scale configuration, SCALE.md)") {
+    val inputDir = tmp(); val outDir = tmp(); val checkpoint = tmp()
+    def page(url: String, text: String) =
+      (url, new java.sql.Timestamp(1735689600000L),
+        ("<html><body><article><p>" + text + "</p></article></body></html>")
+          .getBytes("UTF-8"), "", "en")
+    def prose(seed: Int): String =
+      (0 until 80).map(i =>
+        s"w${seed * 3001 + i} the w${seed * 3001 + i} of").mkString(" ")
+
+    // the provider is pinned at query start from the session conf; the
+    // default HDFS-backed provider holds every (band, bucket) entry in
+    // executor HEAP — RocksDB moves it off-heap/on-disk, which is the
+    // survivable configuration when distinct-content state grows at
+    // crawl scale
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val pages = spark.readStream
+          .schema(StreamingExtract.pageSchema).parquet(inputDir)
+        val docs = StreamingExtract.transform(spark, pages, JobConfig(buckets = 4))
+        val q = StreamingExtract.nearDupVerdicts(docs)
+          .writeStream.format("parquet")
+          .option("path", s"$outDir/neardup")
+          .option("checkpointLocation", checkpoint)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      Seq(page("https://a/1", prose(1)))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      runOnce()
+      // restart against the same checkpoint: the near-identical copy must
+      // find /1's representative in RocksDB state from the PREVIOUS run
+      Seq(page("https://b/2", prose(1).replace("w3001 the", "w3001x the")),
+        page("https://c/3", prose(9)))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+      runOnce()
+      val byUrl = spark.read.parquet(s"$outDir/neardup").collect()
+        .map(r => (r.getAs[String]("url"), Option(r.getAs[String]("dup_of"))))
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toMap
+      assert(byUrl("https://b/2") == Set("https://a/1"), byUrl.toString)
+      assert(byUrl("https://c/3").isEmpty, byUrl.toString)
+      assert(byUrl("https://a/1").isEmpty, byUrl.toString)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

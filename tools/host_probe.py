@@ -3,9 +3,12 @@
 
 The sandbox's deliverable CPU drifts +/-40% over minutes (BENCH.md), so
 benchmark samples are only comparable when bracketed by this probe.
-Reference points measured on this VM (32 workers, 10 s):
-  healthy window  ~13-14.5M ops/s aggregate
-  degraded phase  ~8-10M ops/s
+Reference points measured on this VM (32 workers; the working band, from
+BENCH.md section 0d's bracketed samples — round-5 correction: an earlier
+13-14.5M figure here was a stale pre-calibration note that never matched
+the recorded section-0d samples):
+  healthy window  ~55-76M ops/s aggregate
+  degraded phase  below ~40M ops/s
 
 Usage: python3 tools/host_probe.py [workers] [seconds]
 """
