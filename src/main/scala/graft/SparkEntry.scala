@@ -826,6 +826,13 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
         "source", k = 5,
         orderBy = Seq(col("n_chars").desc, col("doc_id").asc), saltFactor = 4)
+    }),
+
+    // Driver-side BPE training (the realistic-merge-count form, SCALE.md
+    // §BPE): must be trace-IDENTICAL to the per-step Spark loop, so it is
+    // gated against q56's unrolled-SQL oracle verbatim
+    "q61_bpe_merges_local" -> ((s, dir) => {
+      TextOps.bpeMergesLocal(spread(t(s, dir, "documents")), "text", steps = 3)
     })
   )
 
@@ -2223,6 +2230,10 @@ object SparkEntry {
         |  (text IS NULL) AS null_text
         |FROM documents
         |WHERE length(text) <> n_chars OR text IS NULL""".stripMargin
+
+    // q61: driver-side BPE training is trace-identical to the Spark loop
+    // BY CONTRACT — it shares q56's unrolled oracle verbatim
+    m += "q61_bpe_merges_local" -> m("q56_bpe_merges")
 
     m.toMap
   }

@@ -416,6 +416,85 @@ object MediaCodec {
 
   // --------------------------------------------------------------- parsing
 
+  /** Intrinsic pixel dimensions from an embedded image payload's OWN
+    * header: JPEG SOFn (ITU T.81 §B.2.2 — any non-differential/differential
+    * frame marker C0–CF except C4/C8/CC), PNG IHDR (RFC 2083 §4.1.1), or a
+    * PDF-embedded JBIG2 stream's page-information segment (ITU T.88
+    * §7.4.8 — PDF JBIG2Decode payloads carry raw segment headers, no file
+    * header). Used to cross-check an image XObject's /Width /Height dict
+    * entries against the payload it actually carries — a malformed scanned
+    * PDF is caught BEFORE its bytes are reused down the OCR path.
+    * CCITTFax payloads are raw G4 bitstreams with no self-describing
+    * dimensions, so they cannot be cross-checked. None = unrecognized or
+    * truncated (never throws). */
+  def embeddedImageDims(b: Array[Byte]): Option[(Int, Int, String)] = {
+    if (b == null || b.length < 12) return None
+    if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      // JPEG: walk marker segments to the first frame header
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xFF) == 0xFF) {
+        val marker = b(i + 1) & 0xFF
+        if (marker == 0xFF) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) i += 2
+        else if (marker == 0xD9) return None // EOI before any SOF
+        else {
+          if (i + 3 >= b.length) return None
+          val len = rdBe16(b, i + 2)
+          if (len < 2) return None
+          if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+            if (i + 8 >= b.length) return None
+            return Some((rdBe16(b, i + 7), rdBe16(b, i + 5), "jpeg"))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G') {
+      if (b.length < 24) None
+      else Some((rdBe32(b, 16), rdBe32(b, 20), "png"))
+    } else jbig2PageDims(b)
+  }
+
+  /** Walk raw JBIG2 segment headers (number(4) flags(1) referred-segment
+    * spec, page association, data length(4)) to the page-information
+    * segment (type 48) and read its region width/height. Bounded walk;
+    * any structural inconsistency → None. */
+  private def jbig2PageDims(b: Array[Byte]): Option[(Int, Int, String)] = {
+    var i = 0
+    var guard = 0
+    while (i + 11 < b.length && guard < 64) {
+      guard += 1
+      val segNum = rdBe32(b, i)
+      val flags = b(i + 4) & 0xFF
+      val segType = flags & 0x3F
+      // the very first segment of a plausible JBIG2 stream has a small
+      // number and a known type — reject arbitrary binaries early
+      if (guard == 1 && (segNum < 0 || segNum > 0xFFFF || segType > 53))
+        return None
+      val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+      var j = i + 5
+      val rts = b(j) & 0xFF
+      if ((rts >>> 5) == 7) {
+        val longCount = rdBe32(b, j) & 0x1FFFFFFF
+        if (longCount < 0 || longCount > 0xFFFF) return None
+        j += 4 + (longCount + 8) / 8 + longCount * refSize
+      } else j += 1 + (rts >>> 5) * refSize
+      j += (if ((flags & 0x40) != 0) 4 else 1) // page association size
+      if (j + 4 > b.length) return None
+      val dataLen = rdBe32(b, j)
+      j += 4
+      if (segType == 48) {
+        if (j + 8 > b.length) return None
+        return Some((rdBe32(b, j), rdBe32(b, j + 4), "jbig2"))
+      }
+      if (dataLen < 0 || j + dataLen < j) return None
+      i = j + dataLen
+    }
+    None
+  }
+
   private def rdBe32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
       ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)

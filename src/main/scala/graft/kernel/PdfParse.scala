@@ -1539,14 +1539,26 @@ object PdfParse {
           val hm = PatHeight.matcher(body)
           if (wm.find() && hm.find()) {
             val w = wm.group(1).toInt; val h = hm.group(1).toInt
-            val data =
-              if (filterNames(body) == Vector("DCTDecode"))
+            val filters = filterNames(body)
+            val payload =
+              if (filters == Vector("DCTDecode") ||
+                filters == Vector("JBIG2Decode"))
                 rawPayload(obj, bytes, crypt).getOrElse(Array.empty[Byte])
+              else Array.empty[Byte]
+            // cross-check the payload's OWN header dims against the dict:
+            // a disagreement is the malformed-scanned-PDF signature — the
+            // bytes are untrusted (never reused by S6; the page renders
+            // via S5 instead) and the page carries an error detail
+            val mismatch = payload.nonEmpty &&
+              MediaCodec.embeddedImageDims(payload)
+                .exists { case (hw, hh, _) => hw != w || hh != h }
+            val data =
+              if (filters == Vector("DCTDecode") && !mismatch) payload
               else Array.empty[Byte]
             // placement unknown without full graphics-state tracking: use a
             // nominal rect at intrinsic size
             out += PdfImage(w, h, Vector(PdfRect(0, 0, w.toDouble, h.toDouble)),
-              data)
+              data, headerMismatch = mismatch)
           }
         } else if (PatSubForm.matcher(body).find()) {
           resolveResources(body, objs)

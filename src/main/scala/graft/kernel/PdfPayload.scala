@@ -22,12 +22,18 @@ final case class PdfRect(x0: Double, y0: Double, x1: Double, y1: Double) {
 }
 
 /** One embedded image: intrinsic pixel dims, placement rects on the page,
-  * and optional stored bytes (the reuse target of _detector.py:117-182). */
+  * and optional stored bytes (the reuse target of _detector.py:117-182).
+  * `headerMismatch` marks a payload whose OWN header (JPEG SOF / JBIG2
+  * page info) disagrees with the XObject dict's /Width /Height — the
+  * malformed-scanned-PDF signature; such bytes are never reused (data is
+  * emptied) and the page carries an error detail. Not serialized
+  * (GFTPDF1 payloads are feature-level; only real-PDF parses set it). */
 final case class PdfImage(
     pixelWidth: Int,
     pixelHeight: Int,
     rects: Vector[PdfRect],
-    data: Array[Byte])
+    data: Array[Byte],
+    headerMismatch: Boolean = false)
 
 final case class PdfPage(
     width: Double,

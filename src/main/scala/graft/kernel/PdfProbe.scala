@@ -190,18 +190,32 @@ final class PdfProbe(cfg: ProbeConfig) {
           page.altTextLayer.exists(_.length > cfg.maxTextChars))
         return budgetExceededResult(pageNum)
 
-      if (cfg.performanceMode) {
-        val fast = analyzePageFast(pageNum, page)
-        if (fast.confidence >= 0.8) {
-          if (includeImage)
-            fast.copy(pageImage = Some(getPageImageSmart(pageNum, page, fast.pageType)))
-          else fast
+      val pa =
+        if (cfg.performanceMode) {
+          val fast = analyzePageFast(pageNum, page)
+          if (fast.confidence >= 0.8) {
+            if (includeImage)
+              fast.copy(pageImage = Some(getPageImageSmart(pageNum, page, fast.pageType)))
+            else fast
+          } else analyzePageCore(pageNum, page, includeImage)
         } else analyzePageCore(pageNum, page, includeImage)
-      } else analyzePageCore(pageNum, page, includeImage)
+      withImageMismatchDetail(page, pa)
     } catch {
       case e: Exception => errorResult(pageNum, s"Analysis failed: ${e.getMessage}")
     }
   }
+
+  /** Attach the malformed-scanned-PDF error DETAIL (XObject dict dims vs
+    * the payload's own header, flagged at parse time) without touching
+    * classification — geometry decisions use dict dims like the reference
+    * (_detector.py:732-803), but the row now NAMES the inconsistency
+    * before anything downstream trusts the payload. */
+  private def withImageMismatchDetail(
+      page: PdfPage, pa: PageAnalysis): PageAnalysis =
+    if (pa.error.isEmpty && page.images.exists(_.headerMismatch))
+      pa.copy(error = Some("embedded image header mismatch: " +
+        "payload dimensions disagree with /Width /Height"))
+    else pa
 
   /** All pages in document order; order is restored by construction (the
     * reference re-sorts after unordered thread harvest, _detector.py:622 —

@@ -292,4 +292,35 @@ class MediaCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("embeddedImageDims: JPEG SOF, PNG IHDR and JBIG2 page-info headers " +
+    "parse; CCITT-like raw bitstreams and junk yield None") {
+    assert(MediaCodec.embeddedImageDims(MediaCodec.renderJpeg(320, 200))
+      .contains((320, 200, "jpeg")))
+    assert(MediaCodec.embeddedImageDims(MediaCodec.encodeJpeg(1700, 2200))
+      .contains((1700, 2200, "jpeg")))
+    assert(MediaCodec.embeddedImageDims(MediaCodec.encodePng(64, 48))
+      .contains((64, 48, "png")))
+    // handcrafted PDF-embedded JBIG2 stream: one page-information segment
+    // (type 48), 1-byte page association, 19-byte data = w, h, xres,
+    // yres, flags, striping
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val jb = be32(1) ++ Array(0x30.toByte, 0x00.toByte, 0x01.toByte) ++
+      be32(19) ++ be32(640) ++ be32(480) ++ be32(0) ++ be32(0) ++
+      Array(0x00.toByte) ++ Array(0x00.toByte, 0x00.toByte)
+    assert(MediaCodec.embeddedImageDims(jb).contains((640, 480, "jbig2")))
+    // a preceding non-page segment is walked over (symbol dictionary,
+    // type 0, empty data)
+    val sym = be32(0) ++ Array(0x00.toByte, 0x00.toByte, 0x01.toByte) ++ be32(0)
+    assert(MediaCodec.embeddedImageDims(sym ++ jb).contains((640, 480, "jbig2")))
+    // junk / truncated payloads never throw
+    assert(MediaCodec.embeddedImageDims("raw ccitt g4 bitstream bytes".getBytes)
+      .isEmpty)
+    assert(MediaCodec.embeddedImageDims(Array[Byte](0xFF.toByte, 0xD8.toByte))
+      .isEmpty)
+    assert(MediaCodec.embeddedImageDims(null).isEmpty)
+    assert(MediaCodec.embeddedImageDims(
+      MediaCodec.encodeJpeg(100, 100).take(6)).isEmpty)
+  }
 }

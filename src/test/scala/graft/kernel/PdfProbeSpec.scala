@@ -213,4 +213,47 @@ class PdfProbeSpec extends AnyFunSuite {
     val r2 = probe.analyzePage(0, page.copy(textLayer = longProse), includeImage = false)
     assert(r2.analysisMode == "fast" && !r2.hasTextQuality && r2.confidence == 0.8)
   }
+
+  test("embedded-image header cross-check: a DCT payload whose JPEG SOF " +
+    "disagrees with /Width /Height is flagged, its bytes are never " +
+    "reused, and the page row carries the error detail") {
+    import java.nio.charset.StandardCharsets
+    val content = "BT ET"
+    def imgPdf(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def wr(str: String): Unit =
+        bos.write(str.getBytes(StandardCharsets.ISO_8859_1))
+      wr("%PDF-1.4\n")
+      wr("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      wr("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+      wr("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /XObject << /Im0 5 0 R >> >> " +
+        ">>\nendobj\n")
+      wr(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+        content + "\nendstream\nendobj\n")
+      wr(s"5 0 obj\n<< /Type /XObject /Subtype /Image /Width $w " +
+        s"/Height $h /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+        s"/Filter /DCTDecode /Length ${payload.length} >>\nstream\n")
+      bos.write(payload)
+      wr("\nendstream\nendobj\n%%EOF\n")
+      bos.toByteArray
+    }
+    // consistent: payload header agrees with the dict → bytes reusable
+    val ok = PdfParse.parse(imgPdf(1700, 2200, MediaCodec.encodeJpeg(1700, 2200)))
+    assert(!ok.pages(0).images(0).headerMismatch)
+    assert(ok.pages(0).images(0).data.nonEmpty)
+    // malformed: dict claims 1700x2200, payload says 300x200
+    val bad = PdfParse.parse(imgPdf(1700, 2200, MediaCodec.encodeJpeg(300, 200)))
+    assert(bad.pages(0).images(0).headerMismatch)
+    assert(bad.pages(0).images(0).data.isEmpty,
+      "mismatched payload bytes must never be reused")
+    val probe = new PdfProbe(ProbeConfig())
+    val okPa = probe.analyzePage(0, ok.pages(0), includeImage = false)
+    val badPa = probe.analyzePage(0, bad.pages(0), includeImage = false)
+    assert(badPa.error.exists(_.contains("header mismatch")), badPa.error)
+    // classification itself is unchanged (geometry decisions use dict
+    // dims, like the reference): only the detail differs
+    assert(badPa.copy(error = None) == okPa.copy(error = None))
+    assert(okPa.error.isEmpty)
+  }
 }
