@@ -833,6 +833,40 @@ object SparkEntry {
     // gated against q56's unrolled-SQL oracle verbatim
     "q61_bpe_merges_local" -> ((s, dir) => {
       TextOps.bpeMergesLocal(spread(t(s, dir, "documents")), "text", steps = 3)
+    }),
+
+    // The EXTENDED curation funnel — round 5's opt-in stages under
+    // oracle: C4 line-level dedup (ban list over the whole corpus;
+    // too_short/quality/repetition/Gopher signals computed on the CLEANED
+    // text) and Gopher thresholds (gopher_filter verdict), composed with
+    // the full q54 machinery. Boilerplate is planted like q59 (header by
+    // doc_id%7, footer on even ids) so the ban list holds real cross-doc
+    // lines; dedup stages run on the lined (input) text, exactly as
+    // CurateJob documents.
+    "q62_curation_extended" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
+        concat(
+          lit("header-"), (col("doc_id") % 7).cast("string"), lit("\n"),
+          coalesce(col("text"), lit("")), lit("\n"),
+          when(col("doc_id") % 2 === 0, lit("footer-common"))
+            .otherwise(concat(lit("tail-"), col("doc_id").cast("string"))))
+          .as("text"),
+        col("lang"))
+      // 64 hashes / 32 bands (band size 2): the oracle verifies near-dups
+      // with ALL-PAIRS Jaccard, so LSH recall must be ~certain for every
+      // pair at or above the 0.5 threshold. The planted per-doc tail lines
+      // merge into boundary tokens and drag one tiny-doc pair to j=0.58,
+      // where the default 8x4 banding detects with only p~0.63 — 32x2
+      // detects j>=0.5 with p >= 1-1e-4 (miss = (1-j^2)^32).
+      graft.pipeline.CurateJob.verdicts(docs, "doc_id", "text", "lang",
+        graft.pipeline.CurateConfig(
+          numHashes = 64,
+          numBands = 32,
+          lineDedupMinDocs = 3,
+          gopherFilter = true,
+          gopherMinWords = 40L,
+          gopherMinAlphaPpm = 500000L,
+          gopherMinStopHits = 1L))
     })
   )
 
@@ -2234,6 +2268,186 @@ object SparkEntry {
     // q61: driver-side BPE training is trace-identical to the Spark loop
     // BY CONTRACT — it shares q56's unrolled oracle verbatim
     m += "q61_bpe_merges_local" -> m("q56_bpe_merges")
+
+    // q62: the q54 funnel machinery over PLANTED-boilerplate lined text,
+    // extended with the q59 cleaning CTEs (signals move to the cleaned
+    // text) and the q58 Gopher arithmetic under the configured
+    // thresholds (wc ≥ 40, mean word len in [3,10], alpha ≥ 500000 ppm
+    // via integer floor-division, symbol ≤ 100000 ppm, stop hits ≥ 1).
+    // Dedup stages stay on the lined INPUT text, per CurateJob's
+    // contract (identity/content-hash must match what `run` re-derives).
+    m += "q62_curation_extended" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id,
+        |    'header-' || (doc_id % 7) || chr(10) ||
+        |    coalesce(text, '') || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'footer-common'
+        |         ELSE 'tail-' || doc_id END AS text,
+        |    lang
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ln) + 1),
+        |      i -> {'idx': i - 1, 'line': ln[i]})) AS p
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM d0)),
+        |l2 AS (SELECT doc_id, p.idx AS idx, p.line AS line FROM l),
+        |ban AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS c FROM l2 GROUP BY line)
+        |  WHERE c >= 3),
+        |fl AS (
+        |  SELECT l2.doc_id, l2.idx, l2.line,
+        |    (ban.line IS NOT NULL) AS banned
+        |  FROM l2 LEFT JOIN ban ON ban.line = l2.line),
+        |clean AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(
+        |      list(line ORDER BY idx) FILTER (WHERE NOT banned), chr(10)),
+        |      '') AS ctext
+        |  FROM fl GROUP BY doc_id),
+        |ek AS (SELECT doc_id, md5(text) AS k FROM d0),
+        |ekeep AS (SELECT k, min(doc_id) AS keep FROM ek GROUP BY 1),
+        |exact_losers AS (
+        |  SELECT e.doc_id FROM ek e JOIN ekeep kk USING (k)
+        |  WHERE e.doc_id <> kk.keep),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_sort(list_distinct(list_transform(
+        |                range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' ')))) END AS sh
+        |  FROM tok),
+        |nz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0 WHERE len(sh) > 0),
+        |pref AS (
+        |  SELECT doc_id, sz,
+        |    unnest(sh[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS tok
+        |  FROM nz),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |   AND a.sz * 0.5 <= b.sz AND b.sz * 0.5 <= a.sz),
+        |ver AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(x.sh, y.sh)) * 1.0 /
+        |    len(list_distinct(list_concat(x.sh, y.sh))) AS j
+        |  FROM cand
+        |  JOIN nz x ON x.doc_id = id_a
+        |  JOIN nz y ON y.doc_id = id_b),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, c) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
+        |comp AS (SELECT v AS doc_id, min(c) AS component FROM reach
+        |  GROUP BY v),
+        |near_losers AS (
+        |  SELECT doc_id FROM comp WHERE doc_id <> component),
+        |padded AS (
+        |  SELECT doc_id, ctext AS text,
+        |    ' ' || replace(ctext, ' ', '  ') || ' ' AS pad
+        |  FROM clean),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    CAST((length(pad) - length(replace(pad, ' the ', ''))) / 5
+        |       + (length(pad) - length(replace(pad, ' and ', ''))) / 5
+        |       + (length(pad) - length(replace(pad, ' of ', ''))) / 4
+        |       + (length(pad) - length(replace(pad, ' is ', ''))) / 4
+        |       + (length(pad) - length(replace(pad, ' a ', ''))) / 3
+        |       + (length(pad) - length(replace(pad, ' to ', ''))) / 4
+        |      AS BIGINT) AS stop_hits,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS words,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS digits
+        |  FROM padded),
+        |q AS (
+        |  SELECT doc_id,
+        |    least(
+        |      least(CASE WHEN words = 0 THEN 0.0
+        |                 ELSE stop_hits * 1.0 / words END, 0.5) +
+        |      (CASE WHEN length(text) >= 200 AND length(text) <= 5000
+        |            THEN 0.3 ELSE 0.0 END) +
+        |      (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+        |                       ELSE digits * 1.0 / length(text) END) < 0.3
+        |            THEN 0.2 ELSE 0.0 END),
+        |      1.0) AS quality
+        |  FROM f),
+        |ctok AS (
+        |  SELECT doc_id, string_split(ctext, ' ') AS toks FROM clean),
+        |bg AS (
+        |  SELECT doc_id,
+        |    greatest(len(toks) - 1, 0)::BIGINT AS n_bigrams,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+        |  FROM ctok),
+        |bu AS (SELECT doc_id, unnest(bigrams) AS g FROM bg),
+        |bc AS (SELECT doc_id, g, count(*) AS cnt FROM bu GROUP BY 1, 2),
+        |bagg AS (SELECT doc_id, max(cnt) AS top_count FROM bc GROUP BY 1),
+        |rep AS (
+        |  SELECT bg.doc_id,
+        |    CASE WHEN bg.n_bigrams = 0 THEN FALSE
+        |         ELSE coalesce(bagg.top_count, 0) * 1000000
+        |                // bg.n_bigrams > 60000 END AS repetitive
+        |  FROM bg LEFT JOIN bagg ON bg.doc_id = bagg.doc_id),
+        |gw AS (
+        |  SELECT doc_id, ctext AS text,
+        |    ' ' || replace(ctext, ' ', '  ') || ' ' AS pad,
+        |    list_filter(string_split(ctext, ' '), t -> t <> '') AS words
+        |  FROM clean),
+        |gf AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS wc,
+        |    CAST(coalesce(list_sum(list_transform(words, t -> length(t))), 0)
+        |      AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(words,
+        |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS ellipses,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      AS BIGINT) AS hashes,
+        |    CAST((length(pad) - length(replace(pad, ' the ', ''))) / 5
+        |       + (length(pad) - length(replace(pad, ' and ', ''))) / 5
+        |       + (length(pad) - length(replace(pad, ' of ', ''))) / 4
+        |       + (length(pad) - length(replace(pad, ' is ', ''))) / 4
+        |      AS BIGINT) AS stops
+        |  FROM gw),
+        |g AS (
+        |  SELECT doc_id,
+        |    (wc < 40 OR wc > 100000
+        |     OR (CASE WHEN wc = 0 THEN 0.0
+        |              ELSE CAST(sum_len AS DOUBLE) / wc END) < 3.0
+        |     OR (CASE WHEN wc = 0 THEN 0.0
+        |              ELSE CAST(sum_len AS DOUBLE) / wc END) > 10.0
+        |     OR (CASE WHEN wc = 0 THEN 0
+        |              ELSE (alpha * 1000000) // wc END) < 500000
+        |     OR (CASE WHEN wc = 0 THEN 0
+        |              ELSE ((ellipses + hashes) * 1000000) // wc END)
+        |        > 100000
+        |     OR stops < 1) AS gfail
+        |  FROM gf)
+        |SELECT d.doc_id,
+        |  CASE WHEN el.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nl.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN length(c.ctext) < 120 THEN 'too_short'
+        |       WHEN d.lang NOT IN ('en', 'de', 'fr') THEN 'lang_filter'
+        |       WHEN q.quality < 0.3 THEN 'low_quality'
+        |       WHEN g.gfail THEN 'gopher_filter'
+        |       WHEN rep.repetitive THEN 'repetitive'
+        |       ELSE 'kept' END AS verdict
+        |FROM d0 d
+        |LEFT JOIN clean c ON d.doc_id = c.doc_id
+        |LEFT JOIN exact_losers el ON d.doc_id = el.doc_id
+        |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
+        |LEFT JOIN q ON d.doc_id = q.doc_id
+        |LEFT JOIN g ON d.doc_id = g.doc_id
+        |LEFT JOIN rep ON d.doc_id = rep.doc_id""".stripMargin
 
     m.toMap
   }
