@@ -867,6 +867,19 @@ object SparkEntry {
           gopherMinWords = 40L,
           gopherMinAlphaPpm = 500000L,
           gopherMinStopHits = 1L))
+    }),
+
+    // Trained linear quality classifier (the CCNet-style seed-labeled
+    // stage): integer token-polarity weights trained with lang='en' as
+    // the positive seed label, then an occurrence-weighted sign-test
+    // score over the same corpus. Training and scoring are pure integer
+    // arithmetic (non-negative DIV only), so the full train+score trace
+    // is oracle-checkable.
+    "q63_quality_classifier" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"), (col("lang") === "en").as("y"))
+      val w = TextOps.trainQualityWeights(docs, "text", "y", minCount = 2L)
+      TextOps.qualityClassifierScores(docs, "doc_id", "text", w)
     })
   )
 
@@ -2448,6 +2461,44 @@ object SparkEntry {
         |LEFT JOIN q ON d.doc_id = q.doc_id
         |LEFT JOIN g ON d.doc_id = g.doc_id
         |LEFT JOIN rep ON d.doc_id = rep.doc_id""".stripMargin
+
+    // q63: the classifier's full train+score trace re-derived
+    // relationally. Prior-centered ppm weights use // (floor division)
+    // on non-negative operands, matching Spark's truncating DIV exactly;
+    // the doc verdict is a division-free sign test. Sums are cast to
+    // BIGINT (DuckDB widens to HUGEINT). Docs with no non-empty token
+    // produce no score row in either engine (GROUP BY over the exploded
+    // tokens).
+    m += "q63_quality_classifier" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, coalesce(text, '') AS text, (lang = 'en') AS y
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, y,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS token
+        |  FROM d0),
+        |cnt AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM tk GROUP BY token),
+        |prior AS (
+        |  SELECT CAST(sum(pos) * 1000000
+        |      // greatest(sum(pos) + sum(neg), 1) AS BIGINT) AS prior_ppm
+        |  FROM cnt),
+        |w AS (
+        |  SELECT token,
+        |    CAST((pos * 1000000 + prior_ppm) // (pos + neg + 1) - prior_ppm
+        |      AS BIGINT) AS weight_ppm
+        |  FROM cnt, prior WHERE pos + neg >= 2)
+        |SELECT tk.doc_id,
+        |  CAST(count(*) AS BIGINT) AS scored_tokens,
+        |  CAST(sum(coalesce(w.weight_ppm, 0)) AS BIGINT) AS score_sum,
+        |  CAST(sum(coalesce(w.weight_ppm, 0)) AS BIGINT) > 0
+        |    AS predicted_positive
+        |FROM tk LEFT JOIN w USING (token)
+        |GROUP BY tk.doc_id""".stripMargin
 
     m.toMap
   }

@@ -540,6 +540,80 @@ object TextOps {
         "english", "numeric", "special_chars")
   }
 
+  /** Train an integer token-polarity table for quality classification —
+    * the CCNet/LLaMA-style "linear classifier over a labeled seed corpus"
+    * curation stage (Wenzek et al. 2020 train fastText on Wikipedia vs
+    * random crawl; this is the same shape with hashed-feature training
+    * replaced by exact per-token polarity, which keeps every value
+    * oracle-checkable).
+    *
+    * For each token: weight_ppm = (pos·10⁶ + prior_ppm) div (pos+neg+1)
+    * − prior_ppm, where pos/neg are its occurrence counts in positive/
+    * negative labeled docs and prior_ppm = Σpos·10⁶ div (Σpos+Σneg) is
+    * the corpus-level positive-occurrence rate. The smoothing term is one
+    * pseudo-occurrence AT THE PRIOR RATE, so a token whose rate equals
+    * the prior weighs exactly 0 regardless of class balance — centering
+    * on 500000 instead would hand every class-neutral token the prior's
+    * bias and let it swamp the discriminative signal (observed: a 44%-
+    * positive corpus scored every document negative). All divisions have
+    * non-negative operands, so Spark's truncating DIV equals DuckDB's
+    * flooring // — bit-identical cross-engine. Tokens with fewer than
+    * `minCount` total occurrences are pruned (noise + bounds the weight
+    * table).
+    *
+    * Shuffle story at 100 TB: explode is row-local; ONE token-keyed
+    * corpus aggregate with map-side combine (distinct (token,
+    * partial-counts) per partition cross the wire); the prior is a scalar
+    * re-aggregate of the vocabulary-sized count table (not a second
+    * corpus pass) joined back as a broadcast single row (the q07 shape);
+    * the output is vocabulary-sized — heavy-hitter pruned, independent of
+    * corpus row count — so the scorer can broadcast it like a trained
+    * quantizer. */
+  def trainQualityWeights(df: DataFrame, textCol: String, labelCol: String,
+      minCount: Long = 2L): DataFrame = {
+    val counts = df
+      .select(col(labelCol).cast("boolean").as("y"),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+    val prior = counts.agg(
+      expr("sum(pos) * 1000000 DIV greatest(sum(pos) + sum(neg), 1)")
+        .cast("long").as("prior_ppm"))
+    counts
+      .filter(col("pos") + col("neg") >= minCount)
+      .crossJoin(broadcast(prior))
+      .select(col("token"),
+        (expr("(pos * 1000000 + prior_ppm) DIV (pos + neg + 1)")
+          - col("prior_ppm")).as("weight_ppm"))
+  }
+
+  /** Score documents with a trained polarity table: per doc, the sum of
+    * its tokens' weights (occurrence-weighted; unseen/pruned tokens score
+    * 0) plus the sign-test verdict `predicted_positive` = score_sum > 0.
+    * The sign test is division-free, so there is no negative-division
+    * rounding to disagree across engines.
+    *
+    * Shuffle story: the weight table is BROADCAST (vocabulary-sized by
+    * construction — see [[trainQualityWeights]]); the exploded corpus
+    * never shuffles on the token key. The only exchange is the doc-keyed
+    * final sum, which map-side combines to one partial row per (doc,
+    * partition). */
+  def qualityClassifierScores(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(weights.select(col("token"), col("weight_ppm"))),
+        Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("scored_tokens"),
+        sum(coalesce(col("weight_ppm"), lit(0L))).as("score_sum"))
+      .withColumn("predicted_positive", col("score_sum") > 0L)
+
   /** Order-sensitive rolling-hash document fingerprint via the kernel. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

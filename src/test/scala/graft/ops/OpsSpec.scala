@@ -523,6 +523,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("quality classifier: hand-computed prior-centered ppm weights, " +
+      "pruning, occurrence-weighted sign-test scores, neutral tokens " +
+      "weigh 0 on an unbalanced corpus") {
+    val df = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "good good spam", false),
+      (3L, "clean prose", true),
+      (4L, "spam spam junk", false)).toDF("id", "text", "y")
+    val weights = TextOps.trainQualityWeights(df, "text", "y", minCount = 2L)
+    val w = weights.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // prior = 6e6 DIV 12 = 500000 (6 of 12 occurrences positive)
+    // good:  pos=1 neg=2 -> (1e6+5e5) DIV 4 - 5e5 = -125000
+    // clean/prose: pos=2 neg=0 -> (2e6+5e5) DIV 3 - 5e5 = 333333
+    // spam:  pos=0 neg=3 -> 5e5 DIV 4 - 5e5 = -375000
+    // text/junk: 1 occurrence -> pruned by minCount=2
+    assert(w == Map(
+      "good" -> -125000L, "clean" -> 333333L, "prose" -> 333333L,
+      "spam" -> -375000L))
+    val got = TextOps.qualityClassifierScores(df, "id", "text", weights)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // unseen (pruned) tokens count toward scored_tokens but weigh 0;
+    // duplicated tokens weigh once PER OCCURRENCE
+    assert(got == Map(
+      1L -> ((4L, 541666L, true)),   // -125000 + 333333 + 333333 + 0
+      2L -> ((3L, -625000L, false)), // 2 x -125000 + -375000
+      3L -> ((2L, 666666L, true)),
+      4L -> ((3L, -750000L, false)))) // 2 x -375000 + 0
+
+    // unbalanced corpus (1 positive of 4): a token at exactly the prior
+    // rate must weigh 0, not inherit the class prior as bias
+    val unb = Seq(
+      (1L, "a b", true), (2L, "a b", false),
+      (3L, "a b", false), (4L, "a b", false)).toDF("id", "text", "y")
+    val wu = TextOps.trainQualityWeights(unb, "text", "y", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(wu == Map("a" -> 0L, "b" -> 0L))
+  }
+
   test("repetition signals: top-bigram run, ties lexicographic, " +
       "singletons, edge cases") {
     val df = Seq(

@@ -240,6 +240,18 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.isEmpty, s"membership test must not sort-merge: $joins")
   }
 
+  test("quality classifier: the trained weight table is broadcast — the " +
+    "exploded corpus never shuffles on the token key at scoring time") {
+    val p = plan(graft.SparkEntry.queries("q63_quality_classifier")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    val joins = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(joins.isEmpty, s"weight lookup must not sort-merge: $joins")
+    // training's token-keyed count and scoring's doc-keyed sum both
+    // map-side combine (partial_sum before their Exchanges)
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(1200))
+  }
+
   test("incremental dedup: exact + near checks are keyed equi-joins " +
     "(hash/band-bucket), never a product of the two snapshots") {
     val p = plan(graft.SparkEntry.queries("q53_incremental_dedup")(
