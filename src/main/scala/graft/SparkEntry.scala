@@ -880,6 +880,23 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), (col("lang") === "en").as("y"))
       val w = TextOps.trainQualityWeights(docs, "text", "y", minCount = 2L)
       TextOps.qualityClassifierScores(docs, "doc_id", "text", w)
+    }),
+
+    // ExactSubstr-style duplicated-span removal: a constant 17-token
+    // passage is planted into doc_id % 11 docs (cross-doc duplicated
+    // 8-gram runs by construction), and the corpus's natural whole-doc
+    // duplicates cover themselves entirely — both get cut wherever the
+    // covered run reaches 12 tokens. Untouched docs must come back
+    // byte-identical.
+    "q64_dup_span_removal" -> ((s, dir) => {
+      val passage = "exact substring duplication test passage alpha beta " +
+        "gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      val aug = spread(t(s, dir, "documents")).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" " + passage)))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      Dedup.removeDuplicatedSpans(aug, "doc_id", "text",
+        k = 8, minTokens = 12, minCount = 2L)
     })
   )
 
@@ -2499,6 +2516,71 @@ object SparkEntry {
         |    AS predicted_positive
         |FROM tk LEFT JOIN w USING (token)
         |GROUP BY tk.doc_id""".stripMargin
+
+    // q64: the span-removal edit re-derived relationally on gram STRINGS
+    // (Spark compares 64-bit fingerprints; value-identity holds absent
+    // collisions — the q51 trade). Positioned grams → occurrence count →
+    // covered indices → gaps-and-islands (row_number) → ≥12-token
+    // removal intervals → token-level rebuild of AFFECTED docs only;
+    // untouched docs pass through as identity.
+    m += "q64_dup_span_removal" ->
+      ("""WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN coalesce(text, '') || ' exact substring duplication""" +
+        """ test passage alpha beta gamma delta epsilon zeta eta theta""" +
+        """ iota kappa lambda mu'
+        |         ELSE coalesce(text, '') END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(toks[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |        FROM w WHERE len(toks) >= 8)),
+        |dup AS (
+        |  SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1)
+        |  WHERE c >= 2),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + u AS i
+        |  FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS u FROM m)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM cov),
+        |rem AS (
+        |  SELECT doc_id, min(i) AS s, max(i) AS e
+        |  FROM isl GROUP BY doc_id, grp HAVING count(*) >= 12),
+        |remtok AS (
+        |  SELECT doc_id, s + u AS i
+        |  FROM (SELECT doc_id, s, unnest(range(0, e - s + 1)) AS u
+        |        FROM rem)),
+        |aff AS (SELECT DISTINCT doc_id FROM rem),
+        |tokr AS (
+        |  SELECT doc_id, u - 1 AS i, toks[CAST(u AS INT)] AS t
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS u
+        |        FROM w)
+        |  WHERE doc_id IN (SELECT doc_id FROM aff)),
+        |kept AS (
+        |  SELECT tokr.doc_id, tokr.i, tokr.t FROM tokr
+        |  WHERE NOT EXISTS (SELECT 1 FROM remtok r
+        |    WHERE r.doc_id = tokr.doc_id AND r.i = tokr.i)),
+        |reb AS (
+        |  SELECT doc_id, array_to_string(list(t ORDER BY i), ' ')
+        |      AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CASE WHEN aff.doc_id IS NULL THEN d0.text
+        |       ELSE coalesce(reb.clean_text, '') END AS clean_text,
+        |  CAST(CASE WHEN aff.doc_id IS NULL THEN 0
+        |       ELSE len(w.toks) - coalesce(reb.n_kept, 0) END AS BIGINT)
+        |    AS n_removed_tokens
+        |FROM w
+        |JOIN d0 USING (doc_id)
+        |LEFT JOIN aff ON w.doc_id = aff.doc_id
+        |LEFT JOIN reb ON w.doc_id = reb.doc_id""").stripMargin
 
     m.toMap
   }

@@ -487,4 +487,94 @@ object Dedup {
       .filter(col("n_hits") >= 1L)
       .withColumn("hit_ppm", expr("n_hits * 1000000 DIV n_grams"))
   }
+
+  /** ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022 §4.1,
+    * approximated Spark-natively): tokens covered by a run of corpus-
+    * duplicated k-grams are cut out of every document when the covered
+    * run is at least `minTokens` tokens long. q51 profiles the statistic;
+    * this operator performs the edit.
+    *
+    * Semantics (deterministic, order-preserving):
+    *   - a k-gram is duplicated when its corpus OCCURRENCE count ≥
+    *     `minCount` (within-doc repeats count — a passage pasted twice
+    *     into one document is a duplicate, per the suffix-array original);
+    *   - the covered-token set of a doc is the union of [pos, pos+k-1]
+    *     over its duplicated-gram start positions; maximal covered
+    *     segments of ≥ `minTokens` tokens are removed — ALL occurrences,
+    *     like [[graft.ops.TextOps.dropDuplicatedLines]] (keeping one
+    *     canonical copy needs a global occurrence order; documented
+    *     trade);
+    *   - tokens are single-space splits; reassembly is exact (empty
+    *     tokens from runs of spaces survive untouched docs bit-for-bit).
+    *
+    * Shuffle story at 100 TB: positioned grams are row-local
+    * (posexplode); the occurrence count and the membership join are keyed
+    * on the 64-bit gram fingerprint (longs, map-side combine — the q59
+    * hash-key pattern); covered-index dedup, the gaps-and-islands window
+    * and interval aggregation key on doc id and are bounded by MARKED
+    * tokens, not the corpus; the token-level rebuild (the only
+    * text-volume reassembly) runs ONLY on affected docs — untouched
+    * documents pass through as identity without ever exploding. Gram
+    * equality is fingerprint equality (collision odds as in
+    * [[shingleFingerprints]]; q51's accepted trade, documented). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minTokens: Int = 16, minCount: Long = 2L): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val toks = split(col("text"), " ")
+
+    // (doc_id, pos, gram-fp), NOT per-doc distinct: occurrence counts
+    val grams = base
+      .select(col("doc_id"), posexplode(wordShingles(toks, k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+      .select(col("gram"))
+
+    // duplicated-gram start positions → covered token indices (distinct:
+    // overlapping grams cover shared tokens once — required by islands)
+    val covered = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("i"))
+      .distinct()
+
+    // gaps-and-islands: consecutive covered indices share (i - row_number)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val removal = covered
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("s"), max(col("i")).as("e"),
+        count(lit(1)).as("seg_len"))
+      .filter(col("seg_len") >= minTokens)
+      .select(col("doc_id"), col("s"), col("e"))
+
+    val affected = removal.select(col("doc_id")).distinct()
+    val removalTok = removal.select(col("doc_id"),
+      explode(sequence(col("s"), col("e"))).as("i"))
+
+    // rebuild ONLY affected docs: token rows anti-joined against the
+    // removal set, doc-keyed reassembly in original order
+    val rebuilt = base.join(affected, Seq("doc_id"))
+      .select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("t"))
+      .join(removalTok, Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("t")))),
+          s => s.getField("t")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val affectedOut = base.join(affected, Seq("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        // a fully-removed doc has no kept token rows: empty clean text
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (size(toks) - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed_tokens"))
+    val untouched = base.join(affected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text").as("clean_text"),
+        lit(0L).as("n_removed_tokens"))
+    affectedOut.unionByName(untouched)
+  }
 }

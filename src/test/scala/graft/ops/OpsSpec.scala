@@ -712,6 +712,32 @@ class OpsSpec extends AnyFunSuite {
     assert(prof(6L) == ((6L, 0L, 0L)))
   }
 
+  test("duplicated-span removal: cross-doc runs cut from every copy, " +
+      "within-doc repeats count and merge islands, runs under minTokens " +
+      "survive, untouched docs are byte-identical") {
+    val df = Seq(
+      (1L, "a b c d e x1 y1"),        // shares "a b c d e" with doc 2
+      (2L, "p q a b c d e z2"),
+      (3L, "m n o p q r"),            // all grams unique
+      (4L, "u v w u v w t"),          // "u v w" repeats WITHIN the doc
+      (5L, "a b c z5 w5 v5"),         // dup run covers only 3 < minTokens
+      (6L, "")).toDF("id", "text")
+    val got = Dedup.removeDuplicatedSpans(df, "id", "text",
+        k = 3, minTokens = 4, minCount = 2L)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      // dup grams "a b c","b c d","c d e" cover doc1 [0,4], doc2 [2,6]
+      1L -> (("x1 y1", 5L)),
+      2L -> (("p q z2", 5L)),
+      3L -> (("m n o p q r", 0L)),
+      // covered [0,2] U [3,5] merge into one 6-token island
+      4L -> (("t", 6L)),
+      // "a b c" is corpus-duplicated but covers only tokens [0,2]
+      5L -> (("a b c z5 w5 v5", 0L)),
+      6L -> (("", 0L))))
+  }
+
   test("benchmark contamination: planted passage found, clean docs absent, " +
     "benchmark side broadcast") {
     val bench = Seq(

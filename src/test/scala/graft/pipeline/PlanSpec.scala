@@ -252,6 +252,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("Partial"), p.take(1200))
   }
 
+  test("duplicated-span removal: every join is a keyed equi-join (gram " +
+    "fingerprint / doc id) — no product, no nested loop; gram counting " +
+    "map-side combines") {
+    val p = plan(graft.SparkEntry.queries("q64_dup_span_removal")(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(1200))
+  }
+
   test("incremental dedup: exact + near checks are keyed equi-joins " +
     "(hash/band-bucket), never a product of the two snapshots") {
     val p = plan(graft.SparkEntry.queries("q53_incremental_dedup")(
