@@ -505,7 +505,10 @@ object Dedup {
     *     canonical copy needs a global occurrence order; documented
     *     trade);
     *   - tokens are single-space splits; reassembly is exact (empty
-    *     tokens from runs of spaces survive untouched docs bit-for-bit).
+    *     tokens from runs of spaces survive untouched docs bit-for-bit);
+    *   - doc ids must be unique (like [[graft.ops.TextOps
+    *     .dropDuplicatedLines]]): two docs sharing an id would interleave
+    *     their token rows in one reassembly group.
     *
     * Shuffle story at 100 TB: positioned grams are row-local
     * (posexplode); the occurrence count and the membership join are keyed
