@@ -88,6 +88,34 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("minhash LSH full recall under q62's 32x2 banding on the PLANTED " +
+    "boilerplate corpus (the q62 oracle premise): the boundary-token " +
+    "noise drags one tiny-doc pair to j~0.58, where 8x4 banding misses") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"),
+        concat(
+          lit("header-"), (col("doc_id") % 7).cast("string"), lit("\n"),
+          coalesce(col("text"), lit("")), lit("\n"),
+          when(col("doc_id") % 2 === 0, lit("footer-common"))
+            .otherwise(concat(lit("tail-"), col("doc_id").cast("string"))))
+          .as("text"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val lsh = pairSet(Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 64, numBands = 32, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      groupCols = Seq.empty, shingleK = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    assert(lsh == exact,
+      s"32x2 LSH recall broke on the q62 corpus: " +
+        s"missing=${exact.diff(lsh).take(3)} extra=${lsh.diff(exact).take(3)}")
+    // the premise is only interesting if the marginal pair exists
+    assert(exact.exists(p => p._3 < 700000L),
+      s"expected a sub-0.7 Jaccard pair in the planted corpus: $exact")
+  }
+
   test("minhash LSH full recall holds at sf0.1 too (10× corpus — the q23 " +
     "oracle premise is not an sf0.01 artifact)") {
     val dir = new java.io.File("/root/testdata/sf0.1/documents.parquet")
