@@ -32,7 +32,21 @@ final case class CurateConfig(
     gopherMaxMeanWordLen: Double = 10.0,
     gopherMinAlphaPpm: Long = 800000L,
     gopherMaxSymbolPpm: Long = 100000L,
-    gopherMinStopHits: Long = 2L)
+    gopherMinStopHits: Long = 2L,
+    // ExactSubstr-style duplicated-span removal (Lee et al. 2022 §4.1,
+    // the q64 operator): when true, maximal runs of corpus-duplicated
+    // spanK-grams covering ≥ spanMinTokens tokens are cut from every
+    // document AFTER line dedup (spans the line ban-list is too coarse
+    // for: partial-line boilerplate, chained templates) and BEFORE the
+    // quality signals. Off by default — q54's funnel shape unchanged.
+    spanRemoval: Boolean = false,
+    spanK: Int = 8,
+    spanMinTokens: Int = 16,
+    spanMinCount: Long = 2L) {
+  /** True when any opt-in cleaning stage rewrites keeper text — such runs
+    * carry `clean_text` on the verdict table and write keepers clean. */
+  def rewritesText: Boolean = lineDedupMinDocs > 0 || spanRemoval
+}
 
 /** Per-reason document counts of a curation run, aggregated from the
   * committed verdict table (exactly-once, like ExtractJob's lineage). */
@@ -43,9 +57,10 @@ final case class CurateStats(input: Long, kept: Long, drops: Map[String, Long])
   * training corpus:
   *
   *   exact dedup → near dedup (MinHash-LSH + connected components, losers
-  *   dropped) → [line-level dedup, C4-style, opt-in] → length filter →
-  *   language filter → quality filter → [Gopher threshold filter, opt-in]
-  *   → repetition filter (Gopher-style) → PII scrub → bucketed parquet
+  *   dropped) → [line-level dedup, C4-style, opt-in] → [duplicated-span
+  *   removal, ExactSubstr-style, opt-in] → length filter → language
+  *   filter → quality filter → [Gopher threshold filter, opt-in] →
+  *   repetition filter (Gopher-style) → PII scrub → bucketed parquet
   *   write with a per-document VERDICT table.
   *
   * Composition rules at 100 TB (each inherited from the operator it
@@ -107,20 +122,32 @@ object CurateJob {
         lit("null_id").as("verdict"))
     val base = withKey.filter(col("doc_id").isNotNull)
 
-    // optional C4-style line dedup: the ban list is computed over the FULL
-    // corpus (boilerplate must be counted before any doc is dropped); the
-    // cleaned text feeds the quality signals and rides the verdict table
-    // so `run` can write keepers clean. Identity (content_hash) and the
-    // dedup stages stay on the ORIGINAL text — the hash must match what
-    // `run` derives from the input when joining keepers back.
+    // optional cleaning stages, C4 order: line-level dedup, then
+    // ExactSubstr span removal over the line-deduped text (each ban /
+    // duplication statistic is computed over the FULL corpus — boilerplate
+    // must be counted before any doc is dropped); the cleaned text feeds
+    // the quality signals and rides the verdict table so `run` can write
+    // keepers clean. Identity (content_hash) and the dedup stages stay on
+    // the ORIGINAL text — the hash must match what `run` derives from the
+    // input when joining keepers back. Both stages assume unique doc ids
+    // (recrawl-dedup first, q49 — same contract as the near-dup verdict).
     val lineDedup = cfg.lineDedupMinDocs > 0
-    val sigSrc =
+    val afterLine =
       if (lineDedup)
         base.join(TextOps.dropDuplicatedLines(
             base, "doc_id", "text", cfg.lineDedupMinDocs)
           .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
       else base
-    val sigText = if (lineDedup) "clean_text" else "text"
+    val sigSrc =
+      if (cfg.spanRemoval)
+        afterLine.drop("clean_text").join(
+          Dedup.removeDuplicatedSpans(afterLine, "doc_id",
+              if (lineDedup) "clean_text" else "text",
+              k = cfg.spanK, minTokens = cfg.spanMinTokens,
+              minCount = cfg.spanMinCount)
+            .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+      else afterLine
+    val sigText = if (cfg.rewritesText) "clean_text" else "text"
 
     // dedup losers (exact keeps the min id per group; near keeps each
     // connected component's min-id representative)
@@ -175,7 +202,7 @@ object CurateJob {
         .otherwise("kept").as("verdict")
     val outCols =
       Seq(col("doc_id"), col("k").as("content_hash"), verdictCol) ++
-        (if (lineDedup) Seq(col("clean_text")) else Nil)
+        (if (cfg.rewritesText) Seq(col("clean_text")) else Nil)
     sig
       .join(exactLosers, Seq("doc_id", "k"), "left_outer")
       .join(nearLosers, Seq("doc_id"), "left_outer")
@@ -203,9 +230,10 @@ object CurateJob {
       .withColumn("content_hash", md5(coalesce(col(textCol), lit(""))))
     val kept = committed.filter(col("verdict") === "kept")
     val keepers =
-      if (cfg.lineDedupMinDocs > 0)
-        // line-deduped runs write the CLEANED text (carried on the
-        // verdict table so the ban list is computed exactly once)
+      if (cfg.rewritesText)
+        // text-rewriting runs (line dedup / span removal) write the
+        // CLEANED text (carried on the verdict table so each corpus
+        // statistic is computed exactly once)
         keyedDocs
           .join(kept.select("doc_id", "content_hash", "clean_text").distinct(),
             Seq("doc_id", "content_hash"))

@@ -66,6 +66,26 @@ object ApiDemo {
       "lang", Map("en" -> 500), defaultPerMille = 1000).count()
     println(s"[api] stratified sample kept $sampled of 5")
 
+    // --- curation funnel with the opt-in cleaning stages -------------------
+    def prose(seed: Int): String = (0 until 40).map(i =>
+      s"w${seed * 733 + 2 * i} the w${seed * 733 + 2 * i + 1}").mkString(" ")
+    val template = (0 until 20).map(i => s"tpl$i").mkString(" ")
+    val crawl = Seq(
+      (10L, prose(1) + " " + template + " " + prose(2), "en"),
+      (11L, prose(3) + " " + template, "en"),
+      (12L, template, "en"), // template-only page
+      (13L, prose(5), "en"))
+      .toDF("doc_id", "text", "lang")
+    val cdir = java.nio.file.Files.createTempDirectory("api_demo_curate_").toString
+    val stats = graft.pipeline.CurateJob.run(spark, crawl, "doc_id", "text",
+      "lang", cdir, graft.pipeline.CurateConfig(
+        scrubPii = false, spanRemoval = true))
+    val clean10 = spark.read.parquet(s"$cdir/curated")
+      .filter($"doc_id" === 10L).collect()(0).getAs[String]("text")
+    println(s"[api] curate: kept=${stats.kept} drops=${stats.drops}; " +
+      s"doc10 spanRemoved=${!clean10.contains("tpl0")} " +
+      s"proseKept=${clean10.contains("w733")}")
+
     val in = java.nio.file.Files.createTempDirectory("api_demo_in_").toString
     val out = java.nio.file.Files.createTempDirectory("api_demo_out_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("api_demo_ckpt_").toString

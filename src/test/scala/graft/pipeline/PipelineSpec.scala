@@ -401,4 +401,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(gv(2L) == "gopher_filter", gv.toString)
     assert(gv(3L) == "gopher_filter", gv.toString)
   }
+
+  test("CurateJob opt-in span removal: a corpus-duplicated MID-LINE token " +
+    "run (invisible to line dedup) is cut from keepers; a span-only doc " +
+    "dies too_short AFTER the edit; untouched docs pass byte-identical") {
+    import spark.implicits._
+    def prose(seed: Int): String =
+      (0 until 60).map(i =>
+        s"g${seed * 911 + 2 * i} the g${seed * 911 + 2 * i + 1}").mkString(" ")
+    // 20 template tokens ≥ spanMinTokens=16, pasted mid-text so no full
+    // line ever repeats — the line ban list cannot see it
+    val span = (0 until 20).map(i => s"tpl$i").mkString(" ")
+    val docs = Seq(
+      (1L, prose(1) + " " + span + " " + prose(21), "en"),
+      (2L, prose(2) + " " + span, "en"),
+      (3L, span, "en"), // the span IS the whole doc
+      (4L, prose(4), "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Files.createTempDirectory("graft_curate_span_").toString
+    val stats = CurateJob.run(spark, docs, "doc_id", "text", "lang", out,
+      CurateConfig(scrubPii = false, spanRemoval = true))
+    val v = spark.read.parquet(s"$out/verdicts")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(Seq(1L, 2L, 4L).forall(v(_) == "kept"), v.toString)
+    assert(v(3L) == "too_short", v.toString)
+    assert(stats.kept == 3L && stats.drops == Map("too_short" -> 1L))
+    val curated = spark.read.parquet(s"$out/curated")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // keepers carry the EDITED text: template cut, own prose intact
+    assert(!curated(1L).contains("tpl0") && curated(1L).contains("g911")
+      && curated(1L).contains(s"g${21 * 911}"), curated(1L).take(120))
+    assert(!curated(2L).contains("tpl0") && curated(2L).contains("g1822"),
+      curated(2L).takeRight(80))
+    // a doc with no duplicated span passes through byte-identical
+    assert(curated(4L) == prose(4))
+  }
 }
