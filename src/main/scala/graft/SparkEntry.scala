@@ -897,6 +897,23 @@ object SparkEntry {
           .otherwise(coalesce(col("text"), lit(""))).as("text"))
       Dedup.removeDuplicatedSpans(aug, "doc_id", "text",
         k = 8, minTokens = 12, minCount = 2L)
+    }),
+
+    // keepFirst span removal (remove-all-but-one, the suffix-array
+    // original's semantics): q64's corpus, but each duplicated gram's
+    // globally first occurrence is exempt — so the planted passage
+    // SURVIVES intact in the lowest-id planted doc and is cut everywhere
+    // else, and the first of each natural whole-doc duplicate group
+    // keeps its text.
+    "q65_dup_span_keep_first" -> ((s, dir) => {
+      val passage = "exact substring duplication test passage alpha beta " +
+        "gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      val aug = spread(t(s, dir, "documents")).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" " + passage)))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      Dedup.removeDuplicatedSpans(aug, "doc_id", "text",
+        k = 8, minTokens = 12, minCount = 2L, keepFirst = true)
     })
   )
 
@@ -2517,13 +2534,16 @@ object SparkEntry {
         |FROM tk LEFT JOIN w USING (token)
         |GROUP BY tk.doc_id""".stripMargin
 
-    // q64: the span-removal edit re-derived relationally on gram STRINGS
-    // (Spark compares 64-bit fingerprints; value-identity holds absent
-    // collisions — the q51 trade). Positioned grams → occurrence count →
-    // covered indices → gaps-and-islands (row_number) → ≥12-token
-    // removal intervals → token-level rebuild of AFFECTED docs only;
-    // untouched docs pass through as identity.
-    m += "q64_dup_span_removal" ->
+    // q64/q65: the span-removal edit re-derived relationally on gram
+    // STRINGS (Spark compares 64-bit fingerprints; value-identity holds
+    // absent collisions — the q51 trade). Positioned grams → occurrence
+    // count → covered indices → gaps-and-islands (row_number) →
+    // ≥12-token removal intervals → token-level rebuild of AFFECTED docs
+    // only; untouched docs pass through as identity. The two queries
+    // differ ONLY in the marked-occurrence CTE: q64 marks every
+    // occurrence of a duplicated gram, q65 (keepFirst) exempts the
+    // globally first (min (doc_id, pos)) occurrence per gram.
+    def spanRemovalSql(mCte: String): String =
       ("""WITH d0 AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0
@@ -2541,7 +2561,7 @@ object SparkEntry {
         |dup AS (
         |  SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1)
         |  WHERE c >= 2),
-        |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |""" + mCte + """
         |cov AS (
         |  SELECT DISTINCT doc_id, pos + u AS i
         |  FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS u FROM m)),
@@ -2581,6 +2601,16 @@ object SparkEntry {
         |JOIN d0 USING (doc_id)
         |LEFT JOIN aff ON w.doc_id = aff.doc_id
         |LEFT JOIN reb ON w.doc_id = reb.doc_id""").stripMargin
+
+    m += "q64_dup_span_removal" -> spanRemovalSql(
+      "m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),")
+    m += "q65_dup_span_keep_first" -> spanRemovalSql(
+      """m AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT g.doc_id, g.pos, row_number() OVER (
+        |        PARTITION BY gram ORDER BY g.doc_id, g.pos) AS rn
+        |    FROM g JOIN dup USING (gram))
+        |  WHERE rn > 1),""".stripMargin)
 
     m.toMap
   }

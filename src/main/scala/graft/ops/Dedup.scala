@@ -500,10 +500,14 @@ object Dedup {
     *     into one document is a duplicate, per the suffix-array original);
     *   - the covered-token set of a doc is the union of [pos, pos+k-1]
     *     over its duplicated-gram start positions; maximal covered
-    *     segments of ≥ `minTokens` tokens are removed — ALL occurrences,
-    *     like [[graft.ops.TextOps.dropDuplicatedLines]] (keeping one
-    *     canonical copy needs a global occurrence order; documented
-    *     trade);
+    *     segments of ≥ `minTokens` tokens are removed — by default ALL
+    *     occurrences, like [[graft.ops.TextOps.dropDuplicatedLines]];
+    *     with `keepFirst` the globally FIRST occurrence of each
+    *     duplicated gram (min (doc_id, pos) — a total order, ids being
+    *     unique) is exempt from coverage, so one canonical copy of a
+    *     duplicated passage survives (in its lowest-id document, intact
+    *     because every gram of the passage is first there) — the
+    *     suffix-array original's remove-all-but-one semantics;
     *   - tokens are single-space splits; reassembly is exact (empty
     *     tokens from runs of spaces survive untouched docs bit-for-bit);
     *   - doc ids must be unique (like [[graft.ops.TextOps
@@ -513,15 +517,19 @@ object Dedup {
     * Shuffle story at 100 TB: positioned grams are row-local
     * (posexplode); the occurrence count and the membership join are keyed
     * on the 64-bit gram fingerprint (longs, map-side combine — the q59
-    * hash-key pattern); covered-index dedup, the gaps-and-islands window
-    * and interval aggregation key on doc id and are bounded by MARKED
-    * tokens, not the corpus; the token-level rebuild (the only
-    * text-volume reassembly) runs ONLY on affected docs — untouched
-    * documents pass through as identity without ever exploding. Gram
-    * equality is fingerprint equality (collision odds as in
-    * [[shingleFingerprints]]; q51's accepted trade, documented). */
+    * hash-key pattern); `keepFirst`'s canonical occurrence is a
+    * map-side-combining `min(struct(doc_id, pos))` in the SAME aggregate
+    * as the count (no window over per-gram occurrence lists — a hot gram
+    * never forces a per-key sort); covered-index dedup, the
+    * gaps-and-islands window and interval aggregation key on doc id and
+    * are bounded by MARKED tokens, not the corpus; the token-level
+    * rebuild (the only text-volume reassembly) runs ONLY on affected
+    * docs — untouched documents pass through as identity without ever
+    * exploding. Gram equality is fingerprint equality (collision odds as
+    * in [[shingleFingerprints]]; q51's accepted trade, documented). */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minTokens: Int = 16, minCount: Long = 2L): DataFrame = {
+      k: Int = 8, minTokens: Int = 16, minCount: Long = 2L,
+      keepFirst: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"))
     val toks = split(col("text"), " ")
@@ -530,13 +538,26 @@ object Dedup {
     val grams = base
       .select(col("doc_id"), posexplode(wordShingles(toks, k)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gram"))
-    val dup = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
-      .select(col("gram"))
-
     // duplicated-gram start positions → covered token indices (distinct:
-    // overlapping grams cover shared tokens once — required by islands)
-    val covered = grams.join(dup, Seq("gram"))
+    // overlapping grams cover shared tokens once — required by islands);
+    // keepFirst exempts each gram's canonical (min (doc_id, pos))
+    // occurrence from coverage — same ONE map-side-combining aggregate,
+    // the min just rides along as a second combiner
+    val marked =
+      if (keepFirst) {
+        val occ = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("n"),
+            min(struct(col("doc_id"), col("pos"))).as("first"))
+          .filter(col("n") >= minCount)
+        grams.join(occ.select(col("gram"), col("first")), Seq("gram"))
+          .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      } else {
+        val dup = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+          .select(col("gram"))
+        grams.join(dup, Seq("gram"))
+      }
+    val covered = marked
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("i"))
       .distinct()

@@ -766,6 +766,37 @@ class OpsSpec extends AnyFunSuite {
       6L -> (("", 0L))))
   }
 
+  test("duplicated-span removal keepFirst: the globally first occurrence " +
+      "survives (cross-doc AND within-doc), later copies are cut, and a " +
+      "no-longer-covered run under minTokens now survives") {
+    val df = Seq(
+      (1L, "a b c d e x1 y1"),          // FIRST copy of "a b c d e" — kept
+      (2L, "p q a b c d e z2"),         // second copy — cut
+      (3L, "m n o p q r"),
+      (4L, "u v w u v w t"),            // repeat's 2nd copy covers 3 < 4
+      (5L, "a b c z5 w5 v5"),
+      (6L, ""),
+      (7L, "h i j k h i j k h i j k"))  // periodic: first period kept
+      .toDF("id", "text")
+    val got = Dedup.removeDuplicatedSpans(df, "id", "text",
+        k = 3, minTokens = 4, minCount = 2L, keepFirst = true)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      // doc 1 holds the canonical copy: every dup gram is first there
+      1L -> (("a b c d e x1 y1", 0L)),
+      2L -> (("p q z2", 5L)),
+      3L -> (("m n o p q r", 0L)),
+      // only the SECOND "u v w" (tokens [3,5]) is covered — 3 < 4 → kept
+      // whole (the all-occurrences variant cuts all 6)
+      4L -> (("u v w u v w t", 0L)),
+      5L -> (("a b c z5 w5 v5", 0L)),
+      6L -> (("", 0L)),
+      // covered = [4,11] (everything past the first period) → cut; the
+      // canonical first "h i j k" survives
+      7L -> (("h i j k", 8L))))
+  }
+
   test("benchmark contamination: planted passage found, clean docs absent, " +
     "benchmark side broadcast") {
     val bench = Seq(
