@@ -42,7 +42,11 @@ final case class CurateConfig(
     spanRemoval: Boolean = false,
     spanK: Int = 8,
     spanMinTokens: Int = 16,
-    spanMinCount: Long = 2L) {
+    spanMinCount: Long = 2L,
+    // remove-all-but-one (each duplicated gram's globally first
+    // occurrence survives — the suffix-array original's semantics)
+    // instead of the default remove-every-occurrence
+    spanKeepFirst: Boolean = false) {
   /** True when any opt-in cleaning stage rewrites keeper text — such runs
     * carry `clean_text` on the verdict table and write keepers clean. */
   def rewritesText: Boolean = lineDedupMinDocs > 0 || spanRemoval
@@ -144,7 +148,7 @@ object CurateJob {
           Dedup.removeDuplicatedSpans(afterLine, "doc_id",
               if (lineDedup) "clean_text" else "text",
               k = cfg.spanK, minTokens = cfg.spanMinTokens,
-              minCount = cfg.spanMinCount)
+              minCount = cfg.spanMinCount, keepFirst = cfg.spanKeepFirst)
             .select(col("doc_id"), col("clean_text")), Seq("doc_id"))
       else afterLine
     val sigText = if (cfg.rewritesText) "clean_text" else "text"

@@ -435,5 +435,24 @@ class PipelineSpec extends AnyFunSuite {
       curated(2L).takeRight(80))
     // a doc with no duplicated span passes through byte-identical
     assert(curated(4L) == prose(4))
+
+    // keepFirst: the lowest-id doc keeps its canonical template copy,
+    // later copies are still cut, and the template-only doc SURVIVES
+    // (it holds no removable run once its grams are canonical-exempt…
+    // here doc 3's copies are all non-canonical, so it still empties)
+    val kout = Files.createTempDirectory("graft_curate_span_kf_").toString
+    CurateJob.run(spark, docs, "doc_id", "text", "lang", kout,
+      CurateConfig(scrubPii = false, spanRemoval = true, spanKeepFirst = true))
+    val kv = spark.read.parquet(s"$kout/verdicts")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(Seq(1L, 2L, 4L).forall(kv(_) == "kept"), kv.toString)
+    assert(kv(3L) == "too_short", kv.toString)
+    val kcur = spark.read.parquet(s"$kout/curated")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // doc 1 (lowest id) keeps the canonical template; doc 2 loses it
+    assert(kcur(1L).contains("tpl0") && kcur(1L).contains("g911"),
+      kcur(1L).take(120))
+    assert(!kcur(2L).contains("tpl0") && kcur(2L).contains("g1822"),
+      kcur(2L).takeRight(80))
   }
 }

@@ -262,6 +262,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(1200))
   }
 
+  test("keepFirst span removal: the canonical occurrence is a min-struct " +
+    "COMBINER in the gram aggregate — no window/rank over gram " +
+    "occurrences (a hot gram must never force a per-key sort), no product") {
+    val p = plan(graft.SparkEntry.queries("q65_dup_span_keep_first")(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    // min(struct(doc_id, pos)) must partial-aggregate alongside the count
+    assert(p.contains("partial_min") || p.contains("Partial"), p.take(1200))
+    // the ONLY Window in the plan is the doc-keyed gaps-and-islands
+    // row_number; nothing windows over the gram key
+    val windowSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(windowSpecs.forall(s => s.contains("doc_id") && !s.contains("gram")),
+      s"unexpected window partitioning: $windowSpecs")
+  }
+
   test("incremental dedup: exact + near checks are keyed equi-joins " +
     "(hash/band-bucket), never a product of the two snapshots") {
     val p = plan(graft.SparkEntry.queries("q53_incremental_dedup")(
