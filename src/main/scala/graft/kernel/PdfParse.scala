@@ -108,12 +108,15 @@ object PdfParse {
   private val PatBpc = Py.re("""/BitsPerComponent\s+(\d+)""")
   private val PatType0 = Py.re("""/Subtype\s*/Type0""")
   private val PatEncodingIdentity = Py.re("""/Encoding\s*/Identity-[HV]""")
-  // predefined UCS2-family CMaps (PDF 32000-1 §9.7.5.2 table 118): their
-  // 2-byte CODES are UCS-2 values by definition, so the text layer decodes
-  // exactly without the font program — unlike other predefined CMaps
-  // (GBK-EUC, 90ms-RKSJ, …) which stay undecodable without CMap data
+  // predefined Unicode-family CMaps (PDF 32000-1 §9.7.5.2 table 118):
+  // UCS2 codes ARE UCS-2 values and UTF16 codes ARE UTF-16BE code units
+  // by definition, so the text layer decodes exactly without the font
+  // program — the 2-unit-per-code loop reconstructs UTF16 surrogate
+  // pairs correctly because appending both halves forms the
+  // supplementary char. Unlike other predefined CMaps (GBK-EUC,
+  // 90ms-RKSJ, …) which stay undecodable without CMap data.
   private val PatEncodingUcs2 =
-    Py.re("""/Encoding\s*/Uni(?:GB|CNS|JIS|KS)-UCS2-[HV]""")
+    Py.re("""/Encoding\s*/Uni(?:GB|CNS|JIS|KS)-(?:UCS2|UTF16)-[HV]""")
   private val PatEncodingName = Py.re("""/Encoding\s*/(\w+)""")
   private val PatEncodingRef = Py.re("""/Encoding\s+(\d+)\s+\d+\s+R""")
   private val PatEncodingInline = Py.re("""/Encoding\s*<<""")
@@ -426,10 +429,11 @@ object PdfParse {
     *     subsetted western and Unicode-CID CJK PDFs (the reference gets
     *     the same text free via PyMuPDF's font program access,
     *     _detector.py:250-296, which we don't ship).
-    *   - `/UniGB-UCS2-H|V` `/UniCNS-UCS2-H|V` `/UniJIS-UCS2-H|V`
-    *     `/UniKS-UCS2-H|V`: the predefined UCS2-family CMaps whose codes
-    *     are UCS-2 code points by definition — EXACT verbatim decode, the
-    *     layout legacy CJK producers emit (table 118, PDF 32000-1).
+    *   - `/Uni{GB,CNS,JIS,KS}-{UCS2,UTF16}-{H,V}`: the predefined
+    *     Unicode-family CMaps whose codes are UCS-2 values / UTF-16BE
+    *     code units by definition — EXACT verbatim decode (surrogate
+    *     pairs reassemble by appending both halves), the layouts legacy
+    *     and modern CJK producers emit (table 118, PDF 32000-1).
     *   - anything else (other predefined CMap names, missing): UNDECODABLE
     *     without the font program — marked with an empty 2-byte CMap so
     *     show strings yield NO text (instead of 1-byte mojibake that would
@@ -760,10 +764,12 @@ object PdfParse {
     font match {
       case None => rawStr
       case Some(f) if f.bytesPerCode == 2 && f.map.isEmpty =>
-        // UCS2-family predefined CMap: codes are UCS-2 by definition —
-        // exact verbatim decode (NULs dropped). Identity-encoded CID:
-        // guarded Unicode passthrough. Otherwise undecodable CID font:
-        // degrade (1-byte fonts keep identity).
+        // Unicode-family predefined CMap (UCS2/UTF16): codes are UCS-2 /
+        // UTF-16BE units by definition — exact verbatim decode (NULs
+        // dropped; appending both surrogate halves reassembles UTF16
+        // supplementary chars). Identity-encoded CID: guarded Unicode
+        // passthrough. Otherwise undecodable CID font: degrade (1-byte
+        // fonts keep identity).
         if (f.ucs2) {
           val sb = new StringBuilder(rawStr.length / 2)
           var i = 0

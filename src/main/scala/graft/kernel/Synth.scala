@@ -221,12 +221,17 @@ object Synth {
           // unchanged. The text layer is byte-identical either way.
           case 0 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
             cidFont = (idx / 10) % 2 == 0,
-            // half the CID docs carry a predefined UCS2-family CMap
-            // instead of Identity-H (the legacy CJK producer layout the
-            // exact UCS-2 decode rescues) — keyed off idx/10 like the
-            // cidFont split, no rng draw, text layer byte-identical
-            cidEncoding =
-              if ((idx / 10) % 4 == 0) "UniJIS-UCS2-H" else "Identity-H")
+            // half the CID docs carry a predefined Unicode-family CMap
+            // instead of Identity-H (the legacy/modern CJK producer
+            // layouts the exact UCS-2/UTF-16BE decode rescues), split
+            // between the UCS2 and UTF16 names — keyed off idx/10 like
+            // the cidFont split, no rng draw, text layer byte-identical
+            // (BMP text encodes the same under both)
+            cidEncoding = (idx / 10) % 8 match {
+              case 0 => "UniJIS-UCS2-H"
+              case 4 => "UniGB-UTF16-H"
+              case _ => "Identity-H"
+            })
           case 1 => PdfParse.writePdfObjStm(d.pages.map(_.textLayer.split("\n").toSeq))
           case 2 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
             // alternate the two owner-locked handlers (RC4-128 R3 and

@@ -355,8 +355,18 @@ class PdfParseSpec extends AnyFunSuite {
         "/Encoding /UniJIS-UCS2-V >>",
       "65E5672C8A9E")
     assert(PdfParse.parse(cjk).pages(0).textLayer == "日本語")
-    // non-UCS2 predefined CMap (byte-oriented GBK-EUC): still undecodable
-    // without CMap data — empty text layer, page flows the OCR path
+    // UTF16 family: codes are UTF-16BE units — BMP text decodes like
+    // UCS2, and a surrogate PAIR (U+20BB7 = D842 DFB7, two 2-byte codes)
+    // reassembles into the supplementary character
+    val utf16 = cidFixture(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /Modern " +
+        "/Encoding /UniJIS-UTF16-H >>",
+      "540D524DD842DFB7")
+    val tl = PdfParse.parse(utf16).pages(0).textLayer
+    assert(tl == "名前𠮷", tl)
+    assert(tl.length == 4 && tl.codePointCount(0, tl.length) == 3)
+    // non-Unicode predefined CMap (byte-oriented GBK-EUC): still
+    // undecodable without CMap data — empty text layer, OCR path
     val pdf = cidFixture(
       "<< /Type /Font /Subtype /Type0 /BaseFont /NoMap " +
         "/Encoding /GBK-EUC-H >>",
