@@ -718,9 +718,14 @@ object PdfParse {
     * expected when a shift permutes the alphabet), so a long space-free
     * Latin-only run must also look word-shaped: ≥25% of its ASCII letters
     * vowels (aeiouy). Runs with spaces, non-Latin letters, or fewer than
-    * 8 letters keep the per-code test alone — they either already show
-    * structure a gid band cannot produce, or are too short to move
-    * text_length materially. */
+    * 12 letters keep the per-code test alone — they either already show
+    * structure a gid band cannot produce, or are single-word-sized. The
+    * 12-letter floor matters: word-per-Tj producers draw each word as its
+    * own space-free run, and legitimate low-vowel English words reach 10
+    * letters ("strengths", "twelfths", "Bridgnorth") — rejecting those
+    * would DELETE real words from extractedText. 12+-letter words below
+    * 25% vowels essentially don't occur in natural Latin text, while
+    * line-level mojibake runs comfortably exceed 12 letters. */
   private[kernel] def decodeIdentityCid(rawStr: String): String = {
     val n = rawStr.length / 2
     if (n == 0) return ""
@@ -754,7 +759,7 @@ object PdfParse {
       i += 2
     }
     if (plausible.toDouble / n < 0.8) return ""
-    if (asciiLetters >= 8 && spaces == 0 && nonLatin == 0 &&
+    if (asciiLetters >= 12 && spaces == 0 && nonLatin == 0 &&
       vowels.toDouble / asciiLetters < 0.25) return ""
     sb.toString
   }

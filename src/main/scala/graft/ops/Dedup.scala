@@ -512,7 +512,10 @@ object Dedup {
     *     tokens from runs of spaces survive untouched docs bit-for-bit);
     *   - doc ids must be unique (like [[graft.ops.TextOps
     *     .dropDuplicatedLines]]): two docs sharing an id would interleave
-    *     their token rows in one reassembly group.
+    *     their token rows in one reassembly group. Ids keep their
+    *     original type (string urls included); `keepFirst`'s global
+    *     order is the id type's natural order (lexicographic for
+    *     strings).
     *
     * Shuffle story at 100 TB: positioned grams are row-local
     * (posexplode); the occurrence count and the membership join are keyed
@@ -530,7 +533,12 @@ object Dedup {
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minTokens: Int = 16, minCount: Long = 2L,
       keepFirst: Boolean = false): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("doc_id"),
+    // the id keeps its ORIGINAL type (string urls work — a cast("long")
+    // here would null every non-integral key and the affected/rebuild
+    // equi-joins would silently never match, making the whole operator a
+    // no-op); null-id rows never match the affected join either and pass
+    // through the untouched branch as identity
+    val base = df.select(col(idCol).as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"))
     val toks = split(col("text"), " ")
 

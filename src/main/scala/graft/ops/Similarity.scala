@@ -182,17 +182,32 @@ object Similarity {
     * one does not), so on clean corpora the two initializations are
     * identical — the q55 oracle's `WHERE vec_id < nlist` seed — while a
     * wrong-dimension vector can never become a dead trained centroid. */
+  /** Lowest-id centroid seeding — the ONE definition both
+    * [[sampleCentroids]] and [[trainQuantizer]] use, so the trained
+    * quantizer can never silently initialize differently from the
+    * oracle-checked sample rule. Null embeddings are always dropped
+    * (they would NPE on the driver); `dim` additionally drops
+    * wrong-dimension vectors for the Lloyd's path, where such a seed
+    * would be a DEAD centroid (its cosine is always null, it never
+    * attracts members, it is never repaired). */
+  private def seedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, dim: Option[Int]): Array[Array[Double]] = {
+    val vecs = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    dim.fold(vecs)(d => vecs.filter(size(col("v")) === d))
+      .orderBy(col("id")).limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+  }
+
   def sampleCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int): Array[Array[Double]] = corpus
-    .select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    // null embeddings would NPE on the driver below; wrong-dimension
-    // vectors are the caller's concern (no dim param here) but nulls are
-    // always invalid as centroids
-    .filter(col("v").isNotNull)
-    .orderBy(col("id")).limit(nlist)
-    .collect().map(_.getSeq[Double](1).toArray)
+      nlist: Int): Array[Array[Double]] =
+    // wrong-dimension vectors are the caller's concern here (no dim
+    // param — the q41 oracle's seeding rule)
+    seedCentroids(corpus, idCol, vecCol, nlist, dim = None)
 
   def trainQuantizer(
       corpus: DataFrame,
@@ -201,16 +216,9 @@ object Similarity {
       nlist: Int,
       dim: Int,
       iterations: Int = 5): Array[Array[Double]] = {
-    // seed from the SAME null-and-dimension-filtered base Lloyd's assigns
-    // over (not bare sampleCentroids): a wrong-dimension vector among the
-    // nlist lowest ids would seed a centroid whose cosine is always null —
-    // it never attracts members and is never repaired (a dead centroid)
-    var cents = corpus
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && size(col("v")) === dim)
-      .orderBy(col("id")).limit(nlist)
-      .collect().map(_.getSeq[Double](1).toArray)
+    // seed from the SAME null-and-dimension-filtered base Lloyd's
+    // assigns over — the shared seedCentroids rule with the dim filter on
+    var cents = seedCentroids(corpus, idCol, vecCol, nlist, Some(dim))
     // persist the cast vectors: Lloyd's re-reads the corpus every
     // iteration, and caching also MATERIALIZES the array<double> cast so
     // column pruning cannot re-inline it into the per-centroid transform

@@ -224,8 +224,13 @@ object TextOps {
     // pair counts maintained INCREMENTALLY: a full recount per step is
     // O(total symbols); after a merge only tokens containing (l, r)
     // change, so their old pair contributions are subtracted and the
-    // merged form's re-added — each step touches only affected tokens
+    // merged form's re-added. The INVERTED INDEX (pair → token indices
+    // containing it) is what makes each step genuinely sub-linear:
+    // without it, finding the affected tokens is itself a full-vocab
+    // scan per merge — 32k merges over a few-million-token vocabulary is
+    // ~1e11 wasted comparisons on the driver, dominating runtime.
     val counts = mutable.HashMap[(String, String), Long]()
+    val index = mutable.HashMap[(String, String), mutable.LinkedHashSet[Int]]()
     def addPairs(cnt: Long, ss: Array[String], signum: Long): Unit = {
       var i = 0
       while (i + 1 < ss.length) {
@@ -235,9 +240,33 @@ object TextOps {
         i += 1
       }
     }
-    val toks = vocab.map { case (cnt, ss) => (cnt, ss) }
-    toks.foreach { case (cnt, ss) => addPairs(cnt, ss, 1L) }
-    val syms = mutable.ArrayBuffer(toks: _*)
+    def indexAdd(t: Int, ss: Array[String]): Unit = {
+      var i = 0
+      while (i + 1 < ss.length) {
+        index.getOrElseUpdate((ss(i), ss(i + 1)),
+          mutable.LinkedHashSet.empty) += t
+        i += 1
+      }
+    }
+    def indexRemove(t: Int, ss: Array[String]): Unit = {
+      var i = 0
+      while (i + 1 < ss.length) {
+        val k = (ss(i), ss(i + 1))
+        index.get(k).foreach { s =>
+          s -= t
+          if (s.isEmpty) index.remove(k)
+        }
+        i += 1
+      }
+    }
+    val syms = mutable.ArrayBuffer.from(vocab)
+    var t0 = 0
+    while (t0 < syms.length) {
+      val (cnt, ss) = syms(t0)
+      addPairs(cnt, ss, 1L)
+      indexAdd(t0, ss)
+      t0 += 1
+    }
 
     val merges = mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
@@ -256,23 +285,22 @@ object TextOps {
         }
         val ((l, r), f) = best
         merges += ((step, l, r, f))
-        var t = 0
-        while (t < syms.length) {
+        // the inverted index hands us exactly the affected tokens (its
+        // invariant: t ∈ index(k) ⇔ syms(t) contains adjacent pair k);
+        // snapshot + sort before mutating for deterministic update order
+        val affected = index.get((l, r)).map(_.toArray.sorted)
+          .getOrElse(Array.empty[Int])
+        var a = 0
+        while (a < affected.length) {
+          val t = affected(a)
           val (cnt, ss) = syms(t)
-          // only tokens actually containing the (l, r) pair change
-          var hit = false
-          var i = 0
-          while (!hit && i + 1 < ss.length) {
-            if (ss(i) == l && ss(i + 1) == r) hit = true
-            i += 1
-          }
-          if (hit) {
-            addPairs(cnt, ss, -1L)
-            val merged = applyMergeLocal(ss, l, r)
-            addPairs(cnt, merged, 1L)
-            syms(t) = (cnt, merged)
-          }
-          t += 1
+          addPairs(cnt, ss, -1L)
+          indexRemove(t, ss)
+          val merged = applyMergeLocal(ss, l, r)
+          addPairs(cnt, merged, 1L)
+          indexAdd(t, merged)
+          syms(t) = (cnt, merged)
+          a += 1
         }
         step += 1
       }
@@ -579,15 +607,33 @@ object TextOps {
       .agg(
         sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
-    val prior = counts.agg(
-      expr("sum(pos) * 1000000 DIV greatest(sum(pos) + sum(neg), 1)")
-        .cast("long").as("prior_ppm"))
+    // x·10⁶ div d is computed by base-1000 long division (two ·1000
+    // steps, carrying remainders) instead of the literal multiply: a
+    // naive pos * 1000000 silently wraps Long past ~9.2e12 occurrences —
+    // INSIDE the 100 TB design point (~1e13 token occurrences) — and
+    // only at scales where the DuckDB oracle (exact HUGEINT) never runs
+    // to catch it. The expansion is mathematically identical for
+    // non-negative operands (floor(x·10⁶/d) = q1·10³ + q2 with
+    // q1 = x·10³ div d, q2 = (x·10³ mod d)·10³ div d, remainder
+    // (x·10³ mod d)·10³ mod d), so the oracle SQL is unchanged; every
+    // intermediate stays ≤ d·10³, exact up to ~9.2e15 total occurrences.
+    val prior = counts
+      .agg(sum(col("pos")).as("p"),
+        greatest(sum(col("pos")) + sum(col("neg")), lit(1L)).as("t"))
+      .select(
+        (expr("(p * 1000 DIV t) * 1000") +
+          expr("((p * 1000 % t) * 1000) DIV t")).as("prior_ppm"))
     counts
       .filter(col("pos") + col("neg") >= minCount)
       .crossJoin(broadcast(prior))
+      .withColumn("d", col("pos") + col("neg") + lit(1L))
       .select(col("token"),
-        (expr("(pos * 1000000 + prior_ppm) DIV (pos + neg + 1)")
-          - col("prior_ppm")).as("weight_ppm"))
+        // (pos·10⁶ + prior_ppm) div d = pos·10⁶ div d
+        //   + (pos·10⁶ mod d + prior_ppm) div d   [prior_ppm < 10⁶ ≤ no-ovf]
+        (expr("(pos * 1000 DIV d) * 1000") +
+          expr("((pos * 1000 % d) * 1000) DIV d") +
+          expr("(((pos * 1000 % d) * 1000) % d + prior_ppm) DIV d") -
+          col("prior_ppm")).as("weight_ppm"))
   }
 
   /** Score documents with a trained polarity table: per doc, the sum of

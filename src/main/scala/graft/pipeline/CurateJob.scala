@@ -195,7 +195,7 @@ object CurateJob {
         col("g.symbol_ppm") > cfg.gopherMaxSymbolPpm ||
         col("g.stop_hits") < cfg.gopherMinStopHits
 
-    val verdictCol =
+    val verdictExpr =
       when(col("x_exact"), "exact_dup")
         .when(col("x_near"), "near_dup")
         .when(col("n_chars") < cfg.minChars, "too_short")
@@ -203,10 +203,18 @@ object CurateJob {
         .when(col("quality") < cfg.minQuality, "low_quality")
         .when(gopherFails, "gopher_filter")
         .when(col("repetitive"), "repetitive")
-        .otherwise("kept").as("verdict")
+        .otherwise("kept")
     val outCols =
-      Seq(col("doc_id"), col("k").as("content_hash"), verdictCol) ++
-        (if (cfg.rewritesText) Seq(col("clean_text")) else Nil)
+      Seq(col("doc_id"), col("k").as("content_hash"),
+        verdictExpr.as("verdict")) ++
+        // clean_text is only ever read back for keepers (`run`'s join) —
+        // carrying it on dropped rows would make the audit-sized verdict
+        // table a second corpus-sized text copy on disk and on the write
+        // shuffle at crawl scale, for bytes nothing reads
+        (if (cfg.rewritesText)
+          Seq(when(verdictExpr === "kept", col("clean_text"))
+            .as("clean_text"))
+        else Nil)
     sig
       .join(exactLosers, Seq("doc_id", "k"), "left_outer")
       .join(nearLosers, Seq("doc_id"), "left_outer")

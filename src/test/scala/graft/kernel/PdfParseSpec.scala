@@ -419,13 +419,19 @@ class PdfParseSpec extends AnyFunSuite {
       Seq(((c.toInt >> 8) & 0xFF).toChar, (c.toInt & 0xFF).toChar)).mkString
     // a larger subset font's glyph indices land on consonant codes —
     // every code individually plausible, no vowel structure → rejected
-    assert(PdfParse.decodeIdentityCid(raw("bcdfghjklm")) == "")
+    assert(PdfParse.decodeIdentityCid(raw("bcdfghjklmnpqrst")) == "")
     // same codes WITH a space (real text shows structure) → accepted
-    assert(PdfParse.decodeIdentityCid(raw("bcdf hjklm")) == "bcdf hjklm")
+    assert(PdfParse.decodeIdentityCid(raw("bcdfghjk lmnpqrst")) ==
+      "bcdfghjk lmnpqrst")
     // a real long word keeps its vowel mass → accepted
     assert(PdfParse.decodeIdentityCid(raw("mountainside")) == "mountainside")
-    // vowel-poor but short (< 8 letters) → accepted (too little signal)
+    // vowel-poor but short (< 12 letters) → accepted: word-per-Tj
+    // producers draw each word as its own space-free run, and REAL
+    // low-vowel English words reach 10 letters — these must never be
+    // deleted from the text layer
     assert(PdfParse.decodeIdentityCid(raw("rhythm")) == "rhythm")
+    assert(PdfParse.decodeIdentityCid(raw("strengths")) == "strengths")
+    assert(PdfParse.decodeIdentityCid(raw("Bridgnorth")) == "Bridgnorth")
     // CJK runs are exempt from the Latin structure test
     val cjkStr = "日本語日本語日本語日本語"
     assert(PdfParse.decodeIdentityCid(raw(cjkStr)) == cjkStr)

@@ -766,6 +766,28 @@ class OpsSpec extends AnyFunSuite {
       6L -> (("", 0L))))
   }
 
+  test("duplicated-span removal over STRING ids (url-keyed tables, the " +
+      "extraction-output shape): the edit applies — no silent " +
+      "cast-to-null no-op — and keepFirst orders urls lexicographically") {
+    val df = Seq(
+      ("https://a/1", "a b c d e x1 y1"),
+      ("https://a/2", "p q a b c d e z2")).toDF("url", "text")
+    val got = Dedup.removeDuplicatedSpans(df, "url", "text",
+        k = 3, minTokens = 4, minCount = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      "https://a/1" -> (("x1 y1", 5L)),
+      "https://a/2" -> (("p q z2", 5L))))
+    val kf = Dedup.removeDuplicatedSpans(df, "url", "text",
+        k = 3, minTokens = 4, minCount = 2L, keepFirst = true)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(kf == Map(
+      "https://a/1" -> (("a b c d e x1 y1", 0L)),
+      "https://a/2" -> (("p q z2", 5L))))
+  }
+
   test("duplicated-span removal keepFirst: the globally first occurrence " +
       "survives (cross-doc AND within-doc), later copies are cut, and a " +
       "no-longer-covered run under minTokens now survives") {
