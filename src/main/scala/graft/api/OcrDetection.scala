@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.kernel.{DocExtract, DocSummary, Extractor, PageAnalysis, PdfPayload, ProbeConfig}
+import graft.kernel.{DocExtract, DocSummary, Extractor, PageAnalysis, PdfParse, PdfPayload, PdfProbe, ProbeConfig}
 import graft.model.Page
 import graft.pipeline.{ExtractJob, JobConfig}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -47,6 +47,21 @@ final class OcrDetection(cfg: OcrDetection.Config = OcrDetection.Config()) {
 
   /** Expert API — `PDFAnalyzer.get_summary` (_detector.py:687-730). */
   def summary(results: Vector[PageAnalysis]): DocSummary = DocSummary(results)
+
+  /** Expert API, ADDITIVE (beyond the reference, which reads image dict
+    * geometry only): per page, luminance statistics of every embedded
+    * image whose DCT payload baseline-JPEG-decodes — catches scan-pipeline
+    * failures (all-black / all-white payloads) the dict dims can't show.
+    * Empty inner vectors for pages without decodable embedded images;
+    * empty outer for non-PDF payloads. */
+  def imagePixelContent(payload: Array[Byte]): Vector[Vector[graft.kernel.ImagePixelContent]] = {
+    val pages =
+      if (PdfParse.isRealPdf(payload)) PdfParse.parse(payload).pages
+      else if (PdfPayload.isPdf(payload)) PdfPayload.deserialize(payload).pages
+      else Vector.empty
+    val probe = new PdfProbe(probeCfg)
+    pages.map(probe.imagePixelContent)
+  }
 
   /** Table-scale entry: run the same kernel over a Page table and write
     * bucketed output + lineage (the north-rule pipeline). */

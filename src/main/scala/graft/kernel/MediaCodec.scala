@@ -457,6 +457,317 @@ object MediaCodec {
     } else jbig2PageDims(b)
   }
 
+  /** Decoded grayscale raster: the luminance plane resampled to the
+    * frame's full width×height, row-major, values 0–255. */
+  final case class DecodedGray(width: Int, height: Int, pixels: Array[Int])
+
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // idctCos(x)(u) = c(u)/2 · cos((2x+1)uπ/16) — the separable 1-D basis
+  private val idctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+
+  /** Baseline-JPEG decode to PIXELS (ITU T.81 §F.2: SOF0/SOF1, 8-bit,
+    * Huffman, interleaved scan, DRI/RSTn honored, 0xFF00 stuffing).
+    * Returns the LUMINANCE plane at full frame resolution — the page/ink
+    * statistics consumer never needs chroma, so Cb/Cr blocks are
+    * entropy-PARSED (the bit stream must advance through them) but never
+    * dequantized or IDCT'd: a 4:2:0 three-component decode costs barely
+    * more than grayscale. Progressive (SOF2+), arithmetic, 12-bit,
+    * hierarchical and any structural inconsistency return None — this is
+    * a probe, it must never throw on crawl bytes. */
+  def decodeJpeg(b: Array[Byte]): Option[DecodedGray] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+    try decodeJpegUnsafe(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Canonical Huffman table in the standard mincode/maxcode/valptr
+    * decode form (T.81 §F.2.2.3). */
+  private final class HuffTable(counts: Array[Int], syms: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(len: Int, code: Int): Int = syms(valPtr(len) + code - minCode(len))
+  }
+
+  private def decodeJpegUnsafe(b: Array[Byte]): Option[DecodedGray] = {
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var restartInterval = 0
+    // frame state
+    var w = 0; var h = 0; var nComp = 0
+    var compH: Array[Int] = null; var compV: Array[Int] = null
+    var compQ: Array[Int] = null; var compId: Array[Int] = null
+
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xFF) { i += 1 } // fill byte
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+      else if (marker == 0xD9) return None // EOI before SOS
+      else {
+        val len = rdBe16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val p0 = i + 4
+        marker match {
+          case 0xDB => // DQT: repeated (pq<<4|tq, 64 entries)
+            var p = p0
+            while (p < i + 2 + len) {
+              val pq = (b(p) & 0xFF) >> 4; val tq = b(p) & 0x0F
+              if (tq > 3) return None
+              val t = new Array[Int](64)
+              var k = 0
+              if (pq == 0) { while (k < 64) { t(k) = b(p + 1 + k) & 0xFF; k += 1 }; p += 65 }
+              else { while (k < 64) { t(k) = rdBe16(b, p + 1 + 2 * k); k += 1 }; p += 129 }
+              quant(tq) = t
+            }
+          case 0xC4 => // DHT: repeated (tc<<4|th, 16 counts, symbols)
+            var p = p0
+            while (p < i + 2 + len) {
+              val tc = (b(p) & 0xFF) >> 4; val th = b(p) & 0x0F
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(k => b(p + 1 + k) & 0xFF)
+              val n = counts.sum
+              val syms = Array.tabulate(n)(k => b(p + 17 + k) & 0xFF)
+              val tab = new HuffTable(counts, syms)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + n
+            }
+          case 0xC0 | 0xC1 => // baseline / extended-sequential Huffman
+            if ((b(p0) & 0xFF) != 8) return None // 12-bit: unsupported
+            h = rdBe16(b, p0 + 1); w = rdBe16(b, p0 + 3)
+            nComp = b(p0 + 5) & 0xFF
+            if (w == 0 || h == 0 || nComp == 0 || nComp > 4) return None
+            compId = new Array[Int](nComp)
+            compH = new Array[Int](nComp); compV = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(p0 + 6 + 3 * c) & 0xFF
+              val hv = b(p0 + 7 + 3 * c) & 0xFF
+              compH(c) = hv >> 4; compV(c) = hv & 0x0F
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4)
+                return None
+              compQ(c) = b(p0 + 8 + 3 * c) & 0xFF
+              c += 1
+            }
+          case m if m >= 0xC2 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
+            return None // progressive/arithmetic/lossless/hierarchical
+          case 0xDD =>
+            restartInterval = rdBe16(b, p0)
+          case 0xDA => // SOS: decode the scan and return
+            if (compH == null) return None
+            val ns = b(p0) & 0xFF
+            if (ns != nComp) return None // non-interleaved multi-scan: out of scope
+            val scanDc = new Array[Int](nComp); val scanAc = new Array[Int](nComp)
+            var s = 0
+            while (s < ns) {
+              val cs = b(p0 + 1 + 2 * s) & 0xFF
+              val c = compId.indexOf(cs)
+              if (c < 0) return None
+              scanDc(c) = (b(p0 + 2 + 2 * s) & 0xFF) >> 4
+              scanAc(c) = b(p0 + 2 + 2 * s) & 0x0F
+              s += 1
+            }
+            return decodeScan(b, i + 2 + len, w, h, nComp, compH, compV,
+              compQ, quant, dcTabs, acTabs, scanDc, scanAc, restartInterval)
+          case _ => () // APPn / COM / others: skip
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Entropy-decode the interleaved scan starting at `start`; returns the
+    * full-resolution luminance plane. */
+  private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
+      nComp: Int, compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      quant: Array[Array[Int]], dcTabs: Array[HuffTable],
+      acTabs: Array[HuffTable], scanDc: Array[Int], scanAc: Array[Int],
+      restartInterval: Int): Option[DecodedGray] = {
+    val hMax = compH.max; val vMax = compV.max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // luminance plane at its native sampling resolution, MCU-padded
+    val yW = mcusX * compH(0) * 8
+    val yH = mcusY * compV(0) * 8
+    if (yW.toLong * yH > (1L << 28)) return None // absurd dims: bail
+    val yPlane = new Array[Int](yW * yH)
+
+    // bit reader over the entropy segment (FF00 unstuffing; FF + RSTn is
+    // consumed only via expectRestart at MCU boundaries)
+    var pos = start
+    var bits = 0; var nBits = 0
+    def nextBit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) throw new IllegalStateException("eof")
+        var v = b(pos) & 0xFF; pos += 1
+        if (v == 0xFF) {
+          val m = if (pos < b.length) b(pos) & 0xFF else -1
+          if (m == 0x00) pos += 1
+          else throw new IllegalStateException(s"marker $m in scan")
+          v = 0xFF
+        }
+        bits = v; nBits = 8
+      }
+      nBits -= 1
+      (bits >> nBits) & 1
+    }
+    def decodeSym(t: HuffTable): Int = {
+      var code = nextBit()
+      var l = 1
+      while (code > t.maxCode(l)) {
+        if (l >= 16) throw new IllegalStateException("bad code")
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      t.symbol(l, code)
+    }
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0
+      var k = 0
+      while (k < s) { v = (v << 1) | nextBit(); k += 1 }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    def expectRestart(n: Int): Unit = {
+      nBits = 0 // byte-align
+      if (pos + 1 >= b.length || (b(pos) & 0xFF) != 0xFF ||
+        (b(pos + 1) & 0xFF) != 0xD0 + (n & 7))
+        throw new IllegalStateException("missing RST")
+      pos += 2
+    }
+
+    val preds = new Array[Int](nComp)
+    val coefs = new Array[Int](64)
+    val blockPx = Array.ofDim[Double](8, 8)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    var rstIdx = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        expectRestart(rstIdx); rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(preds, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var c = 0
+      while (c < nComp) {
+        val dcT = dcTabs(scanDc(c)); val acT = acTabs(scanAc(c))
+        if (dcT == null || acT == null) return None
+        val qt = quant(compQ(c))
+        if (qt == null) return None
+        var v = 0
+        while (v < compV(c)) {
+          var u = 0
+          while (u < compH(c)) {
+            // ---- one 8×8 block: DC + AC coefficient parse
+            java.util.Arrays.fill(coefs, 0)
+            val t = decodeSym(dcT)
+            preds(c) += receiveExtend(t)
+            coefs(0) = preds(c) * qt(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeSym(acT)
+              val r = rs >> 4; val ssss = rs & 0x0F
+              if (ssss == 0) {
+                if (r == 15) k += 16 else eob = true
+              } else {
+                k += r
+                if (k > 63) throw new IllegalStateException("AC overrun")
+                coefs(Zigzag(k)) = receiveExtend(ssss) * qt(k)
+                k += 1
+              }
+            }
+            if (c == 0) {
+              // ---- dequantized luminance block → IDCT → plane
+              var x = 0
+              while (x < 8) {
+                var y = 0
+                while (y < 8) {
+                  var sum = 0.0
+                  var uu = 0
+                  while (uu < 8) {
+                    var vv = 0
+                    val cx = idctCos(x)(uu)
+                    while (vv < 8) {
+                      val f = coefs(uu * 8 + vv)
+                      if (f != 0) sum += cx * idctCos(y)(vv) * f
+                      vv += 1
+                    }
+                    uu += 1
+                  }
+                  blockPx(x)(y) = sum
+                  y += 1
+                }
+                x += 1
+              }
+              val bx0 = (mx * compH(0) + u) * 8
+              val by0 = (my * compV(0) + v) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  val p = math.max(0, math.min(255,
+                    math.round(blockPx(yy)(xx) + 128).toInt))
+                  yPlane((by0 + yy) * yW + bx0 + xx) = p
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            u += 1
+          }
+          v += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+
+    // nearest-sample the (possibly subsampled, MCU-padded) Y plane onto
+    // the frame's WxH grid
+    val out = new Array[Int](w * h)
+    val sx = compH(0).toDouble / hMax
+    val sy = compV(0).toDouble / vMax
+    var yy = 0
+    while (yy < h) {
+      val py = math.min(yH - 1, (yy * sy).toInt)
+      var xx = 0
+      while (xx < w) {
+        out(yy * w + xx) = yPlane(py * yW + math.min(yW - 1, (xx * sx).toInt))
+        xx += 1
+      }
+      yy += 1
+    }
+    Some(DecodedGray(w, h, out))
+  }
+
   /** Walk raw JBIG2 segment headers (number(4) flags(1) referred-segment
     * spec, page association, data length(4)) to the page-information
     * segment (type 48) and read its region width/height. Bounded walk;

@@ -44,6 +44,19 @@ final case class ImageAnalysis(
     contentImageCount: Int,
     backgroundCoverageRatio: Double)
 
+/** DECODED pixel content of one embedded image (additive beyond the
+  * reference, which reads dict geometry only — _detector.py:732-803):
+  * luminance statistics from a real baseline-JPEG decode of the payload.
+  * `darkRatio` = fraction of pixels with luminance < 160; a genuine
+  * scanned page is a light background with dark ink (mean high, dark
+  * ratio small-but-nonzero), while an all-black or all-white payload is
+  * a scan-pipeline failure the dict dims can't reveal. */
+final case class ImagePixelContent(
+    width: Int,
+    height: Int,
+    meanLuminance: Double,
+    darkRatio: Double)
+
 /** Probe configuration — the reference's constructor parameters
   * (simple.py:21-40, _detector.py:46-68) as a job config case class.
   *
@@ -251,6 +264,30 @@ final class PdfProbe(cfg: ProbeConfig) {
     }
     renderPage(page)
   }
+
+  /** Pixel-content probe over a page's embedded images (ADDITIVE — the
+    * reference-parity classification path never reads it, X2 stays
+    * dict-geometry-exact): each DCT payload that baseline-decodes yields
+    * its luminance statistics; undecodable/absent payloads are skipped.
+    * One entry per decodable embedded image, page order preserved. */
+  def imagePixelContent(page: PdfPage): Vector[ImagePixelContent] =
+    page.images.flatMap { img =>
+      if (img.data.isEmpty) None
+      else MediaCodec.decodeJpeg(img.data).map { d =>
+        var sum = 0L
+        var dark = 0
+        var i = 0
+        while (i < d.pixels.length) {
+          val p = d.pixels(i)
+          sum += p
+          if (p < 160) dark += 1
+          i += 1
+        }
+        val n = math.max(1, d.pixels.length)
+        ImagePixelContent(d.width, d.height, sum.toDouble / n,
+          dark.toDouble / n)
+      }
+    }
 
   /** S5 — `_render_page_to_base64` (_detector.py:88-115): rasterize the
     * page at `imageDpi` into a REAL container (complete decodable PNG with

@@ -24,6 +24,13 @@ object ApiDemo {
     println(s"[api] summary: ${summary.recommendedAction}; " +
       graft.kernel.DocSummary.pageSummary(summary.problematic))
 
+    // decoded PIXEL content of embedded images (real PDF with a DCT image)
+    val withImg = graft.kernel.PdfParse.writePdf(Seq(Seq.empty),
+      images = Seq((1200, 1600)), embedJpeg = true)
+    val pix = det.imagePixelContent(withImg).flatten
+    println(s"[api] pixel content: ${pix.length} image(s), " +
+      s"mean=${pix.head.meanLuminance} dark=${pix.head.darkRatio}")
+
     // --- SQL functions + streaming (Spark) --------------------------------
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-api-demo")

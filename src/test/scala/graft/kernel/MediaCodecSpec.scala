@@ -323,4 +323,138 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.embeddedImageDims(
       MediaCodec.encodeJpeg(100, 100).take(6)).isEmpty)
   }
+
+  // ------------------------------------------------- baseline JPEG DECODE
+
+  test("decodeJpeg roundtrip on renderJpeg: exact DC-only pixel values " +
+    "(white blocks 208 = 40·16/8+128, ink blocks 128), block-uniform, " +
+    "dims exact for non-multiple-of-8 frames") {
+    // blank page: every block DC 40 → every pixel exactly 208
+    val blank = MediaCodec.decodeJpeg(MediaCodec.renderJpeg(100, 52)).get
+    assert(blank.width == 100 && blank.height == 52)
+    assert(blank.pixels.forall(_ == 208), blank.pixels.distinct.toSeq)
+    // text page: pixels land on exactly the two DC levels, ink present,
+    // and every 8x8 block is uniform (the encoder is block-granular)
+    val d = MediaCodec.decodeJpeg(
+      MediaCodec.renderJpeg(128, 96, lines = Seq("Hello decode", "world"),
+        scale = 2.0)).get
+    assert(d.width == 128 && d.height == 96)
+    assert(d.pixels.forall(p => p == 128 || p == 208))
+    assert(d.pixels.count(_ == 128) > 0, "expected glyph ink")
+    for (by <- 0 until 96 / 8; bx <- 0 until 128 / 8) {
+      val vals = for (y <- 0 until 8; x <- 0 until 8)
+        yield d.pixels((by * 8 + y) * 128 + bx * 8 + x)
+      assert(vals.distinct.size == 1, s"block ($bx,$by) not uniform")
+    }
+    // ink grows with text, matching the entropy-size monotonicity
+    val more = MediaCodec.decodeJpeg(
+      MediaCodec.renderJpeg(128, 96,
+        lines = Seq("Hello decode", "world", "third line", "and a fourth"),
+        scale = 2.0)).get
+    assert(more.pixels.count(_ == 128) > d.pixels.count(_ == 128))
+  }
+
+  /** Test-local minimal JPEG writer (the encoder's table trick: DC codes
+    * '0'→cat0 '10'→cat6, AC '0'→EOB) for layouts renderJpeg never emits. */
+  private class MiniJpeg {
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, payload: Array[Byte]): Unit = {
+      out.write(0xFF); out.write(marker)
+      val len = payload.length + 2
+      out.write((len >>> 8) & 0xFF); out.write(len & 0xFF)
+      out.write(payload, 0, payload.length)
+    }
+    def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    var cur = 0; var n = 0
+    def putBits(value: Int, bits: Int): Unit = {
+      var k = bits - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((value >>> k) & 1); n += 1
+        if (n == 8) { out.write(cur); if (cur == 0xFF) out.write(0); cur = 0; n = 0 }
+        k -= 1
+      }
+    }
+    def flushBits(): Unit = if (n > 0) {
+      cur = (cur << (8 - n)) | ((1 << (8 - n)) - 1)
+      out.write(cur); if (cur == 0xFF) out.write(0); cur = 0; n = 0
+    }
+    /** DC-only block: diff ∈ {0, ±40} + AC EOB. */
+    def block(diff: Int): Unit = {
+      if (diff == 0) putBits(0, 1)
+      else { putBits(2, 2); putBits(if (diff > 0) diff else diff + 63, 6) }
+      putBits(0, 1)
+    }
+    def header(w: Int, h: Int, comps: Array[(Int, Int, Int)]): Unit = {
+      out.write(0xFF); out.write(0xD8)
+      seg(0xDB, Array[Byte](0) ++ Array.fill[Byte](64)(16))
+      seg(0xC0, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array(comps.length.toByte) ++
+        comps.flatMap { case (id, hv, tq) =>
+          Array(id.toByte, hv.toByte, tq.toByte) })
+      seg(0xC4, Array[Byte](0x00, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0) ++ Array[Byte](0, 6))
+      seg(0xC4, Array[Byte](0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0) ++ Array[Byte](0))
+    }
+    def sos(comps: Array[Int]): Unit =
+      seg(0xDA, Array(comps.length.toByte) ++
+        comps.flatMap(id => Array(id.toByte, 0x00.toByte)) ++
+        Array[Byte](0, 63, 0))
+    def eoi(): Array[Byte] = {
+      flushBits(); out.write(0xFF); out.write(0xD9); out.toByteArray
+    }
+  }
+
+  test("decodeJpeg 4:2:0 three-component: chroma blocks are entropy-parsed " +
+    "(stream stays aligned) and the Y quadrants land where the MCU's " +
+    "2x2 block order puts them") {
+    val j = new MiniJpeg
+    j.header(16, 16, Array((1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)))
+    j.sos(Array(1, 2, 3))
+    // one MCU: 4 Y blocks (TL 0, TR +40, BL back to 0, BR +40) + Cb + Cr
+    j.block(0); j.block(40); j.block(-40); j.block(40)
+    j.block(0) // Cb
+    j.block(0) // Cr
+    val d = MediaCodec.decodeJpeg(j.eoi()).get
+    assert(d.width == 16 && d.height == 16)
+    def px(x: Int, y: Int) = d.pixels(y * 16 + x)
+    assert(px(3, 3) == 128 && px(12, 3) == 208 &&
+      px(3, 12) == 128 && px(12, 12) == 208,
+      (0 until 16).map(y => (0 until 16).map(x => px(x, y)).mkString(","))
+        .mkString("\n"))
+  }
+
+  test("decodeJpeg honors DRI/RSTn: predictors reset at each restart " +
+    "marker and the reader re-aligns to the byte boundary") {
+    val j = new MiniJpeg
+    j.header(8, 24, Array((1, 0x11, 0)))
+    j.seg(0xDD, Array[Byte](0, 1)) // DRI: restart every MCU
+    j.sos(Array(1))
+    j.block(0); j.flushBits(); j.out.write(0xFF); j.out.write(0xD0)
+    j.block(40); j.flushBits(); j.out.write(0xFF); j.out.write(0xD1)
+    j.block(0) // pred was RESET: diff 0 → level 0, not 40
+    val d = MediaCodec.decodeJpeg(j.eoi()).get
+    assert(d.width == 8 && d.height == 24)
+    assert((0 until 8).forall(y => d.pixels(y * 8) == 128))
+    assert((8 until 16).forall(y => d.pixels(y * 8) == 208))
+    assert((16 until 24).forall(y => d.pixels(y * 8) == 128))
+  }
+
+  test("decodeJpeg rejects what it cannot decode — never throws: " +
+    "header-only JPEGs, progressive frames, truncated entropy, junk") {
+    // encodeJpeg emits SOI+APP0+SOF0+EOI (no scan) → structurally valid
+    // metadata, not decodable
+    assert(MediaCodec.decodeJpeg(MediaCodec.encodeJpeg(64, 64)).isEmpty)
+    // progressive SOF2
+    val p = new MiniJpeg
+    p.out.write(0xFF); p.out.write(0xD8)
+    p.seg(0xC2, Array[Byte](8, 0, 16, 0, 16, 1, 1, 0x11, 0))
+    assert(MediaCodec.decodeJpeg(p.eoi()).isEmpty)
+    // truncated entropy segment
+    val full = MediaCodec.renderJpeg(64, 64, lines = Seq("abc"))
+    assert(MediaCodec.decodeJpeg(full.dropRight(8)).isEmpty)
+    assert(MediaCodec.decodeJpeg("not a jpeg at all".getBytes).isEmpty)
+    assert(MediaCodec.decodeJpeg(null).isEmpty)
+    assert(MediaCodec.decodeJpeg(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
+  }
 }

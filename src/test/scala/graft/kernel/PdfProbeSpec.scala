@@ -256,4 +256,31 @@ class PdfProbeSpec extends AnyFunSuite {
     assert(badPa.copy(error = None) == okPa.copy(error = None))
     assert(okPa.error.isEmpty)
   }
+
+  test("image PIXEL content (additive): the embedded DCT payload DECODES " +
+    "and its luminance statistics surface per page; classification and " +
+    "X2 stay dict-geometry-exact") {
+    // real scanned-layout PDF carrying a decodable embedded JPEG
+    val bytes = PdfParse.writePdf(Seq(Seq.empty), compress = true,
+      images = Seq((1200, 1600)), embedJpeg = true)
+    val doc = PdfParse.parse(bytes)
+    val probe = new PdfProbe(ProbeConfig())
+    val px = probe.imagePixelContent(doc.pages.head)
+    assert(px.length == 1)
+    assert(px(0).width == 1200 && px(0).height == 1600)
+    // renderJpeg's blank raster: every pixel 208 → mean exact, no ink
+    assert(px(0).meanLuminance == 208.0 && px(0).darkRatio == 0.0, px(0))
+    // a page without decodable payloads (structured GFTPDF1 images carry
+    // no bytes) yields no entries — and never throws
+    val structured = Synth.pdfScanned(new java.util.SplittableRandom(3), 2)
+    assert(probe.imagePixelContent(
+      PdfPayload.deserialize(PdfPayload.serialize(structured)).pages.head)
+      .isEmpty)
+    // public API end-to-end over the raw payload
+    val api = new graft.api.OcrDetection()
+    val all = api.imagePixelContent(bytes)
+    assert(all.length == doc.pages.length && all.head.length == 1)
+    assert(all.head.head.meanLuminance == 208.0)
+    assert(api.imagePixelContent("<html>no pdf</html>".getBytes).isEmpty)
+  }
 }
