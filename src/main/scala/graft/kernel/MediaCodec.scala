@@ -768,6 +768,138 @@ object MediaCodec {
     Some(DecodedGray(w, h, out))
   }
 
+  /** PNG decode to grayscale pixels (RFC 2083): 8-bit depth, color types
+    * 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five
+    * scanline filters (None/Sub/Up/Average/Paeth), non-interlaced.
+    * Color → luminance via the integer Rec.601 weights
+    * (299·R + 587·G + 114·B + 500) / 1000 — deterministic, no floats.
+    * 16-bit depth, Adam7 interlace and structural inconsistencies return
+    * None — like [[decodeJpeg]], a probe over crawl bytes never throws. */
+  def decodePng(b: Array[Byte]): Option[DecodedGray] = {
+    if (b == null || b.length < 8 || (b(0) & 0xFF) != 0x89 ||
+      b(1) != 'P' || b(2) != 'N' || b(3) != 'G') return None
+    try decodePngUnsafe(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def decodePngUnsafe(b: Array[Byte]): Option[DecodedGray] = {
+    var o = 8
+    var w = 0; var h = 0; var depth = 0; var colorType = -1
+    var palette: Array[Int] = null // packed 0xRRGGBB
+    val idat = new ByteArrayOutputStream()
+    var done = false
+    while (!done && o + 8 <= b.length) {
+      val len = rdBe32(b, o)
+      if (len < 0 || o + 12 + len > b.length) return None
+      val typ = new String(b, o + 4, 4, StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = rdBe32(b, o + 8); h = rdBe32(b, o + 12)
+          depth = b(o + 16) & 0xFF; colorType = b(o + 17) & 0xFF
+          val interlace = b(o + 20) & 0xFF
+          if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+          if (colorType != 0 && colorType != 2 && colorType != 3 &&
+            colorType != 4 && colorType != 6) return None
+          if (w.toLong * h > (1L << 28)) return None
+        case "PLTE" =>
+          if (len % 3 != 0) return None
+          palette = Array.tabulate(len / 3)(k =>
+            ((b(o + 8 + 3 * k) & 0xFF) << 16) |
+              ((b(o + 9 + 3 * k) & 0xFF) << 8) | (b(o + 10 + 3 * k) & 0xFF))
+        case "IDAT" => idat.write(b, o + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped; CRCs not verified
+      }
+      o += 12 + len
+    }
+    if (colorType < 0 || idat.size() == 0) return None
+    if (colorType == 3 && palette == null) return None
+    val ch = colorType match {
+      case 0 | 3 => 1
+      case 4 => 2
+      case 2 => 3
+      case 6 => 4
+    }
+    val rowLen = 1 + ch * w
+    val raw = new Array[Byte](rowLen * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    while (!inf.finished() && off < raw.length) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      if (n == 0 && !inf.finished()) { inf.end(); return None } // truncated
+      off += n
+    }
+    inf.end()
+    if (off != raw.length) return None
+
+    // defilter in place (RFC 2083 §6): a = left, b = up, c = up-left —
+    // all on the RECONSTRUCTED bytes, at bpp (= ch) offsets
+    var y = 0
+    while (y < h) {
+      val rs = y * rowLen
+      val ft = raw(rs) & 0xFF
+      if (ft > 4) return None
+      var i = 1
+      while (i <= ch * w) {
+        val x = raw(rs + i) & 0xFF
+        val a = if (i > ch) raw(rs + i - ch) & 0xFF else 0
+        val up = if (y > 0) raw(rs - rowLen + i) & 0xFF else 0
+        val c = if (y > 0 && i > ch) raw(rs - rowLen + i - ch) & 0xFF else 0
+        val recon = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + ((a + up) >> 1)
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        raw(rs + i) = (recon & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+
+    val out = new Array[Int](w * h)
+    var yy = 0
+    while (yy < h) {
+      val rs = yy * rowLen + 1
+      var xx = 0
+      while (xx < w) {
+        val p = rs + ch * xx
+        out(yy * w + xx) = colorType match {
+          case 0 | 4 => raw(p) & 0xFF
+          case 3 =>
+            val idx = raw(p) & 0xFF
+            if (idx >= palette.length) return None
+            val rgb = palette(idx)
+            (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF) + 500) / 1000
+          case _ =>
+            (299 * (raw(p) & 0xFF) + 587 * (raw(p + 1) & 0xFF) +
+              114 * (raw(p + 2) & 0xFF) + 500) / 1000
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    Some(DecodedGray(w, h, out))
+  }
+
+  /** Dispatch on the payload's magic: baseline JPEG or PNG → grayscale
+    * pixels; anything else → None. The one entry point pixel-content
+    * probes should use. */
+  def decodeImage(b: Array[Byte]): Option[DecodedGray] = {
+    if (b == null || b.length < 8) None
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) decodeJpeg(b)
+    else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P') decodePng(b)
+    else None
+  }
+
   /** Walk raw JBIG2 segment headers (number(4) flags(1) referred-segment
     * spec, page association, data length(4)) to the page-information
     * segment (type 48) and read its region width/height. Bounded walk;

@@ -273,7 +273,7 @@ final class PdfProbe(cfg: ProbeConfig) {
   def imagePixelContent(page: PdfPage): Vector[ImagePixelContent] =
     page.images.flatMap { img =>
       if (img.data.isEmpty) None
-      else MediaCodec.decodeJpeg(img.data).map { d =>
+      else MediaCodec.decodeImage(img.data).map { d =>
         var sum = 0L
         var dark = 0
         var i = 0

@@ -440,6 +440,92 @@ class MediaCodecSpec extends AnyFunSuite {
     assert((16 until 24).forall(y => d.pixels(y * 8) == 128))
   }
 
+  // --------------------------------------------------------- PNG DECODE
+
+  /** Test-local PNG writer with explicit scanline bytes (filter bytes
+    * included) for layouts renderPng never emits. */
+  private def buildPng(ihdr: Array[Byte], scan: Array[Byte],
+      plte: Option[Array[Byte]] = None): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(scan); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++
+      plte.map(chunk("PLTE", _)).getOrElse(Array.empty[Byte]) ++
+      chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+  }
+  private def ihdrOf(w: Int, h: Int, depth: Int, ct: Int,
+      interlace: Int = 0): Array[Byte] = {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    be32(w) ++ be32(h) ++ Array[Byte](depth.toByte, ct.toByte, 0, 0,
+      interlace.toByte)
+  }
+
+  test("decodePng roundtrip on renderPng: dims exact, ink pixels decode " +
+    "to luminance 0 and background to 255, counts agree with the " +
+    "independent filter-0 reader") {
+    val png = MediaCodec.renderPng(120, 80, lines = Seq("Ink here", "more"),
+      scale = 2.0)
+    val d = MediaCodec.decodePng(png).get
+    assert(d.width == 120 && d.height == 80)
+    assert(d.pixels.forall(p => p == 0 || p == 255))
+    assert(d.pixels.count(_ == 0) == pngInkPixels(png))
+    assert(d.pixels.count(_ == 0) > 0)
+    // decodeImage dispatches both containers by magic
+    assert(MediaCodec.decodeImage(png).get.width == 120)
+    assert(MediaCodec.decodeImage(
+      MediaCodec.renderJpeg(64, 64)).get.width == 64)
+    assert(MediaCodec.decodeImage("neither".getBytes).isEmpty)
+  }
+
+  test("decodePng defilters all five scanline filters (RFC 2083 §6) to " +
+    "the exact reference pixels") {
+    // grayscale 4x5, one row per filter type; recon rows are
+    // 10..40 / 15..45 / 20..50 / 30..60 / 35..65
+    val scan = Array[Byte](
+      0, 10, 20, 30, 40, // None
+      1, 15, 10, 10, 10, // Sub
+      2, 5, 5, 5, 5, // Up
+      3, 20, 10, 10, 10, // Average
+      4, 5, 5, 5, 5) // Paeth
+    val d = MediaCodec.decodePng(buildPng(ihdrOf(4, 5, 8, 0), scan)).get
+    assert(d.pixels.toSeq == Seq(
+      10, 20, 30, 40, 15, 25, 35, 45, 20, 30, 40, 50,
+      30, 40, 50, 60, 35, 45, 55, 65))
+  }
+
+  test("decodePng color types: palette and RGBA reduce to integer " +
+    "Rec.601 luminance; rejects 16-bit, interlaced and truncated input") {
+    val pal = buildPng(ihdrOf(2, 1, 8, 3), Array[Byte](0, 0, 1),
+      plte = Some(Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0)))
+    // red (299*255+500)/1000 = 76; green (587*255+500)/1000 = 150
+    assert(MediaCodec.decodePng(pal).get.pixels.toSeq == Seq(76, 150))
+    val rgba = buildPng(ihdrOf(1, 1, 8, 6), Array[Byte](0, 10, 20, 30,
+      255.toByte))
+    // (299*10 + 587*20 + 114*30 + 500)/1000 = 18
+    assert(MediaCodec.decodePng(rgba).get.pixels.toSeq == Seq(18))
+    assert(MediaCodec.decodePng(
+      buildPng(ihdrOf(2, 1, 16, 0), Array[Byte](0, 0, 1, 0, 2))).isEmpty)
+    assert(MediaCodec.decodePng(
+      buildPng(ihdrOf(4, 5, 8, 0, interlace = 1),
+        Array.fill[Byte](25)(0))).isEmpty)
+    val ok = MediaCodec.renderPng(64, 64, lines = Seq("x"))
+    assert(MediaCodec.decodePng(ok.dropRight(30)).isEmpty)
+    assert(MediaCodec.decodePng(null).isEmpty)
+  }
+
   test("decodeJpeg rejects what it cannot decode — never throws: " +
     "header-only JPEGs, progressive frames, truncated entropy, junk") {
     // encodeJpeg emits SOI+APP0+SOF0+EOI (no scan) → structurally valid
