@@ -914,6 +914,34 @@ object SparkEntry {
           .otherwise(coalesce(col("text"), lit(""))).as("text"))
       Dedup.removeDuplicatedSpans(aug, "doc_id", "text",
         k = 8, minTokens = 12, minCount = 2L, keepFirst = true)
+    }),
+
+    // Distributed PIXEL decode (the q34 shape, one level deeper): per
+    // row, render a real container (baseline JPEG on even ids, PNG on
+    // odd — dims from the synthesize formulas) and run the full decoder
+    // — Huffman+IDCT / inflate+defilter — on the executors. Blank
+    // rasters decode to EXACT closed-form luminance (JPEG: every pixel
+    // 40·16/8+128 = 208; PNG: 255), so the oracle checks the decoder's
+    // actual pixel output cross-engine, not just row counts.
+    "q66_pixel_decode" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "documents")).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (16 + (id * 7) % 240).toInt
+          val h = (16 + (id * 13) % 240).toInt
+          val bytes =
+            if (id % 2 == 0) graft.kernel.MediaCodec.renderJpeg(w, h)
+            else graft.kernel.MediaCodec.renderPng(w, h)
+          val d = graft.kernel.MediaCodec.decodeImage(bytes).get
+          var sum = 0L
+          var dark = 0L
+          d.pixels.foreach { p => sum += p; if (p < 160) dark += 1 }
+          val n = d.pixels.length
+          (id, if (id % 2 == 0) "jpeg" else "png", d.width, d.height,
+            sum * 1000L / n, dark * 1000000L / n)
+        })
+        .toDF("doc_id", "kind", "width", "height", "mean_lum_x1000",
+          "dark_ppm")
     })
   )
 
@@ -2611,6 +2639,20 @@ object SparkEntry {
         |        PARTITION BY gram ORDER BY g.doc_id, g.pos) AS rn
         |    FROM g JOIN dup USING (gram))
         |  WHERE rn > 1),""".stripMargin)
+
+    // q66: the decoder's blank-raster pixel output is closed-form — a
+    // uniform DC-40 JPEG block IDCTs to 40·16/8+128 = 208 everywhere and
+    // a blank PNG scanline is 255 everywhere — so dims (the synthesize
+    // formulas) and the exact integer luminance stats re-derive in SQL.
+    m += "q66_pixel_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS kind,
+        |  CAST(16 + (doc_id * 7) % 240 AS INT) AS width,
+        |  CAST(16 + (doc_id * 13) % 240 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 208000 ELSE 255000 END
+        |    AS BIGINT) AS mean_lum_x1000,
+        |  CAST(0 AS BIGINT) AS dark_ppm
+        |FROM documents""".stripMargin
 
     m.toMap
   }
