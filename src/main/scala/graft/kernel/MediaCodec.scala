@@ -616,7 +616,7 @@ object MediaCodec {
     // luminance plane at its native sampling resolution, MCU-padded
     val yW = mcusX * compH(0) * 8
     val yH = mcusY * compV(0) * 8
-    if (yW.toLong * yH > (1L << 28)) return None // absurd dims: bail
+    if (yW.toLong * yH > (1L << 26)) return None // absurd dims (a 600dpi A3 is ~50M px): bail before allocating
     val yPlane = new Array[Int](yW * yH)
 
     // bit reader over the entropy segment (FF00 unstuffing; FF + RSTn is
@@ -801,7 +801,7 @@ object MediaCodec {
           if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
           if (colorType != 0 && colorType != 2 && colorType != 3 &&
             colorType != 4 && colorType != 6) return None
-          if (w.toLong * h > (1L << 28)) return None
+          if (w.toLong * h > (1L << 26)) return None // same cap as decodeJpeg
         case "PLTE" =>
           if (len % 3 != 0) return None
           palette = Array.tabulate(len / 3)(k =>

@@ -526,6 +526,29 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodePng(null).isEmpty)
   }
 
+  test("decoder fuzz (seeded): byte-flipped real containers and random " +
+    "junk never throw and never allocate absurdly — decode is a probe " +
+    "over crawl bytes") {
+    val rng = new java.util.SplittableRandom(0xF0221L)
+    val bases = Seq(
+      MediaCodec.renderJpeg(96, 64, lines = Seq("fuzz me", "again")),
+      MediaCodec.renderPng(96, 64, lines = Seq("fuzz me", "again")))
+    var decoded = 0
+    for (it <- 0 until 400) {
+      val b = bases(it % 2).clone()
+      val flips = 1 + rng.nextInt(6)
+      for (_ <- 0 until flips)
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      if (MediaCodec.decodeImage(b).isDefined) decoded += 1 // must not throw
+      val junk = Array.fill[Byte](rng.nextInt(120))(rng.nextInt(256).toByte)
+      assert(MediaCodec.decodeImage(junk).isEmpty ||
+        junk.length >= 8) // junk without a real magic can never decode
+    }
+    // sanity: some mutations miss critical bytes and still decode — the
+    // fuzz exercised BOTH outcomes, not just early rejects
+    assert(decoded > 0 && decoded < 400, s"decoded=$decoded")
+  }
+
   test("decodeJpeg rejects what it cannot decode — never throws: " +
     "header-only JPEGs, progressive frames, truncated entropy, junk") {
     // encodeJpeg emits SOI+APP0+SOF0+EOI (no scan) → structurally valid
