@@ -942,6 +942,24 @@ object SparkEntry {
         })
         .toDF("doc_id", "kind", "width", "height", "mean_lum_x1000",
           "dark_ppm")
+    }),
+
+    // SemDeDup (Abbas et al. 2023): k-means cluster the embeddings
+    // (2 Lloyd's iterations over floor(x·8) integer-quantized vectors —
+    // exact centroids, q55's trick), then screen WITHIN each cluster in
+    // centroid-proximity order: removed ⇔ an earlier member in
+    // (centroid_cosine DESC, id ASC) order is within 0.55 cosine. Fully
+    // oracle-checked: centroids, assignment, screen order and every
+    // pairwise cosine re-derive bit-identically in SQL.
+    "q67_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 8)).as("iv"))
+      Similarity.semDedup(e, "vec_id", "iv", threshold = 0.55,
+        dim = 64, nlist = 8, iterations = 2)
+        .select(col("id").as("vec_id"), col("cluster"),
+          round(col("centroid_cosine"), 6).as("centroid_cosine"),
+          col("removed"))
     })
   )
 
@@ -2653,6 +2671,46 @@ object SparkEntry {
         |    AS BIGINT) AS mean_lum_x1000,
         |  CAST(0 AS BIGINT) AS dark_ppm
         |FROM documents""".stripMargin
+
+    // q67: SemDeDup — the q55 lloydIter CTEs (nlist=8 seed) give the
+    // bit-identical trained centroids; the final assignment, the
+    // per-cluster centroid-proximity screen order and the pairwise
+    // upper-triangle cosine test then re-derive in plain SQL. removed ⇔
+    // an earlier member of the same cluster (kept or not — the paper
+    // implementation's triu rule) is within 0.55 cosine.
+    m += "q67_semdedup" ->
+      s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x * 8)) AS v
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |c0 AS (SELECT vec_id + 1 AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |${lloydIter(1, "c0", "c1")},
+        |${lloydIter(2, "c1", "c2")},
+        |af AS (
+        |  SELECT e.vec_id, c.cid, ${foldCosine("e.v", "c.cv", 64)} AS cs
+        |  FROM e, c2 c),
+        |asgf AS (
+        |  SELECT vec_id, cid, cs FROM (
+        |    SELECT vec_id, cid, cs,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM af) WHERE rn = 1),
+        |rankedc AS (
+        |  SELECT vec_id, cid, cs,
+        |    row_number() OVER (PARTITION BY cid
+        |                       ORDER BY cs DESC, vec_id ASC) AS rn
+        |  FROM asgf),
+        |rem AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM rankedc a JOIN rankedc b ON a.cid = b.cid AND a.rn < b.rn
+        |  JOIN e x ON x.vec_id = a.vec_id
+        |  JOIN e y ON y.vec_id = b.vec_id
+        |  WHERE ${foldCosine("x.v", "y.v", 64)} >= 0.55)
+        |SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster,
+        |  round(r.cs, 6) AS centroid_cosine,
+        |  (rem.vec_id IS NOT NULL) AS removed
+        |FROM rankedc r LEFT JOIN rem ON rem.vec_id = r.vec_id""".stripMargin
 
     m.toMap
   }

@@ -344,4 +344,70 @@ object Similarity {
       vecCol: String,
       threshold: Double): DataFrame =
     cosineNearDups(df, idCol, vecCol, threshold, 16, 4, 64, 42L)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by cluster-then-screen. K-means clusters the corpus
+    * embeddings (the [[trainQuantizer]] Lloyd's machinery — deterministic
+    * lowest-id seeding, smallest-index argmax ties), then WITHIN each
+    * cluster members are screened in centroid-proximity order (cosine to
+    * own centroid DESC, id ASC): a member is `removed` iff some member
+    * EARLIER in that order — kept or not, the paper implementation's
+    * upper-triangle rule, which keeps the screen a single non-iterative
+    * join rather than a sequential fold — is within `threshold` cosine of
+    * it. Survivors are the far-from-centroid representatives, which is
+    * the paper's diversity-preserving retention choice.
+    *
+    * Scale story: the quadratic screen is confined to clusters, so
+    * `nlist` is the knob that bounds per-task pair counts (grow it with
+    * the corpus; the paper runs 50k clusters at LAION scale). The plan
+    * shuffles the corpus ONCE on the cluster id — the window rank and
+    * the within-cluster self-join reuse that same hash partitioning —
+    * and the centroid table rides along as a single `typedlit` literal
+    * (plan O(1) in nlist). Per-side pipelines carry only
+    * (cluster, rank, id, vector), so the self-join's
+    * upstream-once-per-side re-evaluation re-does cheap projection, not
+    * kernel work. Rows with null / wrong-dimension vectors are excluded
+    * (they can neither cluster nor match — same rule as the trainer).
+    *
+    * Output: one row per clustered vector —
+    * (id, cluster, centroid_cosine, removed). */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int = 64,
+      nlist: Int = 8,
+      iterations: Int = 2,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      trainQuantizer(corpus, idCol, vecCol, nlist, dim, iterations))
+    val centsLit: Column = typedlit(cents.map(_.toSeq).toSeq)
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+      .withColumn("scores", transform(centsLit, ct => cosine(col("v"), ct)))
+      .withColumn("cluster",
+        array_position(col("scores"), array_max(col("scores"))))
+      .withColumn("centroid_cosine", array_max(col("scores")))
+      .drop("scores")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("centroid_cosine").desc, col("id").asc)
+    val ranked = assigned.withColumn("rn", row_number().over(w))
+    val earlier = ranked.select(col("cluster"), col("rn").as("rn_a"),
+      col("v").as("v_a"))
+    val later = ranked.select(col("cluster"), col("rn").as("rn_b"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    val removed = earlier.join(later, Seq("cluster"))
+      .filter(col("rn_a") < col("rn_b") &&
+        cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("id"))
+      .distinct()
+      .withColumn("removed", lit(true))
+    ranked
+      .join(removed, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("centroid_cosine"),
+        coalesce(col("removed"), lit(false)).as("removed"))
+  }
 }

@@ -176,6 +176,32 @@ class OpsSpec extends AnyFunSuite {
     assert(ungrouped == pairs, s"ungrouped=$ungrouped grouped=$pairs")
   }
 
+  test("semDedup screen: centroid-proximity order, upper-triangle removal " +
+    "(a later member is removed even when its only match was itself removed)") {
+    import math.{cos, Pi}
+    def v(deg: Double) = Array(cos(deg * Pi / 180).toFloat,
+      math.sin(deg * Pi / 180).toFloat)
+    val df = Seq(
+      (1L, v(0.0)), (4L, v(9.0)), (2L, v(18.0)),
+      (10L, v(90.0)),                        // second cluster, alone
+      (5L, null.asInstanceOf[Array[Float]]), // excluded: null vector
+      (6L, Array(1.0f, 0.0f, 0.0f))          // excluded: wrong dimension
+    ).toDF("vec_id", "embedding")
+    val cents = Some(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = cos(10.0 * Pi / 180), dim = 2, centroids = cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 10L))
+    assert(out(1L) == ((1L, false))) // closest to centroid: screens first
+    assert(out(4L) == ((1L, true))) // within 10 degrees of id 1
+    // id 2 is within 10 degrees ONLY of id 4, which was itself removed —
+    // the paper implementation's upper-triangle rule still removes it
+    // (sequential kept-only screening would keep it)
+    assert(out(2L) == ((1L, true)))
+    assert(out(10L) == ((2L, false))) // alone in its cluster
+  }
+
   test("ngram jaccard prefix join ≡ naive all-pairs (completeness property)") {
     // vocabulary-overlapping random-ish corpus: prefix filtering must
     // reproduce the quadratic join's output exactly
