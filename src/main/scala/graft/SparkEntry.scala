@@ -960,6 +960,22 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster"),
           round(col("centroid_cosine"), 6).as("centroid_cosine"),
           col("removed"))
+    }),
+
+    // Quality-aware canonical selection: near-dup components (the q23
+    // pair set) keep their HIGHEST-quality member — distinct-token count
+    // as the integer score, ties → min id — instead of the min-id
+    // representative. One verdict row per doc; singletons always keep.
+    "q68_canonical_by_quality" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+      val scored = docs.select(col("doc_id"),
+        size(array_distinct(filter(split(coalesce(col("text"), lit("")), " "),
+          tk => tk =!= ""))).as("distinct_tokens"))
+      Dedup.canonicalByQuality(scored, "doc_id", "distinct_tokens", pairs)
+        .select(col("id").as("doc_id"), col("component"),
+          col("score").as("distinct_tokens"), col("keeper"))
     })
   )
 
@@ -2711,6 +2727,40 @@ object SparkEntry {
         |  round(r.cs, 6) AS centroid_cosine,
         |  (rem.vec_id IS NOT NULL) AS removed
         |FROM rankedc r LEFT JOIN rem ON rem.vec_id = r.vec_id""".stripMargin
+
+    // q68: quality-aware canonical selection — the q23 pair CTEs + the
+    // q45 recursive components give the labels; the score is an exact
+    // integer (distinct whitespace tokens, the q47-established
+    // tokenization parity); the keeper is the same (score DESC, id ASC)
+    // window argmax per component. Docs outside every pair label as
+    // their own singleton component.
+    m += "q68_canonical_by_quality" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, c) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
+        |comp AS (SELECT v AS id, min(c) AS component FROM reach GROUP BY v),
+        |sc AS (
+        |  SELECT d.doc_id, CAST(coalesce(tc.n, 0) AS BIGINT) AS score
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, count(DISTINCT token) AS n FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents) WHERE token <> '' GROUP BY doc_id) tc
+        |  ON tc.doc_id = d.doc_id),
+        |lab AS (
+        |  SELECT s.doc_id, coalesce(c.component, s.doc_id) AS component,
+        |    s.score
+        |  FROM sc s LEFT JOIN comp c ON c.id = s.doc_id)
+        |SELECT doc_id, component, score AS distinct_tokens,
+        |  row_number() OVER (PARTITION BY component
+        |                     ORDER BY score DESC, doc_id ASC) = 1 AS keeper
+        |FROM lab""".stripMargin
 
     m.toMap
   }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.kernel.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -156,6 +157,37 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware canonical selection: per near-dup component, keep the
+    * member with the HIGHEST quality score (ties → smallest id) instead
+    * of the min-id representative — the retention policy a real corpus
+    * wants (when boilerplate-stripped and full-boilerplate captures of a
+    * page near-dup each other, keep the clean one). Any deterministic
+    * per-doc score column works (a length proxy, Gopher signals, the
+    * trained classifier's integer ppm score).
+    *
+    * Output: one verdict row per input doc — (id, component, score,
+    * keeper). Docs outside every pair are their own singleton component
+    * and always keep. Shuffle story: components run on the pair graph
+    * (tiny vs corpus); the corpus joins the label table once on id
+    * (broadcastable — only ids appearing in some pair); the keeper rank
+    * is one window over components, whose partitions are dup-group
+    * sized. */
+  def canonicalByQuality(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .select(col("id"), col("component"))
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("score"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.join(labels, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .withColumn("keeper", row_number().over(w) === 1)
+      .select(col("id"), col("component"), col("score"), col("keeper"))
   }
 
   /** k-word shingles of a token array (empty when fewer than k tokens). */

@@ -176,6 +176,26 @@ class OpsSpec extends AnyFunSuite {
     assert(ungrouped == pairs, s"ungrouped=$ungrouped grouped=$pairs")
   }
 
+  test("canonicalByQuality: components keep the argmax-score member " +
+    "(ties to min id), singletons always keep") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scored = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), // component 1: max score tie 2 vs 3
+      (10L, 1L), (11L, 0L),         // component 10: plain argmax
+      (20L, 7L)                     // in no pair: singleton, keeps
+    ).toDF("doc_id", "quality")
+    val out = Dedup.canonicalByQuality(scored, "doc_id", "quality", pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((1L, true))) // score 9, tie broken to min id
+    assert(out(3L) == ((1L, false)))
+    assert(out(10L) == ((10L, true)))
+    assert(out(11L) == ((10L, false)))
+    assert(out(20L) == ((20L, true))) // singleton component = own id
+    assert(out.size == 6)
+  }
+
   test("semDedup screen: centroid-proximity order, upper-triangle removal " +
     "(a later member is removed even when its only match was itself removed)") {
     import math.{cos, Pi}
