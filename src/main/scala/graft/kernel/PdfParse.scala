@@ -106,6 +106,8 @@ object PdfParse {
   private val PatColumns = Py.re("""/Columns\s+(\d+)""")
   private val PatColors = Py.re("""/Colors\s+(\d+)""")
   private val PatBpc = Py.re("""/BitsPerComponent\s+(\d+)""")
+  // CCITTFaxDecode /K (inside /DecodeParms): < 0 = pure 2-D (Group 4)
+  private val PatCcittK = Py.re("""/K\s+(-?\d+)""")
   private val PatType0 = Py.re("""/Subtype\s*/Type0""")
   private val PatEncodingIdentity = Py.re("""/Encoding\s*/Identity-[HV]""")
   // predefined Unicode-family CMaps (PDF 32000-1 §9.7.5.2 table 118):
@@ -1551,25 +1553,35 @@ object PdfParse {
           if (wm.find() && hm.find()) {
             val w = wm.group(1).toInt; val h = hm.group(1).toInt
             val filters = filterNames(body)
+            // CCITTFaxDecode: only the 2-D G4 flavor (/K < 0) is
+            // decodable here; /K defaults to 0 = G3 1-D, so require an
+            // explicit negative K before carrying the payload
+            val isG4 = filters == Vector("CCITTFaxDecode") && {
+              val km = PatCcittK.matcher(body)
+              km.find() && km.group(1).toInt < 0
+            }
             val payload =
               if (filters == Vector("DCTDecode") ||
-                filters == Vector("JBIG2Decode"))
+                filters == Vector("JBIG2Decode") || isG4)
                 rawPayload(obj, bytes, crypt).getOrElse(Array.empty[Byte])
               else Array.empty[Byte]
             // cross-check the payload's OWN header dims against the dict:
             // a disagreement is the malformed-scanned-PDF signature — the
             // bytes are untrusted (never reused by S6; the page renders
-            // via S5 instead) and the page carries an error detail
-            val mismatch = payload.nonEmpty &&
+            // via S5 instead) and the page carries an error detail. Raw
+            // G4 bitstreams carry no dims, so they cannot be checked.
+            val mismatch = !isG4 && payload.nonEmpty &&
               MediaCodec.embeddedImageDims(payload)
                 .exists { case (hw, hh, _) => hw != w || hh != h }
             val data =
-              if (filters == Vector("DCTDecode") && !mismatch) payload
+              if ((filters == Vector("DCTDecode") && !mismatch) || isG4)
+                payload
               else Array.empty[Byte]
             // placement unknown without full graphics-state tracking: use a
             // nominal rect at intrinsic size
             out += PdfImage(w, h, Vector(PdfRect(0, 0, w.toDouble, h.toDouble)),
-              data, headerMismatch = mismatch)
+              data, headerMismatch = mismatch,
+              ccittG4 = isG4 && data.nonEmpty)
           }
         } else if (PatSubForm.matcher(body).find()) {
           resolveResources(body, objs)
@@ -1603,6 +1615,13 @@ object PdfParse {
     * Tj/T*, plus optional image XObjects. Produces a structurally valid
     * file (header, objects, xref table, trailer) that external readers
     * accept. Used by fixtures and the synthetic corpus. */
+  /** Deterministic "scanned text" ink for embedCcitt XObjects: dashed
+    * line-shaped runs with a closed-form dark ratio — 2 of every 10 rows
+    * carry ink over 5 of every 8 columns, so darkRatio is exactly
+    * (2/10)·(5/8) = 0.125 whenever width%8 == 0 and height%10 == 0. */
+  private[kernel] def ccittInk(x: Int, y: Int): Boolean =
+    y % 10 < 2 && x % 8 < 5
+
   def writePdf(
       pageLines: Seq[Seq[String]],
       compress: Boolean = true,
@@ -1611,6 +1630,10 @@ object PdfParse {
       pageHeight: Double = 792,
       encrypt: Option[PdfCrypt.Mode] = None,
       embedJpeg: Boolean = false,
+      // the XObject stream is a REAL CCITT G4 bitstream under
+      // /Filter /CCITTFaxDecode /K -1 (the fax-scanner layout) carrying
+      // a deterministic ink pattern; mutually exclusive with embedJpeg
+      embedCcitt: Boolean = false,
       cidFont: Boolean = false,
       // /Encoding name of the Type0 font when cidFont: Identity-H (the
       // dominant modern layout) or a predefined UCS2-family CMap name
@@ -1690,12 +1713,20 @@ object PdfParse {
       // /Filter /DCTDecode — the dominant scanned-page layout, and the
       // input S6's embedded-image reuse passes through verbatim
       val payload =
-        if (embedJpeg) MediaCodec.renderJpeg(w, h) else Array.emptyByteArray
-      val filter = if (embedJpeg) " /Filter /DCTDecode" else ""
+        if (embedJpeg) MediaCodec.renderJpeg(w, h)
+        else if (embedCcitt) CcittG4.encode(w, h, ccittInk)
+        else Array.emptyByteArray
+      val filter =
+        if (embedJpeg) " /Filter /DCTDecode"
+        else if (embedCcitt)
+          s" /Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns $w " +
+            s"/Rows $h /BlackIs1 true >>"
+        else ""
+      val bpc = if (embedCcitt) 1 else 8
       val data = encStream(num, payload)
       val body =
         s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
-          s"/ColorSpace /DeviceGray /BitsPerComponent 8$filter " +
+          s"/ColorSpace /DeviceGray /BitsPerComponent $bpc$filter " +
           s"/Length ${data.length} >>"
       val head = s"$num 0 obj\n$body\nstream\n"
         .getBytes(StandardCharsets.ISO_8859_1)

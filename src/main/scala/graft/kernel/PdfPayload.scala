@@ -33,7 +33,11 @@ final case class PdfImage(
     pixelHeight: Int,
     rects: Vector[PdfRect],
     data: Array[Byte],
-    headerMismatch: Boolean = false)
+    headerMismatch: Boolean = false,
+    // data is a raw CCITT G4 bitstream (/Filter /CCITTFaxDecode, /K -1):
+    // decodable via CcittG4.decode with the dict dims, but NOT a
+    // self-contained image — S6 reuse must not return it verbatim
+    ccittG4: Boolean = false)
 
 final case class PdfPage(
     width: Double,

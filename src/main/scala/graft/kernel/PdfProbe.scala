@@ -257,7 +257,11 @@ final class PdfProbe(cfg: ProbeConfig) {
         }
       }
       best match {
-        case Some(img) if img.data.nonEmpty && img.pixelWidth > 200 && img.pixelHeight > 200 =>
+        // raw CCITT G4 bitstreams are excluded: without their TIFF/PDF
+        // wrapper they are not a self-contained image a downstream OCR
+        // engine can open, so such pages render via S5 instead
+        case Some(img) if img.data.nonEmpty && !img.ccittG4 &&
+            img.pixelWidth > 200 && img.pixelHeight > 200 =>
           return Base64.getEncoder.encodeToString(img.data)
         case _ => // fall through to render
       }
@@ -273,7 +277,13 @@ final class PdfProbe(cfg: ProbeConfig) {
   def imagePixelContent(page: PdfPage): Vector[ImagePixelContent] =
     page.images.flatMap { img =>
       if (img.data.isEmpty) None
-      else MediaCodec.decodeImage(img.data).map { d =>
+      else {
+        // G4 bitstreams carry no dimensions — the XObject dict's are
+        // authoritative (and the only possible) decode geometry
+        if (img.ccittG4)
+          CcittG4.decode(img.data, img.pixelWidth, img.pixelHeight)
+        else MediaCodec.decodeImage(img.data)
+      }.map { d =>
         var sum = 0L
         var dark = 0
         var i = 0

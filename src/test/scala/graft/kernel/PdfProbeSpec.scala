@@ -283,4 +283,37 @@ class PdfProbeSpec extends AnyFunSuite {
     assert(all.head.head.meanLuminance == 208.0)
     assert(api.imagePixelContent("<html>no pdf</html>".getBytes).isEmpty)
   }
+
+  test("CCITT G4 scanned layout: the /K -1 CCITTFaxDecode payload decodes " +
+    "with the dict dims (closed-form darkRatio), and S6 never returns the " +
+    "raw bitstream as an image") {
+    // 1200%8 == 0 and 1600%10 == 0 → ccittInk dark ratio exactly 0.125
+    val bytes = PdfParse.writePdf(Seq(Seq.empty), compress = true,
+      images = Seq((1200, 1600)), embedCcitt = true)
+    val doc = PdfParse.parse(bytes)
+    val img = doc.pages.head.images.head
+    assert(img.ccittG4 && img.data.nonEmpty)
+    assert(img.pixelWidth == 1200 && img.pixelHeight == 1600)
+    val probe = new PdfProbe(ProbeConfig())
+    val px = probe.imagePixelContent(doc.pages.head)
+    assert(px.length == 1)
+    assert(px(0).darkRatio == 0.125, px(0))
+    assert(px(0).meanLuminance == 255.0 * 0.875, px(0))
+    // S6: the best image IS this one (full coverage, > 200x200) but raw
+    // G4 is not self-contained — the page must fall through to a REAL
+    // rendered container instead of returning the bitstream verbatim
+    val b64 = probe.getPageImageSmart(0, doc.pages.head, PageType.Scanned)
+    val out = java.util.Base64.getDecoder.decode(b64)
+    assert(!java.util.Arrays.equals(out, img.data))
+    assert(MediaCodec.parse(out).kind != "unknown") // a decodable container
+    // G3 (/K 0 or absent) payloads are NOT carried: flag and data empty
+    val g3 = PdfParse.writePdf(Seq(Seq.empty), compress = true,
+      images = Seq((1200, 1600)), embedCcitt = true)
+    val g3doc = PdfParse.parse(
+      new String(g3, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .replace("/K -1 ", "/K 0  ") // same byte length: offsets stay valid
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val g3img = g3doc.pages.head.images.head
+    assert(!g3img.ccittG4 && g3img.data.isEmpty)
+  }
 }
