@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data operator suite). EVERY query has an
-  * ANSI-SQL DuckDB oracle (54/54 — zero rows-only checks): engine-specific
+  * ANSI-SQL DuckDB oracle (69/69 — zero rows-only checks): engine-specific
   * values are made oracle-checkable by construction. Kernel 64-bit hashes
   * (minhash/simhash/fingerprints) are re-derived in DuckDB HUGEINT mod-2^64
   * SQL; LSH hyperplanes are MD5-derived so both engines compute them; dot
@@ -976,6 +976,21 @@ object SparkEntry {
       Dedup.canonicalByQuality(scored, "doc_id", "distinct_tokens", pairs)
         .select(col("id").as("doc_id"), col("component"),
           col("score").as("distinct_tokens"), col("keeper"))
+    }),
+
+    // DSIR importance scores (Xie et al. NeurIPS'23): hashed 1+2-gram
+    // buckets (kernel fnv1a64 & 4095), per-bucket target/raw add-one
+    // log-likelihood-ratio weights in EXACT Q20 fixed-point (the
+    // digit-recurrence ilog2Q20 — zero float logs in the operator), doc
+    // score = sum of its grams' bucket weights. Target = English docs.
+    // The oracle re-derives the entire chain (per-char fnv+mix fold,
+    // 20-step HUGEINT ilog2) bit-identically.
+    "q69_dsir_scores" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val weights = TextOps.dsirBucketWeights(
+        docs.withColumn("is_target", col("lang") === "en"),
+        "text", "is_target", buckets = 4096)
+      TextOps.dsirScores(docs, "doc_id", "text", weights, buckets = 4096)
     })
   )
 
@@ -1005,6 +1020,27 @@ object SparkEntry {
        |${p}3 AS (SELECT $carry, xor(h, h >> 27) AS h FROM ${p}2),
        |${p}4 AS (SELECT $carry, ${u64MulMod("h", c2)} AS h FROM ${p}3),
        |${p}5 AS (SELECT $carry, xor(h, h >> 31) AS h FROM ${p}4)""".stripMargin
+  }
+
+  /** Q20 fixed-point integer log2 of positive BIGINT expression `n`: the
+    * kernel's Hashing.ilog2Q20 digit recurrence unrolled as a HUGEINT
+    * fold — e = bit_length-1 via bin(); normalize to Q32 in [2^32,2^33);
+    * 20 square-and-shift steps with the (x, bits) state PACKED as
+    * x·2^20 + bits so list_reduce can carry it as one HUGEINT. The square
+    * is ≤ 2^66 ≪ HUGEINT range, so every step is exact — bit-identical
+    * to the Scala kernel (validated value-by-value over 220 inputs). */
+  private def ilog2Q20Sql(n: String): String = {
+    val e = s"(length(bin(($n)::BIGINT)) - 1)"
+    val x0 = s"(CASE WHEN $e <= 32 THEN ($n)::HUGEINT << (32 - $e) " +
+      s"ELSE ($n)::HUGEINT >> ($e - 32) END)"
+    val x = "(st // 1048576)"
+    s"""($e::HUGEINT * 1048576 + list_reduce(
+       |  list_prepend($x0 * 1048576,
+       |    list_transform(range(20), i -> 0::HUGEINT)),
+       |  (st, z) -> CASE WHEN (($x * $x) >> 32) >= 8589934592
+       |    THEN ((($x * $x) >> 33) * 1048576) + ((st % 1048576) * 2 + 1)
+       |    ELSE ((($x * $x) >> 32) * 1048576) + ((st % 1048576) * 2)
+       |    END) % 1048576)""".stripMargin
   }
 
   /** CTE chain computing the kernel simhash64 (Hashing.simhash64: FNV-1a +
@@ -2761,6 +2797,53 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY component
         |                     ORDER BY score DESC, doc_id ASC) = 1 AS keeper
         |FROM lab""".stripMargin
+
+    // q69: DSIR — grams (unigrams + bigrams over non-empty space-split
+    // words), kernel fnv1a+mix per gram in HUGEINT mod-2^64, bucket =
+    // h % 4096 (== the engine's signed &4095 on the low 12 bits),
+    // add-one log-likelihood-ratio weights via the SAME 20-step Q20
+    // digit-recurrence ilog2 the kernel computes (ilog2Q20Sql) — the
+    // whole pipeline is integer-exact cross-engine; sums cast to BIGINT.
+    locally {
+      val fnvOffset = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+      def lg(x: String) = ilog2Q20Sql(x)
+      m += "q69_dsir_scores" ->
+        s"""WITH wd AS (SELECT doc_id, lang = 'en' AS y,
+          |    list_filter(string_split(text, ' '), w -> w <> '') AS words
+          |  FROM documents),
+          |gr AS (
+          |  SELECT doc_id, y, unnest(words) AS gram FROM wd
+          |  UNION ALL
+          |  SELECT doc_id, y, unnest(list_transform(
+          |      range(1, greatest(len(words), 1)),
+          |      i -> words[i] || ' ' || words[i+1])) AS gram FROM wd),
+          |g0 AS (SELECT doc_id, y,
+          |    list_reduce(list_prepend($fnvOffset::HUGEINT,
+          |      list_transform(regexp_extract_all(gram, '.'),
+          |                     c -> unicode(c)::HUGEINT)),
+          |      (h, c) -> (xor(h, c) * 1099511628211) % $U64) AS h
+          |  FROM gr),
+          |${mixCtes("g", "g0", "doc_id, y")},
+          |gb AS (SELECT doc_id, y, CAST(h % 4096 AS BIGINT) AS bucket
+          |  FROM g5),
+          |bc AS (SELECT r.bucket,
+          |    CAST(coalesce(sum(CASE WHEN y THEN 1 ELSE 0 END), 0)
+          |      AS BIGINT) AS tc,
+          |    CAST(coalesce(sum(CASE WHEN NOT y THEN 1 ELSE 0 END), 0)
+          |      AS BIGINT) AS rc
+          |  FROM range(4096) r(bucket) LEFT JOIN gb ON gb.bucket = r.bucket
+          |  GROUP BY 1),
+          |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS t,
+          |    CAST(sum(rc) AS BIGINT) AS r FROM bc),
+          |wt AS (SELECT bucket,
+          |    CAST(${lg("tc + 1")} - ${lg("rc + 1")}
+          |       - ${lg("t + 4096")} + ${lg("r + 4096")} AS BIGINT)
+          |      AS weight_q20
+          |  FROM bc, tot)
+          |SELECT gb.doc_id, count(*)::BIGINT AS n_grams,
+          |  CAST(sum(weight_q20) AS BIGINT) AS score_q20
+          |FROM gb JOIN wt USING (bucket) GROUP BY 1""".stripMargin
+    }
 
     m.toMap
   }

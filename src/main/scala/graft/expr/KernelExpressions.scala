@@ -78,6 +78,48 @@ case class Mix64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Kernel FNV-1a (with the splitmix64 finisher baked in — see
+  * Hashing.fnv1a) over a STRING column: the per-gram hash behind DSIR
+  * bucket assignment (TextOps.dsirBucketWeights). Engine-independent and
+  * re-derivable in the oracle's HUGEINT per-character fold + mix chain. */
+case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fnv1a64"
+
+  override def nullSafeEval(input: Any): Any =
+    Hashing.fnv1a(input.asInstanceOf[UTF8String].toString, 0L)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.kernel.Hashing.fnv1a($c.toString(), 0L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64Expr =
+    copy(child = newChild)
+}
+
+/** Q20 fixed-point integer log2 (Hashing.ilog2Q20) over a positive LONG
+  * column — the float-free log behind DSIR's importance weights. The
+  * DuckDB oracle unrolls the identical 20-step digit recurrence in
+  * HUGEINT SQL, so log-ratio scores are integer-exact cross-engine. */
+case class Ilog2Q20Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a bigint argument")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ilog2q20"
+
+  override def nullSafeEval(input: Any): Any =
+    Hashing.ilog2Q20(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.kernel.Hashing.ilog2Q20($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Ilog2Q20Expr =
+    copy(child = newChild)
+}
+
 object KernelExpressions {
 
   /** Idempotent registration in the session's function registry; the
@@ -90,6 +132,10 @@ object KernelExpressions {
       exprs => RollingFingerprintExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_mix64",
       exprs => Mix64Expr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_fnv1a64",
+      exprs => Fnv1a64Expr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_ilog2q20",
+      exprs => Ilog2Q20Expr(exprs.head), "built-in")
   }
 
   /** Column helpers (register + refer by name — version-stable across the

@@ -29,6 +29,32 @@ object Hashing {
     x
   }
 
+  /** Q20 fixed-point integer log2: round-toward-zero log2(n)·2^20 computed
+    * with INTEGER arithmetic only (normalize to Q32 in [2^32, 2^33), then
+    * 20 square-and-shift steps — the classical digit-recurrence method).
+    * Exact and engine-reproducible: the DuckDB oracle unrolls the same 20
+    * steps in HUGEINT SQL and gets bit-identical values, which is what
+    * lets log-ratio scoring (DSIR importance weights) be oracle-checked
+    * with ZERO floating-point operations. Accuracy ≈ 1e-6 log2 units
+    * (plus Q32 truncation for n ≥ 2^33). Requires n ≥ 1. */
+  def ilog2Q20(n: Long): Long = {
+    require(n >= 1, s"ilog2Q20 requires n >= 1, got $n")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var x: Long = if (e <= 32) n << (32 - e) else n >>> (e - 32)
+    var bits = 0L
+    var i = 0
+    while (i < 20) {
+      // x < 2^33 so the square needs 66 bits: multiplyHigh + unsigned
+      // low half reassemble the exact 128-bit product >> 32
+      val hi = java.lang.Math.multiplyHigh(x, x)
+      val sq = (hi << 32) | ((x * x) >>> 32)
+      x = if (sq >= 0x200000000L) { bits = bits * 2 + 1; sq >>> 1 }
+        else { bits = bits * 2; sq }
+      i += 1
+    }
+    (e.toLong << 20) + bits
+  }
+
   /** SimHash-64 over whitespace tokens: per token a 64-bit hash votes ±1 on
     * each bit position; the sign of each position's tally forms the
     * fingerprint. Near-duplicate texts land within small Hamming distance. */

@@ -660,6 +660,102 @@ object TextOps {
         sum(coalesce(col("weight_ppm"), lit(0L))).as("score_sum"))
       .withColumn("predicted_positive", col("score_sum") > 0L)
 
+  /** DSIR feature grams (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling", NeurIPS'23): word unigrams + bigrams over
+    * single-space-separated text, empty tokens dropped. Pure Column HOFs.
+    * `nw` is referenced a constant number of times PER ROW (never per
+    * element — the measured >30× HOF re-inline trap applies to per-element
+    * re-evaluation only); bigrams come from one `zip_with` of the word
+    * list against its own tail, with the final short-zip null filtered. */
+  private[ops] def dsirGrams(text: Column): Column = {
+    val nw = filter(split(coalesce(text, lit("")), " "),
+      w => w =!= lit(""))
+    val bigrams = filter(
+      zip_with(nw, slice(nw, lit(2), greatest(size(nw) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      g => g.isNotNull)
+    concat(nw, bigrams)
+  }
+
+  private def dsirBucket(gram: Column, buckets: Int): Column =
+    call_function("graft_fnv1a64", gram)
+      .bitwiseAND(lit((buckets - 1).toLong))
+
+  private def ilog2q20(c: Column): Column =
+    call_function("graft_ilog2q20", c)
+
+  /** DSIR importance weights over hashed n-gram buckets: learn, from a
+    * corpus with a boolean target-membership column, the per-bucket
+    * log-likelihood ratio log2(p_target(b) / p_raw(b)) under add-one
+    * smoothing — the "hashed n-gram importance weight" estimator of Xie
+    * et al. NeurIPS'23 §3. Grams are [[dsirGrams]]; bucket =
+    * fnv1a64(gram) & (buckets-1) (buckets must be a power of two so the
+    * signed mask equals the oracle's unsigned `% buckets`). All math is
+    * INTEGER: logs are Q20 fixed-point via the kernel's digit-recurrence
+    * ilog2Q20 ([[graft.expr.Ilog2Q20Expr]]), so weights are bit-identical
+    * to the DuckDB oracle's unrolled HUGEINT chain — no float logs exist
+    * anywhere in the operator.
+    *
+    * Returns exactly `buckets` rows (bucket, weight_q20):
+    *   weight_q20 = ilog2(tc+1) - ilog2(rc+1) - ilog2(T+B) + ilog2(R+B)
+    * with tc/rc the bucket's target/raw gram counts and T/R the totals.
+    *
+    * Shuffle story at 100 TB: gram explode is row-local; ONE bucket-keyed
+    * aggregate with map-side combine (≤ `buckets` partial rows per task
+    * cross the wire — the key space is FIXED at B, so the shuffle is
+    * O(tasks·B), independent of corpus size); totals are a scalar
+    * re-aggregate of the B-row table joined back as a broadcast single
+    * row (the q07 shape); zero-fill joins against a range(B) literal.
+    * The output is B rows — broadcastable to the scorer by construction. */
+  def dsirBucketWeights(df: DataFrame, textCol: String, targetCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val spark = df.sparkSession
+    graft.expr.KernelExpressions.register(spark)
+    val counts = df
+      .select(col(targetCol).cast("boolean").as("y"),
+        explode(dsirGrams(col(textCol))).as("gram"))
+      .select(col("y"), dsirBucket(col("gram"), buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("tc"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("rc"))
+    val full = spark.range(buckets).toDF("bucket")
+      .join(broadcast(counts), Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+    val totals = full.agg(sum(col("tc")).as("t"), sum(col("rc")).as("r"))
+    full.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (ilog2q20(col("tc") + 1L) - ilog2q20(col("rc") + 1L) -
+          ilog2q20(col("t") + buckets.toLong) +
+          ilog2q20(col("r") + buckets.toLong)).as("weight_q20"))
+  }
+
+  /** Score documents against a trained DSIR weight table: per doc, the
+    * sum of its grams' bucket weights (Q20 log2 units) — the estimated
+    * log importance ratio of the doc under the target vs raw hashed-gram
+    * models. High scores = target-like docs; resampling keeps the top
+    * fraction. Docs yielding zero grams are dropped by both engines.
+    *
+    * Shuffle story: the weight table is exactly `buckets` rows and is
+    * BROADCAST — the exploded corpus never shuffles on the bucket key;
+    * the only exchange is the doc-keyed final sum, which map-side
+    * combines to one partial row per (doc, partition). */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 4096): DataFrame = {
+    graft.expr.KernelExpressions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        explode(dsirGrams(col(textCol))).as("gram"))
+      .select(col("doc_id"), dsirBucket(col("gram"), buckets).as("bucket"))
+      .join(broadcast(weights.select(col("bucket"), col("weight_q20"))),
+        Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("weight_q20")).as("score_q20"))
+  }
+
   /** Order-sensitive rolling-hash document fingerprint via the kernel. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

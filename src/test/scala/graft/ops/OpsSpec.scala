@@ -905,4 +905,86 @@ class OpsSpec extends AnyFunSuite {
     assert(v(2L) == "near_dup")  // doc 2 ~ doc 1 (one word differs)
     assert(v(6L) == "kept")      // nothing similar in base
   }
+
+  test("ilog2Q20: exact on powers of two, monotone, ~1e-6 accurate") {
+    for (k <- 0 to 62) {
+      assert(Hashing.ilog2Q20(1L << k) == k.toLong << 20,
+        s"ilog2Q20(2^$k) must be exactly $k in Q20")
+    }
+    // round-toward-zero: never exceeds the true log2, within 2^-20+eps
+    val probes = Seq(3L, 5L, 7L, 100L, 999L, 12345L, 1000003L,
+      (1L << 33) + 5L, (1L << 40) + 12345L, Long.MaxValue)
+    for (n <- probes) {
+      val got = Hashing.ilog2Q20(n) / math.pow(2, 20)
+      val want = math.log(n.toDouble) / math.log(2)
+      assert(got <= want + 1e-9 && want - got < 3e-6,
+        s"ilog2Q20($n) = $got vs true $want")
+    }
+    // strictly monotone over a dense small range
+    val vals = (1L to 5000L).map(Hashing.ilog2Q20)
+    assert(vals.zip(vals.tail).forall { case (a, b) => a < b })
+    intercept[IllegalArgumentException](Hashing.ilog2Q20(0L))
+  }
+
+  test("DSIR: weights match a first-principles kernel computation and " +
+    "scores are the per-doc gram-weight sums") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha beta delta epsilon zeta", true),
+      (3L, "noise junk spam noise junk", false),
+      (4L, "spam junk noise filler words", false),
+      (5L, "alpha noise beta junk gamma", false),
+      (6L, "", true) // zero grams: must vanish from the score output
+    ).toDF("id", "text", "is_target")
+    val buckets = 256
+    val w = TextOps.dsirBucketWeights(corpus, "text", "is_target", buckets)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        r.getAs[Long]("weight_q20")).toMap
+    assert(w.size == buckets) // every bucket present, weight total
+
+    // first principles: grams = unigrams + bigrams of non-empty words
+    def grams(text: String): Seq[String] = {
+      val ws = text.split(" ").filter(_.nonEmpty).toSeq
+      ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val rows = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha beta delta epsilon zeta", true),
+      (3L, "noise junk spam noise junk", false),
+      (4L, "spam junk noise filler words", false),
+      (5L, "alpha noise beta junk gamma", false),
+      (6L, "", true))
+    val tc = Array.fill(buckets)(0L)
+    val rc = Array.fill(buckets)(0L)
+    for ((_, text, y) <- rows; g <- grams(text)) {
+      val b = (Hashing.fnv1a(g) & (buckets - 1)).toInt
+      if (y) tc(b) += 1 else rc(b) += 1
+    }
+    val t = tc.sum; val r = rc.sum
+    def lg(n: Long) = Hashing.ilog2Q20(n)
+    val expW = (0 until buckets).map(b =>
+      b.toLong -> (lg(tc(b) + 1) - lg(rc(b) + 1) -
+        lg(t + buckets) + lg(r + buckets))).toMap
+    assert(w == expW)
+
+    val scores = TextOps.dsirScores(corpus, "id", "text",
+      TextOps.dsirBucketWeights(corpus, "text", "is_target", buckets),
+      buckets)
+    val got = scores.collect().map(r2 => r2.getAs[Long]("doc_id") ->
+      (r2.getAs[Long]("n_grams"), r2.getAs[Long]("score_q20"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L)) // doc 6 has no grams
+    for ((id, text, _) <- rows if id != 6L) {
+      val gs = grams(text)
+      val exp = gs.map(g => expW((Hashing.fnv1a(g) & (buckets - 1)))).sum
+      assert(got(id) == ((gs.size.toLong, exp)), s"doc $id")
+    }
+    // separation: pure-target docs outscore pure-raw docs
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
+
+    // scale shape: the weight table must arrive broadcast, and the scorer
+    // must not shuffle the exploded corpus on the bucket key
+    val plan = scores.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight table should broadcast:\n$plan")
+  }
 }

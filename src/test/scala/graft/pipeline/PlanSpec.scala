@@ -279,6 +279,24 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected window partitioning: $windowSpecs")
   }
 
+  test("DSIR: the 4096-row weight table is broadcast to the scorer (the " +
+    "exploded corpus never shuffles on the bucket key), learning's " +
+    "bucket aggregate map-side combines, and no join is a product") {
+    val p = plan(graft.SparkEntry.queries("q69_dsir_scores")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the only non-equi join allowed is the single-row broadcast of the
+    // (T, R) totals (the q07 percentage-of-total shape)
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    val bnl = p.linesIterator.filter(_.contains("BroadcastNestedLoop")).size
+    assert(bnl <= 1, s"only the totals row may nested-loop, saw $bnl")
+    val joins = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(joins.isEmpty, s"weight lookup must not sort-merge: $joins")
+    // the fixed-B bucket count and the doc-keyed score sum both
+    // partial-aggregate before their Exchanges
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(1200))
+  }
+
   test("incremental dedup: exact + near checks are keyed equi-joins " +
     "(hash/band-bucket), never a product of the two snapshots") {
     val p = plan(graft.SparkEntry.queries("q53_incremental_dedup")(
