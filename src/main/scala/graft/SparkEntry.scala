@@ -991,6 +991,19 @@ object SparkEntry {
         docs.withColumn("is_target", col("lang") === "en"),
         "text", "is_target", buckets = 4096)
       TextOps.dsirScores(docs, "doc_id", "text", weights, buckets = 4096)
+    }),
+
+    // CCNet-style bigram-LM perplexity scoring (Wenzek et al. LREC'20):
+    // train bucketed (ctx, nxt) word-bucket bigram counts on the English
+    // subset, score every doc's Q20 cross-entropy under add-one
+    // smoothing — cost = ilog2(c(ctx)+B) - ilog2(c(pair)+1) per bigram,
+    // integer-exact cross-engine. High avg cost = LM-implausible text.
+    "q70_bigram_lm_perplexity" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val lm = TextOps.bigramLmTrain(
+        docs.withColumn("is_target", col("lang") === "en"),
+        "text", "is_target", buckets = 1024)
+      TextOps.bigramLmScores(docs, "doc_id", "text", lm, buckets = 1024)
     })
   )
 
@@ -2843,6 +2856,52 @@ object SparkEntry {
           |SELECT gb.doc_id, count(*)::BIGINT AS n_grams,
           |  CAST(sum(weight_q20) AS BIGINT) AS score_q20
           |FROM gb JOIN wt USING (bucket) GROUP BY 1""".stripMargin
+    }
+
+    // q70: bigram-LM perplexity — per-WORD fnv+mix bucket (carrying the
+    // word's position), adjacent-position self-join builds the (ctx,
+    // nxt) pairs, add-one-smoothed Q20 cross-entropy via the same
+    // unrolled ilog2 recurrence; costs computed once per DISTINCT pair
+    // then joined back. Spark DIV and DuckDB // agree on the
+    // non-negative averages.
+    locally {
+      val fnvOffset = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+      def lg(x: String) = ilog2Q20Sql(x)
+      m += "q70_bigram_lm_perplexity" ->
+        s"""WITH wd AS (SELECT doc_id, lang = 'en' AS y,
+          |    list_filter(string_split(text, ' '), w -> w <> '') AS words
+          |  FROM documents),
+          |px AS (SELECT doc_id, y, words,
+          |    unnest(range(1, greatest(len(words) + 1, 1))) AS i FROM wd),
+          |pw AS (SELECT doc_id, y, i, words[i] AS w FROM px),
+          |p0 AS (SELECT doc_id, y, i,
+          |    list_reduce(list_prepend($fnvOffset::HUGEINT,
+          |      list_transform(regexp_extract_all(w, '.'),
+          |                     c -> unicode(c)::HUGEINT)),
+          |      (h, c) -> (xor(h, c) * 1099511628211) % $U64) AS h
+          |  FROM pw),
+          |${mixCtes("p", "p0", "doc_id, y, i")},
+          |bk AS (SELECT doc_id, y, i, CAST(h % 1024 AS BIGINT) AS b
+          |  FROM p5),
+          |pr AS (SELECT a.doc_id, a.y, a.b AS ctx, c.b AS nxt
+          |  FROM bk a JOIN bk c ON c.doc_id = a.doc_id AND c.i = a.i + 1),
+          |pc AS (SELECT ctx, nxt, count(*)::BIGINT AS pair_n
+          |  FROM pr WHERE y GROUP BY 1, 2),
+          |cc AS (SELECT ctx, CAST(sum(pair_n) AS BIGINT) AS ctx_n
+          |  FROM pc GROUP BY 1),
+          |dp AS (SELECT DISTINCT ctx, nxt FROM pr),
+          |ct AS (SELECT dp.ctx, dp.nxt,
+          |    CAST(${lg("coalesce(cc.ctx_n, 0) + 1024")}
+          |       - ${lg("coalesce(pc.pair_n, 0) + 1")} AS BIGINT)
+          |      AS cost_q20
+          |  FROM dp LEFT JOIN cc ON cc.ctx = dp.ctx
+          |    LEFT JOIN pc ON pc.ctx = dp.ctx AND pc.nxt = dp.nxt)
+          |SELECT pr.doc_id, count(*)::BIGINT AS n_bigrams,
+          |  CAST(sum(ct.cost_q20) AS BIGINT) AS cost_sum_q20,
+          |  (CAST(sum(ct.cost_q20) AS BIGINT) // count(*))::BIGINT
+          |    AS avg_cost_q20
+          |FROM pr JOIN ct ON ct.ctx = pr.ctx AND ct.nxt = pr.nxt
+          |GROUP BY 1""".stripMargin
     }
 
     m.toMap

@@ -756,6 +756,84 @@ object TextOps {
         sum(col("weight_q20")).as("score_q20"))
   }
 
+  /** Adjacent (context, next) word-bucket pairs for the bigram LM:
+    * words hashed to `buckets` ids (fnv1a64 & mask — power-of-two mask,
+    * same engine-parity argument as [[dsirGrams]]' buckets), paired by
+    * one `zip_with` of the bucket list against its own tail. Constant
+    * references per ROW; the hash lambda runs once per element. */
+  private[ops] def bigramBucketPairs(text: Column, buckets: Int): Column = {
+    val nw = filter(split(coalesce(text, lit("")), " "),
+      w => w =!= lit(""))
+    def bk(c: Column) = call_function("graft_fnv1a64", c)
+      .bitwiseAND(lit((buckets - 1).toLong))
+    filter(
+      zip_with(nw, slice(nw, lit(2), greatest(size(nw) - 1, lit(0))),
+        (a, b) => when(b.isNotNull,
+          struct(bk(a).as("ctx"), bk(b).as("nxt")))),
+      p => p.isNotNull)
+  }
+
+  /** Train a CCNet-style bucketed bigram language model (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC'20 — their KenLM perplexity stage, here as a hashed
+    * bigram model so it is engine-exact): count (context, next) word-
+    * bucket pairs over the TARGET subset of the corpus. Returns one row
+    * per observed pair (ctx, nxt, pair_n); the scorer derives context
+    * totals by re-aggregating this table, so the model is fully
+    * described by it.
+    *
+    * Shuffle story at 100 TB: the pair explode is row-local; ONE
+    * pair-keyed aggregate with map-side combine whose key space is
+    * CAPPED at buckets² (default 1024² ≈ 1M) — like [[dsirBucketWeights]]
+    * the shuffle is corpus-size-independent, and the output table is
+    * broadcastable by construction (the cap, not the corpus, bounds it). */
+  def bigramLmTrain(df: DataFrame, textCol: String, targetCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    graft.expr.KernelExpressions.register(df.sparkSession)
+    df.filter(col(targetCol).cast("boolean"))
+      .select(explode(bigramBucketPairs(col(textCol), buckets)).as("p"))
+      .select(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+      .groupBy(col("ctx"), col("nxt"))
+      .agg(count(lit(1)).as("pair_n"))
+  }
+
+  /** Score documents under a trained bigram LM: per doc, the total and
+    * per-bigram Q20 cross-entropy (bits) under add-one smoothing,
+    *   cost(ctx, nxt) = ilog2Q20(c(ctx) + B) - ilog2Q20(c(ctx,nxt) + 1)
+    * i.e. -log2 of P̂(nxt|ctx) = (c(ctx,nxt)+1)/(c(ctx)+B); an unseen
+    * context scores the uniform log2(B). High avg cost = LM-implausible
+    * text (the CCNet perplexity tail); all arithmetic is integer, so
+    * scores are bit-identical cross-engine. Docs with fewer than two
+    * words yield no bigrams and are dropped by both engines.
+    *
+    * Shuffle story: context totals are a re-aggregate of the CAPPED
+    * pair table (never a second corpus pass); both lookup tables are
+    * BROADCAST (≤ B² and ≤ B rows); the exploded corpus never shuffles
+    * on the pair key — its only Exchange is the doc-keyed sum with
+    * map-side combine. */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String,
+      pairCounts: DataFrame, buckets: Int = 1024): DataFrame = {
+    graft.expr.KernelExpressions.register(df.sparkSession)
+    val ctxTotals = pairCounts.groupBy(col("ctx"))
+      .agg(sum(col("pair_n")).as("ctx_n"))
+    df.select(col(idCol).as("doc_id"),
+        explode(bigramBucketPairs(col(textCol), buckets)).as("p"))
+      .select(col("doc_id"), col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+      .join(broadcast(ctxTotals), Seq("ctx"), "left_outer")
+      .join(broadcast(pairCounts.select(col("ctx"), col("nxt"),
+        col("pair_n"))), Seq("ctx", "nxt"), "left_outer")
+      .select(col("doc_id"),
+        (ilog2q20(coalesce(col("ctx_n"), lit(0L)) + buckets.toLong) -
+          ilog2q20(coalesce(col("pair_n"), lit(0L)) + 1L)).as("cost_q20"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cost_q20")).as("cost_sum_q20"))
+      .withColumn("avg_cost_q20",
+        expr("cost_sum_q20 DIV n_bigrams"))
+  }
+
   /** Order-sensitive rolling-hash document fingerprint via the kernel. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -987,4 +987,57 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"weight table should broadcast:\n$plan")
   }
+
+  test("bigram LM: pair counts, smoothed costs, and doc scores match a " +
+    "first-principles kernel computation; target-like text is cheaper") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the rug", true),
+      (3L, "the cat sat on the mat", false), // = doc 1, scored cheap
+      (4L, "rug mat dog the cat on", false), // shuffled: implausible order
+      (5L, "one", true),                     // single word: no bigrams
+      (6L, "", false)
+    ).toDF("id", "text", "is_target")
+    val buckets = 128
+    val lm = TextOps.bigramLmTrain(corpus, "text", "is_target", buckets)
+    val pairs = lm.collect().map(r => (r.getAs[Long]("ctx"),
+      r.getAs[Long]("nxt")) -> r.getAs[Long]("pair_n")).toMap
+
+    def bk(w: String) = Hashing.fnv1a(w) & (buckets - 1)
+    def docPairs(text: String): Seq[(Long, Long)] = {
+      val ws = text.split(" ").filter(_.nonEmpty).toSeq
+      ws.zip(ws.drop(1)).map { case (a, b) => (bk(a), bk(b)) }
+    }
+    val rows = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the rug", true),
+      (3L, "the cat sat on the mat", false),
+      (4L, "rug mat dog the cat on", false),
+      (5L, "one", true),
+      (6L, "", false))
+    val expPairs = rows.filter(_._3).flatMap(r => docPairs(r._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(pairs == expPairs)
+
+    val got = TextOps.bigramLmScores(corpus, "id", "text", lm, buckets)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("cost_sum_q20"),
+          r.getAs[Long]("avg_cost_q20")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L)) // 5 and 6 have no bigrams
+
+    val ctxN = expPairs.toSeq.groupBy(_._1._1)
+      .map { case (c, v) => c -> v.map(_._2).sum }
+    def lg(n: Long) = Hashing.ilog2Q20(n)
+    for ((id, text, _) <- rows if got.contains(id)) {
+      val ps = docPairs(text)
+      val costs = ps.map { p =>
+        lg(ctxN.getOrElse(p._1, 0L) + buckets) -
+          lg(expPairs.getOrElse(p, 0L) + 1)
+      }
+      assert(got(id) == ((ps.size.toLong, costs.sum, costs.sum / ps.size)),
+        s"doc $id")
+    }
+    // the in-model doc costs less per bigram than the shuffled doc
+    assert(got(3L)._3 < got(4L)._3)
+  }
 }

@@ -297,6 +297,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("Partial"), p.take(1200))
   }
 
+  test("bigram LM: both capped lookup tables (pair counts, context " +
+    "totals) broadcast to the scorer — the exploded corpus never " +
+    "shuffles on the pair key and no join is a product") {
+    val p = plan(graft.SparkEntry.queries("q70_bigram_lm_perplexity")(
+      spark, "/root/testdata/sf0.001"))
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"expected both LM lookups broadcast, saw $bhj:\n" +
+      p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    val joins = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(joins.isEmpty, s"LM lookups must not sort-merge: $joins")
+    // pair training and the doc-keyed cost sum partial-aggregate
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(1200))
+  }
+
   test("incremental dedup: exact + near checks are keyed equi-joins " +
     "(hash/band-bucket), never a product of the two snapshots") {
     val p = plan(graft.SparkEntry.queries("q53_incremental_dedup")(
