@@ -1004,6 +1004,19 @@ object SparkEntry {
         docs.withColumn("is_target", col("lang") === "en"),
         "text", "is_target", buckets = 1024)
       TextOps.bigramLmScores(docs, "doc_id", "text", lm, buckets = 1024)
+    }),
+
+    // CCNet head/middle/tail: equal-frequency terciles of the bigram-LM
+    // cost via the exact distributed CDF (coarse/within two-level
+    // cumulative — no global unpartitioned sort).
+    "q71_perplexity_partition" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val lm = TextOps.bigramLmTrain(
+        docs.withColumn("is_target", col("lang") === "en"),
+        "text", "is_target", buckets = 1024)
+      TextOps.perplexityPartition(docs, "doc_id", "text", lm, buckets = 1024)
+        .select(col("doc_id"), col("n_bigrams"), col("cost_sum_q20"),
+          col("avg_cost_q20"), col("cdf_count"), col("part"))
     })
   )
 
@@ -2863,12 +2876,11 @@ object SparkEntry {
     // nxt) pairs, add-one-smoothed Q20 cross-entropy via the same
     // unrolled ilog2 recurrence; costs computed once per DISTINCT pair
     // then joined back. Spark DIV and DuckDB // agree on the
-    // non-negative averages.
-    locally {
+    // non-negative averages. The full query doubles as q71's `sc` CTE.
+    val bigramLmSql = locally {
       val fnvOffset = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
       def lg(x: String) = ilog2Q20Sql(x)
-      m += "q70_bigram_lm_perplexity" ->
-        s"""WITH wd AS (SELECT doc_id, lang = 'en' AS y,
+      s"""WITH wd AS (SELECT doc_id, lang = 'en' AS y,
           |    list_filter(string_split(text, ' '), w -> w <> '') AS words
           |  FROM documents),
           |px AS (SELECT doc_id, y, words,
@@ -2903,6 +2915,26 @@ object SparkEntry {
           |FROM pr JOIN ct ON ct.ctx = pr.ctx AND ct.nxt = pr.nxt
           |GROUP BY 1""".stripMargin
     }
+    m += "q70_bigram_lm_perplexity" -> bigramLmSql
+
+    // q71: CCNet head/middle/tail — exact CDF over the value histogram
+    // of q70's avg cost (the oracle's single cumulative window equals
+    // the Spark side's two-level coarse/within decomposition by
+    // construction), then the all-integer tercile label
+    // (cum·3 − 1) // total. Ties share a cum, hence a bucket.
+    m += "q71_perplexity_partition" ->
+      s"""WITH sc AS ($bigramLmSql),
+        |hist AS (SELECT avg_cost_q20 AS v, count(*)::BIGINT AS n
+        |  FROM sc GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cdf_count FROM hist),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM sc)
+        |SELECT sc.doc_id, sc.n_bigrams, sc.cost_sum_q20, sc.avg_cost_q20,
+        |  cum.cdf_count,
+        |  CASE ((cum.cdf_count * 3) - 1) // tot.t
+        |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS part
+        |FROM sc JOIN cum ON cum.v = sc.avg_cost_q20 CROSS JOIN tot""".stripMargin
 
     m.toMap
   }

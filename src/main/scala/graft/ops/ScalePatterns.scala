@@ -97,6 +97,56 @@ object ScalePatterns {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Exact equal-frequency quantile labels over an integer value column —
+    * the distributed-exact-CDF pattern (CCNet's head/middle/tail
+    * perplexity partition is `labels = Seq("head","middle","tail")`).
+    * Every row gains `cdf_count` = the number of rows whose value is ≤
+    * its own (ties share a count, hence a bucket) and `part` =
+    * labels((cdf_count·k − 1) DIV total) — all-integer arithmetic, so
+    * labels are bit-identical cross-engine and deterministic under ties
+    * (equal values always land in the same bucket; no row_number on a
+    * non-total order anywhere).
+    *
+    * Scale story: a naive exact CDF is a GLOBAL unpartitioned window —
+    * one task sorts the corpus. Here the cumulative sum runs over the
+    * VALUE HISTOGRAM (one value-keyed aggregate with map-side combine),
+    * decomposed in two levels: a cumulative over the coarse buckets
+    * `value >> coarseShift` (tiny — the value RANGE over 2^coarseShift
+    * rows, e.g. ≤ ~40 for Q20 bit costs at the default shift of 20) and
+    * a PARTITIONED-by-coarse-bucket cumulative within each bucket, so no
+    * single task ever sees more than one coarse bucket's distinct
+    * values. The per-row label join is a value-keyed equi-join against
+    * the histogram; totals ride one broadcast single row (q07 shape). */
+  def valueQuantileBuckets(df: DataFrame, valueCol: String,
+      labels: Seq[String], coarseShift: Int = 20): DataFrame = {
+    val k = labels.size
+    require(k >= 1, "need at least one label")
+    require(coarseShift >= 0 && coarseShift < 63,
+      s"coarseShift must be in [0, 63), got $coarseShift")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(valueCol).cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_n"))
+      .withColumn("_c", shiftright(col("_v"), coarseShift))
+    val coarse = hist.groupBy(col("_c")).agg(sum(col("_n")).as("_cn"))
+    val wCoarse = Window.orderBy(col("_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val coarseBefore = coarse.select(col("_c"),
+      coalesce(sum(col("_cn")).over(wCoarse), lit(0L)).as("_cb"))
+    val wWithin = Window.partitionBy(col("_c")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = coarse.agg(sum(col("_cn")).as("_tot"))
+    val labeled = hist.withColumn("_wc", sum(col("_n")).over(wWithin))
+      .join(broadcast(coarseBefore), Seq("_c"))
+      .crossJoin(broadcast(total))
+      .select(col("_v"), (col("_cb") + col("_wc")).as("cdf_count"),
+        expr(s"(((_cb + _wc) * $k) - 1) DIV _tot").as("_idx"))
+      .withColumn("part",
+        element_at(typedlit(labels), col("_idx").cast("int") + 1))
+      .drop("_idx")
+    df.join(labeled, col(valueCol).cast("long") === labeled("_v"))
+      .drop("_v")
+  }
+
   /** Skew-proof per-group top-k: phase 1 takes a LOCAL top-k within
     * (group, salt) — bounding any single task to a salt-share of the
     * hottest group — and phase 2 ranks the ≤ saltFactor·k survivors per

@@ -834,6 +834,20 @@ object TextOps {
         expr("cost_sum_q20 DIV n_bigrams"))
   }
 
+  /** CCNet-style perplexity partition (Wenzek et al. LREC'20 §4.3): score
+    * every document under the trained bigram LM ([[bigramLmScores]]),
+    * then split the corpus into equal-frequency buckets of the per-bigram
+    * Q20 cost — the paper's head/middle/tail split, whose head bucket is
+    * what CCNet keeps as its highest-quality tier. Bucketing is the exact
+    * distributed CDF of [[ScalePatterns.valueQuantileBuckets]] (no global
+    * unpartitioned sort; integer-exact labels, ties share a bucket). */
+  def perplexityPartition(df: DataFrame, idCol: String, textCol: String,
+      pairCounts: DataFrame, buckets: Int = 1024,
+      labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame =
+    ScalePatterns.valueQuantileBuckets(
+      bigramLmScores(df, idCol, textCol, pairCounts, buckets),
+      "avg_cost_q20", labels)
+
   /** Order-sensitive rolling-hash document fingerprint via the kernel. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

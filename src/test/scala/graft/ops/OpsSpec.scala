@@ -1040,4 +1040,62 @@ class OpsSpec extends AnyFunSuite {
     // the in-model doc costs less per bigram than the shuffled doc
     assert(got(3L)._3 < got(4L)._3)
   }
+
+  test("exact-CDF quantile buckets: cdf counts and labels match first " +
+    "principles, ties share a bucket, negative values order correctly, " +
+    "and the coarse decomposition returns identical output") {
+    val vals = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L, 8L, -7L, 0L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val labels = Seq("head", "middle", "tail")
+    def run(shift: Int) = ScalePatterns
+      .valueQuantileBuckets(df, "v", labels, coarseShift = shift)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cdf_count"), r.getAs[String]("part")))).toMap
+    // shift=1 spreads the values over several coarse buckets; shift=20
+    // collapses them into two (negatives vs non-negatives)
+    val got = run(1)
+    val n = vals.size
+    def cdf(v: Long) = vals.count(_ <= v).toLong
+    def lbl(c: Long) = labels(((c * 3 - 1) / n).toInt)
+    for ((v, i) <- vals.zipWithIndex)
+      assert(got(i.toLong) == ((cdf(v), lbl(cdf(v)))), s"id $i v $v")
+    assert(run(20) == got)
+    // ties: the three 5s share one cdf count and bucket
+    val fives = vals.zipWithIndex.filter(_._1 == 5L).map(_._2.toLong)
+    assert(fives.map(got).toSet.size == 1)
+  }
+
+  test("perplexity partition: composition equals CDF-of-scores; " +
+    "repetitive in-model text heads, unseen text tails, ties share") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", true),
+      // doubled doc: its pairs train to higher counts => cheapest
+      (2L, "the cat sat on the mat the cat sat on the mat", true),
+      (3L, "the cat sat on the mat", false), // ties doc 1 exactly
+      (4L, "rug mat dog the cat on", false), // shuffled: mostly unseen
+      (5L, "one", true),                     // no bigrams: unscored
+      (6L, "the cat sat on the rug", false), // one unseen pair: middle
+      (7L, "zx qy wv uk tj si", false)       // fully out-of-model
+    ).toDF("id", "text", "is_target")
+    val lm = TextOps.bigramLmTrain(corpus, "text", "is_target", 4096)
+    val scores = TextOps.bigramLmScores(corpus, "id", "text", lm, 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("avg_cost_q20")).toMap
+    val got = TextOps.perplexityPartition(corpus, "id", "text", lm, 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cdf_count"), r.getAs[String]("part")))).toMap
+    assert(got.keySet == scores.keySet && got.keySet.size == 6)
+    val n = scores.size
+    for ((id, v) <- scores) {
+      val c = scores.values.count(_ <= v).toLong
+      val exp = Seq("head", "middle", "tail")(((c * 3 - 1) / n).toInt)
+      assert(got(id) == ((c, exp)), s"doc $id")
+    }
+    // the in-model docs tie exactly and head (the doubled doc 2 pays
+    // for its once-seen mat->the bridge, so it sits above them)
+    assert(got(1L) == got(3L) && got(1L)._2 == "head")
+    assert(got(2L)._2 == "middle" && got(6L)._2 == "middle")
+    assert(got(4L)._2 == "tail" && got(7L)._2 == "tail")
+  }
 }

@@ -313,6 +313,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("Partial"), p.take(1200))
   }
 
+  test("perplexity partition: every CDF window ordering by the histogram " +
+    "value is PARTITIONED by the coarse bucket (no global unpartitioned " +
+    "sort over the value histogram) and no join is a product") {
+    val p = plan(graft.SparkEntry.queries("q71_perplexity_partition")(
+      spark, "/root/testdata/sf0.001"))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    val valueOrdered = specs.filter(_.contains("_v#"))
+    assert(valueOrdered.nonEmpty, s"expected a within-coarse window:\n$specs")
+    assert(valueOrdered.forall(_.contains("_c#")),
+      s"value-ordered window must partition by the coarse bucket: $specs")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("incremental dedup: exact + near checks are keyed equi-joins " +
     "(hash/band-bucket), never a product of the two snapshots") {
     val p = plan(graft.SparkEntry.queries("q53_incremental_dedup")(
