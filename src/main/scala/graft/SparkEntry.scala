@@ -1017,6 +1017,34 @@ object SparkEntry {
       TextOps.perplexityPartition(docs, "doc_id", "text", lm, buckets = 1024)
         .select(col("doc_id"), col("n_bigrams"), col("cost_sum_q20"),
           col("avg_cost_q20"), col("cdf_count"), col("part"))
+    }),
+
+    // Bloom-filter cross-corpus dedup (Dolma BFF): build an m-bit filter
+    // over the even-id snapshot, screen the full corpus, and report the
+    // bloom verdict NEXT TO exact membership so the false-positive trade
+    // is visible in the output itself (bits deliberately small here so
+    // FPs actually occur at sf; no false negatives by construction).
+    "q72_bloom_dedup" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val filt = Dedup.bloomBuild(base, "text", bits = 1 << 10, numHashes = 4)
+      val scr = Dedup.bloomScreen(docs, "doc_id", "text", filt,
+        bits = 1 << 10, numHashes = 4)
+      graft.expr.KernelExpressions.register(s)
+      // exact membership: hash-keyed join with text-equality residual
+      // (the q53 collision-safe shape) — never a string-keyed shuffle
+      val keyed = docs.select(col("doc_id"), col("text"),
+        expr("graft_fnv1a64(text)").as("h"))
+      val baseKeys = keyed.filter(col("doc_id") % 2 === 0)
+        .select(col("h").as("bh"), col("text").as("btext")).distinct()
+      val exact = keyed
+        .join(baseKeys, col("h") === col("bh") &&
+          col("text") === col("btext"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg((count(col("bh")) > 0).as("exact_dup"))
+      scr.join(exact, Seq("doc_id"))
+        .select(col("doc_id"), col("bloom_hit"), col("exact_dup"),
+          (col("bloom_hit") && !col("exact_dup")).as("false_positive"))
     })
   )
 
@@ -2935,6 +2963,43 @@ object SparkEntry {
         |  CASE ((cum.cdf_count * 3) - 1) // tot.t
         |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS part
         |FROM sc JOIN cum ON cum.v = sc.avg_cost_q20 CROSS JOIN tot""".stripMargin
+
+    // q72: Bloom filter — every probe POSITION re-derived: per-doc
+    // kernel fnv1a (per-char fold + mix) then mix(h + i) per probe, all
+    // in HUGEINT mod-2^64; 32-bit filter words rebuilt with bit_or; the
+    // bloom verdict AND the exact-membership column both from first
+    // principles. ASCII-corpus caveat as q24/q33 (UTF-16 chars =
+    // codepoints here).
+    locally {
+      val fnvOffset = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+      m += "q72_bloom_dedup" ->
+        s"""WITH f0 AS (SELECT doc_id,
+          |    list_reduce(list_prepend($fnvOffset::HUGEINT,
+          |      list_transform(regexp_extract_all(text, '.'),
+          |                     c -> unicode(c)::HUGEINT)),
+          |      (h, c) -> (xor(h, c) * 1099511628211) % $U64) AS h
+          |  FROM documents),
+          |${mixCtes("f", "f0", "doc_id")},
+          |pr AS (SELECT doc_id, i, (h + i) % $U64 AS h
+          |  FROM f5, range(4) r(i)),
+          |${mixCtes("m", "pr", "doc_id, i")},
+          |w AS (SELECT doc_id,
+          |    CAST((h % 1024) // 32 AS BIGINT) AS word,
+          |    1::BIGINT << CAST((h % 1024) % 32 AS INT) AS mask
+          |  FROM m5),
+          |filt AS (SELECT word, bit_or(mask) AS bits32 FROM w
+          |  WHERE doc_id % 2 = 0 GROUP BY 1),
+          |scr AS (SELECT w.doc_id,
+          |    min(CASE WHEN (coalesce(f.bits32, 0) & w.mask) = w.mask
+          |      THEN 1 ELSE 0 END) AS ok
+          |  FROM w LEFT JOIN filt f USING (word) GROUP BY 1),
+          |ex AS (SELECT d.doc_id, EXISTS (SELECT 1 FROM documents b
+          |    WHERE b.doc_id % 2 = 0 AND b.text = d.text) AS exact_dup
+          |  FROM documents d)
+          |SELECT scr.doc_id, scr.ok = 1 AS bloom_hit, ex.exact_dup,
+          |  (scr.ok = 1 AND NOT ex.exact_dup) AS false_positive
+          |FROM scr JOIN ex USING (doc_id)""".stripMargin
+    }
 
     m.toMap
   }

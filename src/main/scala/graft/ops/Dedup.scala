@@ -641,4 +641,82 @@ object Dedup {
         lit(0L).as("n_removed_tokens"))
     affectedOut.unionByName(untouched)
   }
+
+  // --- Bloom-filter membership (Dolma's BFF deduper pattern, Soldaini
+  // et al. 2024 §2.3: a fixed-size bit array replaces the exact key set
+  // when the reference corpus itself is web-scale). benchmarkContamination
+  // broadcasts the EXACT gram set — right when the reference side is a
+  // fixed-size benchmark; when the reference side is another 100 TB crawl
+  // snapshot, the exact set is corpus-sized and neither broadcastable nor
+  // holdable. The Bloom filter caps that memory at m bits CHOSEN UP FRONT,
+  // trading a quantifiable false-positive rate (≈ (1 − e^{−kn/m})^k; no
+  // false negatives), and is the standard crawl-dedup structure.
+
+  /** Probe rows (word index, 32-bit mask) for each key: probe i of k is
+    * `mix64(fnv1a64(key) + i)` masked to `bits` positions — the kernel
+    * hash family, so the DuckDB oracle re-derives every position in
+    * HUGEINT mod-2^64 SQL. 32-bit words (stored in BIGINT) keep every
+    * shift/or in unsigned-exact range on BOTH engines (a 1L<<63 word
+    * would flip BIGINT signs and HUGEINT would disagree). */
+  private def bloomProbes(keyed: DataFrame, bits: Int,
+      numHashes: Int): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two >= 64, got $bits")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes must be in [1,16], got $numHashes")
+    graft.expr.KernelExpressions.register(keyed.sparkSession)
+    keyed
+      .select(keyed.columns.map(col) :+
+        explode(sequence(lit(0L), lit(numHashes - 1L))).as("i"): _*)
+      .withColumn("p",
+        expr("graft_mix64(h + i)").bitwiseAND(lit(bits - 1L)))
+      .withColumn("word", shiftright(col("p"), 5))
+      .withColumn("mask", expr("shiftleft(1L, cast(p & 31 as int))"))
+      .drop("h", "i", "p")
+  }
+
+  /** Build the filter over a reference corpus: a DENSE table of exactly
+    * `bits/32` (word, bits32) rows — the size is a CONSTANT of the
+    * operator, independent of corpus size, which is the whole point.
+    *
+    * Shuffle story at 100 TB: probe generation is row-local; the only
+    * exchange is the word-keyed `bit_or` aggregate onto a FIXED key space
+    * of bits/32 rows (the DSIR fixed-key-space pattern) — map-side combine
+    * reduces every task's contribution to ≤ bits/32 partial rows no
+    * matter how many documents it scanned, so the shuffle is
+    * O(tasks × bits/32), corpus-size-independent. The dense left join
+    * runs on the tiny aggregate output. */
+  def bloomBuild(df: DataFrame, keyCol: String, bits: Int = 1 << 16,
+      numHashes: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    graft.expr.KernelExpressions.register(spark)
+    val set = bloomProbes(
+      df.select(expr(s"graft_fnv1a64($keyCol)").as("h")), bits, numHashes)
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits32"))
+    spark.range(bits / 32).toDF("word")
+      .join(broadcast(set), Seq("word"), "left_outer")
+      .select(col("word"), coalesce(col("bits32"), lit(0L)).as("bits32"))
+  }
+
+  /** Screen a corpus against a built filter: per document, `bloom_hit` =
+    * all k probe bits set (true for every key that was inserted — no
+    * false negatives — and for a bounded fraction of absent keys).
+    *
+    * Shuffle story: the filter is bits/32 rows BY CONSTRUCTION and rides
+    * one broadcast — the corpus side never shuffles for the membership
+    * test; the only exchange is the doc-keyed min, which map-side
+    * combines (k rows per doc fold to one partial per task). */
+  def bloomScreen(df: DataFrame, idCol: String, keyCol: String,
+      filter: DataFrame, bits: Int = 1 << 16,
+      numHashes: Int = 4): DataFrame = {
+    graft.expr.KernelExpressions.register(df.sparkSession)
+    bloomProbes(
+      df.select(col(idCol).as("doc_id"),
+        expr(s"graft_fnv1a64($keyCol)").as("h")), bits, numHashes)
+      .join(broadcast(filter), Seq("word"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("bits32").bitwiseAND(col("mask")) === col("mask"),
+        1L).otherwise(0L)).as("ok"))
+      .select(col("doc_id"), (col("ok") === 1L).as("bloom_hit"))
+  }
 }

@@ -1098,4 +1098,60 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L)._2 == "middle" && got(6L)._2 == "middle")
     assert(got(4L)._2 == "tail" && got(7L)._2 == "tail")
   }
+
+  test("bloom filter: positions match the kernel hash family first-" +
+    "principles, the table is dense bits/32 rows, inserted keys NEVER " +
+    "miss, and a tiny filter shows false positives but no negatives") {
+    val bits = 256
+    val k = 3
+    val base = docs.filter(col("id") <= 3L)
+    val filt = Dedup.bloomBuild(base, "text", bits, k)
+    val words = filt.collect().map(r =>
+      r.getAs[Long]("word") -> r.getAs[Long]("bits32")).toMap
+    assert(words.size == bits / 32 &&
+      words.keySet == (0L until bits / 32L).toSet)
+    // recompute expected words from first principles
+    val exp = Array.fill(bits / 32)(0L)
+    for (text <- Seq(docs.collect().filter(_.getLong(0) <= 3L)
+        .map(_.getString(1))).flatten; i <- 0 until k) {
+      val p = Hashing.mix(Hashing.fnv1a(text) + i) & (bits - 1L)
+      exp((p >>> 5).toInt) |= 1L << (p & 31L)
+    }
+    for (w <- 0 until bits / 32) assert(words(w.toLong) == exp(w), s"word $w")
+    // no false negatives: every inserted text screens true (id 4 = exact
+    // dup of 1 also hits — same key)
+    val scr = Dedup.bloomScreen(docs, "id", "text", filt, bits, k)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("bloom_hit")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(scr))
+    // a deliberately tiny 64-bit / k=1 filter over 3 keys: screen 200
+    // absent keys and verify the verdicts match first-principles
+    // membership EXACTLY — absent keys collide (false positives occur),
+    // inserted keys still never miss
+    val tb = 64
+    val tk = 1
+    val tiny = Dedup.bloomBuild(base, "text", tb, tk)
+    val texp = Array.fill(tb / 32)(0L)
+    for (text <- Seq(1L, 2L, 3L).map(id => docs.collect()
+        .find(_.getLong(0) == id).get.getString(1)); i <- 0 until tk) {
+      val p = Hashing.mix(Hashing.fnv1a(text) + i) & (tb - 1L)
+      texp((p >>> 5).toInt) |= 1L << (p & 31L)
+    }
+    def expectedHit(text: String): Boolean = (0 until tk).forall { i =>
+      val p = Hashing.mix(Hashing.fnv1a(text) + i) & (tb - 1L)
+      (texp((p >>> 5).toInt) & (1L << (p & 31L))) != 0L
+    }
+    val absent = (0 until 200).map(i => (1000L + i, s"absent-key-$i"))
+      .toDF("id", "text")
+    val probe = docs.select(col("id"), col("text")).unionByName(absent)
+    val tinyScr = Dedup.bloomScreen(probe, "id", "text", tiny, tb, tk)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("bloom_hit")).toMap
+    for (r <- probe.collect())
+      assert(tinyScr(r.getLong(0)) == expectedHit(r.getString(1)),
+        s"id ${r.getLong(0)}")
+    assert(Seq(1L, 2L, 3L, 4L).forall(tinyScr)) // no false negatives
+    val fp = (0 until 200).count(i => tinyScr(1000L + i))
+    assert(fp >= 1 && fp < 100, s"tiny-filter false positives: $fp")
+  }
 }

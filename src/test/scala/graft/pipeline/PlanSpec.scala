@@ -327,6 +327,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("bloom dedup: the filter rides broadcasts (corpus never shuffles " +
+    "for membership), the word-keyed build partial-aggregates, and no " +
+    "join is a product") {
+    val p = plan(graft.SparkEntry.queries("q72_bloom_dedup")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_min") || p.contains("Partial"), p.take(1200))
+  }
+
   test("incremental dedup: exact + near checks are keyed equi-joins " +
     "(hash/band-bucket), never a product of the two snapshots") {
     val p = plan(graft.SparkEntry.queries("q53_incremental_dedup")(
