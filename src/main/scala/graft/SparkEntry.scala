@@ -1045,6 +1045,18 @@ object SparkEntry {
       scr.join(exact, Seq("doc_id"))
         .select(col("doc_id"), col("bloom_hit"), col("exact_dup"),
           (col("bloom_hit") && !col("exact_dup")).as("false_positive"))
+    }),
+
+    // BM25 top-k retrieval (Robertson TREC-3; the Lucene idf variant) in
+    // exact Q20 fixed-point: digit-recurrence integer logs + base-1024
+    // split divisions, so every score re-derives bit-identically in the
+    // oracle. 'dup' is the rare discriminative term (df≈25/500); the
+    // common terms exercise the small-but-positive idf tail that makes
+    // the Lucene form rank instead of clamp.
+    "q73_bm25_topk" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      TextOps.bm25TopK(docs, "doc_id", "text",
+        Seq("dup", "spark", "vector", "the"), k = 30)
     })
   )
 
@@ -2999,6 +3011,50 @@ object SparkEntry {
           |SELECT scr.doc_id, scr.ok = 1 AS bloom_hit, ex.exact_dup,
           |  (scr.ok = 1 AND NOT ex.exact_dup) AS false_positive
           |FROM scr JOIN ex USING (doc_id)""".stripMargin
+    }
+
+    // q73: BM25 — idf from the 20-step HUGEINT ilog2 recurrence, tf via
+    // the padded-replace whole-word count, avgdl / length-norm / tf-
+    // saturation all as the same base-1024 split integer divisions the
+    // Spark side computes; scores compared at full Q40 precision.
+    locally {
+      def lg(x: String) = ilog2Q20Sql(x)
+      m += "q73_bm25_topk" ->
+        s"""WITH base AS (SELECT doc_id,
+          |    len(list_filter(string_split(coalesce(text, ''), ' '),
+          |        w -> w <> ''))::HUGEINT AS dl,
+          |    ' ' || replace(coalesce(text, ''), ' ', '  ') || ' ' AS p
+          |  FROM documents),
+          |qt AS (SELECT unnest(['dup', 'spark', 'vector', 'the']) AS term),
+          |tf AS (SELECT doc_id, dl, term,
+          |    ((length(p) - length(replace(p, ' ' || term || ' ', '')))
+          |      // (length(term) + 2))::HUGEINT AS tf
+          |  FROM base, qt
+          |  WHERE length(p) - length(replace(p, ' ' || term || ' ', '')) > 0),
+          |st0 AS (SELECT count(*)::HUGEINT AS n,
+          |    greatest(coalesce(sum(dl), 0), 1)::HUGEINT AS t FROM base),
+          |st AS (SELECT n,
+          |    (t * 1024 // n) * 1024 + ((t * 1024 % n) * 1024) // n
+          |      AS avgdl_q20 FROM st0),
+          |dfc AS (SELECT term, count(*)::HUGEINT AS df FROM tf GROUP BY 1),
+          |idf AS (SELECT term,
+          |    ${lg("2 * n + 2")} - ${lg("2 * df + 1")} AS idf_q20
+          |  FROM dfc, st),
+          |r AS (SELECT doc_id, term, tf,
+          |    (dl * 1048576 * 1024 // avgdl_q20) * 1024 +
+          |      ((dl * 1048576 * 1024 % avgdl_q20) * 1024) // avgdl_q20
+          |      AS r_q20
+          |  FROM tf, st),
+          |co AS (SELECT doc_id, idf.idf_q20 *
+          |    ((x * 1024 // den) * 1024 + ((x * 1024 % den) * 1024) // den)
+          |      AS c
+          |  FROM (SELECT doc_id, term, 44 * tf * 1048576 AS x,
+          |      20 * tf * 1048576 + 6 * 1048576 + 18 * r_q20 AS den
+          |    FROM r) rx JOIN idf USING (term))
+          |SELECT doc_id, count(*)::BIGINT AS matched_terms,
+          |  CAST(sum(c) AS BIGINT) AS score_q40
+          |FROM co GROUP BY 1 ORDER BY score_q40 DESC, doc_id LIMIT 30"""
+          .stripMargin
     }
 
     m.toMap

@@ -848,6 +848,99 @@ object TextOps {
       bigramLmScores(df, idCol, textCol, pairCounts, buckets),
       "avg_cost_q20", labels)
 
+  /** BM25 top-k retrieval over the corpus for a LITERAL query term set —
+    * the classic sparse lexical ranker (Robertson et al., TREC-3 1994;
+    * here the Lucene-shaped variant whose idf = log(1 + (N − df + 0.5) /
+    * (df + 0.5)) is strictly positive, so common terms still rank rather
+    * than clamp to zero), in EXACT Q20 fixed-point: logs are the kernel's
+    * digit-recurrence ilog2Q20 and every division is a non-negative
+    * integer floor, so scores are bit-identical to the DuckDB oracle.
+    * Using log2 instead of ln scales every idf by the same positive
+    * constant — rankings are identical to the ln form.
+    *
+    * Fixed k1 = 6/5 and b = 3/4 (the standard 1.2/0.75), kept rational so
+    * the tf saturation term is exact integer arithmetic:
+    *   den        = 20·tf·2^20 + 6·2^20 + 18·r_q20,  r_q20 = Q20(dl/avgdl)
+    *   tfpart_q20 = (44·tf·2^20)·2^20 div den        ∈ [0, 2.2·2^20)
+    *   score_q40  = Σ_terms idf_q20 · tfpart_q20
+    * Both Q20 divisions use the base-1024 split of [[trainQualityWeights]]
+    * (floor(x·2^20/d) = q1·2^10 + q2 with q1 = x·2^10 div d, q2 =
+    * (x·2^10 mod d)·2^10 div d), so no intermediate wraps Long even at
+    * 100 TB corpus totals (T·2^20 is the naive wrap; T·2^10 is safe to
+    * ~9e15 total words per the same analysis as the ppm classifier).
+    *
+    * Only documents matching ≥1 query term are scored (standard sparse
+    * retrieval); ties break by ascending id, so the top-k SET is
+    * deterministic.
+    *
+    * Shuffle story at 100 TB: per-term tf is ONE row-local projection
+    * ([[wordOccurrences]] — no corpus explode; the melt is a
+    * constant-|terms| array, sized for literal query sets ≤ 32 terms —
+    * for large vocabular match sets use the explode + broadcast-join
+    * shape of [[qualityClassifierScores]] instead); corpus stats are one
+    * scalar aggregate broadcast back (the q07 shape); df/idf is a
+    * ≤|terms|-row aggregate, broadcast; the only corpus-keyed exchange is
+    * the doc-keyed contribution sum (map-side combine) feeding a
+    * TakeOrdered(k). The corpus text itself never shuffles. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"literal query term set must have 1..32 terms, got ${terms.size}")
+    require(terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      "query terms must be non-empty and whitespace-free")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
+    val spark = df.sparkSession
+    graft.expr.KernelExpressions.register(spark)
+    val q = 1048576L // 2^20
+    def text = coalesce(col(textCol), lit(""))
+    def dlOf(c: Column) =
+      size(filter(split(c, " "), w => w =!= "")).cast("long")
+    // one row-local pass: dl + per-term tf, melted via a constant-size
+    // literal array (computed BEFORE the explode, so each term costs one
+    // wordOccurrences scan per row, never per output element)
+    val base = df
+      .select(col(idCol).cast("long").as("doc_id"), dlOf(text).as("dl"),
+        explode(array(terms.map(t0 => struct(lit(t0).as("term"),
+          wordOccurrences(text, t0).as("tf"))): _*)).as("e"))
+      .select(col("doc_id"), col("dl"),
+        col("e.term").as("term"), col("e.tf").as("tf"))
+      .filter(col("tf") > 0L)
+    // corpus stats: N docs, T total words, avgdl in Q20 (base-1024 split)
+    val stats = df
+      .select(dlOf(text).as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .select(col("n"), greatest(col("t"), lit(1L)).as("t"))
+      .select(col("n"),
+        (expr("(t * 1024 DIV n) * 1024") +
+          expr("((t * 1024 % n) * 1024) DIV n")).as("avgdl_q20"))
+    val idf = base.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // base has one row per (doc, term)
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("term"),
+        (ilog2q20(lit(2L) * col("n") + lit(2L)) -
+          ilog2q20(lit(2L) * col("df") + lit(1L))).as("idf_q20"))
+    base
+      .join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("avgdl_q20"))))
+      // r_q20 = floor(dl·2^40 / avgdl_q20), base-1024 split
+      .withColumn("y", col("dl") * lit(q))
+      .withColumn("r_q20",
+        expr("(y * 1024 DIV avgdl_q20) * 1024") +
+          expr("((y * 1024 % avgdl_q20) * 1024) DIV avgdl_q20"))
+      .withColumn("den",
+        lit(20L) * col("tf") * lit(q) + lit(6L) * lit(q) +
+          lit(18L) * col("r_q20"))
+      .withColumn("x", lit(44L) * col("tf") * lit(q))
+      .withColumn("tfpart_q20",
+        expr("(x * 1024 DIV den) * 1024") +
+          expr("((x * 1024 % den) * 1024) DIV den"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_terms"),
+        sum(col("idf_q20") * col("tfpart_q20")).as("score_q40"))
+      .orderBy(col("score_q40").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Order-sensitive rolling-hash document fingerprint via the kernel. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -1154,4 +1154,48 @@ class OpsSpec extends AnyFunSuite {
     val fp = (0 until 200).count(i => tinyScr(1000L + i))
     assert(fp >= 1 && fp < 100, s"tiny-filter false positives: $fp")
   }
+
+  test("BM25 top-k matches a from-scratch Q20 recomputation: Lucene-form " +
+    "idf, k1=1.2/b=0.75 saturation, split-division exact; only matching " +
+    "docs rank, ties break by id") {
+    val terms = Seq("the", "fox", "spark")
+    val got = TextOps.bm25TopK(docs, "id", "text", terms, k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("matched_terms"), r.getAs[Long]("score_q40")))
+    // first-principles mirror over the fixture
+    val corpus = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def words(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    val n = corpus.size.toLong
+    val t = math.max(corpus.values.map(words(_).size.toLong).sum, 1L)
+    def split20(x: Long, d: Long) = // floor(x·2^20/d), base-1024 split
+      (x * 1024 / d) * 1024 + ((x * 1024 % d) * 1024) / d
+    val avgdlQ20 = split20(t, n)
+    val dfm = terms.map(q0 =>
+      q0 -> corpus.values.count(words(_).contains(q0)).toLong).toMap
+    def idf(q0: String) = Hashing.ilog2Q20(2 * n + 2) -
+      Hashing.ilog2Q20(2 * dfm(q0) + 1)
+    val exp = corpus.toSeq.flatMap { case (id, text) =>
+      val ws = words(text)
+      val dl = ws.size.toLong
+      val rQ20 = split20(dl * 1048576L, avgdlQ20)
+      val contribs = terms.flatMap { q0 =>
+        val tf = ws.count(_ == q0).toLong
+        if (tf == 0) None else {
+          val den = 20 * tf * 1048576L + 6 * 1048576L + 18 * rQ20
+          Some(idf(q0) * split20(44 * tf * 1048576L, den))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some((id, contribs.size.toLong, contribs.sum))
+    }.sortBy { case (id, _, s) => (-s, id) }.take(10)
+    assert(got.toSeq == exp,
+      s"got ${got.toSeq}\nexp $exp")
+    // sanity on the semantics, not just the mirror: docs 1/2/4 match
+    // 'the'×3 + 'fox' (two mid-idf terms), doc 3 matches only 'spark'
+    // (df=1 → the highest single idf, but one term loses to two here);
+    // docs 5/6 match nothing and never rank. The 1/2/4 tie breaks by id.
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 3L))
+    assert(got.map(_._2).toSeq == Seq(2L, 2L, 2L, 1L))
+  }
 }

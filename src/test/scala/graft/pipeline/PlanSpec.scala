@@ -337,6 +337,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("Partial"), p.take(1200))
   }
 
+  test("bm25: idf and corpus stats ride broadcasts (the corpus text " +
+    "never shuffles); the top-k is a TakeOrdered, not a global sort") {
+    val p = plan(graft.SparkEntry.queries("q73_bm25_topk")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("incremental dedup: exact + near checks are keyed equi-joins " +
     "(hash/band-bucket), never a product of the two snapshots") {
     val p = plan(graft.SparkEntry.queries("q53_incremental_dedup")(
