@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, ScalePatterns, Similarity, TextOps}
 import graft.pipeline.{ExtractJob, JobConfig, Summary, SynthSource}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1057,6 +1057,19 @@ object SparkEntry {
       val docs = spread(t(s, dir, "documents"))
       TextOps.bm25TopK(docs, "doc_id", "text",
         Seq("dup", "spark", "vector", "the"), k = 30)
+    }),
+
+    // Token-budget mixture sampling (The Pile / DoReMi mixture
+    // construction): per-source keep-rates learned from measured token
+    // totals + target ppm shares at a 5000-token budget. src0's share
+    // over-allocates → rate clamps at keep-all; src1/src2 downsample;
+    // unallocated sources are never kept. Exact integer rates; the keep
+    // coin is the kernel splitmix64, re-derived in the oracle.
+    "q74_mixture_sample" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      ScalePatterns.mixtureSample(docs, "doc_id", "text", "source",
+        Map("src0" -> 400000L, "src1" -> 30000L, "src2" -> 10000L),
+        budgetTokens = 5000L)
     })
   )
 
@@ -3056,6 +3069,40 @@ object SparkEntry {
           |FROM co GROUP BY 1 ORDER BY score_q40 DESC, doc_id LIMIT 30"""
           .stripMargin
     }
+
+    // q74: mixture sampling — the allotted/rate split divisions and the
+    // splitmix64 keep coin (low 20 bits of mix(doc_id)) re-derived
+    // exactly; HUGEINT keeps every intermediate precise.
+    m += "q74_mixture_sample" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+        |    CAST(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+        |      ELSE len(string_split(coalesce(text, ''), ' ')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source,
+        |    greatest(sum(n_tokens), 1)::HUGEINT AS src_tokens
+        |  FROM tk GROUP BY 1),
+        |rt AS (SELECT source, src_tokens,
+        |    (CASE source WHEN 'src0' THEN 400000 WHEN 'src1' THEN 30000
+        |      WHEN 'src2' THEN 10000 ELSE 0 END)::HUGEINT AS share_ppm
+        |  FROM tot),
+        |rr AS (SELECT source, share_ppm, src_tokens,
+        |    (5000 // 1000000) * share_ppm
+        |      + ((5000 % 1000000) * share_ppm) // 1000000 AS allotted
+        |  FROM rt),
+        |rq AS (SELECT source, share_ppm,
+        |    least(1048576, (allotted * 1024 // src_tokens) * 1024
+        |      + ((allotted * 1024 % src_tokens) * 1024) // src_tokens)
+        |      AS rate_q20
+        |  FROM rr),
+        |h0 AS (SELECT doc_id, source, n_tokens, doc_id::HUGEINT AS h
+        |  FROM tk),
+        |${mixCtes("s", "h0", "doc_id, source, n_tokens")}
+        |SELECT s5.doc_id, s5.source, s5.n_tokens,
+        |  CAST(rq.share_ppm AS BIGINT) AS share_ppm,
+        |  CAST(rq.rate_q20 AS BIGINT) AS rate_q20,
+        |  (s5.h % 1048576) < rq.rate_q20 AS kept
+        |FROM s5 JOIN rq USING (source)""".stripMargin
 
     m.toMap
   }

@@ -53,6 +53,62 @@ object ScalePatterns {
     df.filter(bucket < quota)
   }
 
+  /** Token-budget mixture sampling — the training-mixture construction
+    * step (The Pile, Gao et al. 2020; DoReMi, Xie et al. 2023: fixed
+    * token shares per source at a total budget): learn each source's
+    * keep-rate from its MEASURED token total and the target share, then
+    * keep each document by a deterministic splitmix64 coin at that rate.
+    * All arithmetic is exact integer (oracle-checkable by construction):
+    *
+    *   allotted_s = floor(budget · share_ppm / 10^6)
+    *     = (budget div 10^6)·share + ((budget mod 10^6)·share) div 10^6
+    *     (the [[graft.ops.TextOps.trainQualityWeights]] split — exact,
+    *     no Long wrap for budgets to ~9·10^12 tokens)
+    *   rate_q20 = min(2^20, floor(allotted_s · 2^20 / T_s))  [base-1024
+    *     split; T_s = the source's measured total tokens]
+    *   kept ⇔ (mix64(id) & (2^20 − 1)) < rate_q20
+    *
+    * Sources absent from `sharePpm` get share 0 and are never kept;
+    * under-budget sources clamp at rate 1 (keep everything); kept tokens
+    * per source ≈ min(allotted_s, T_s) in expectation.
+    *
+    * Shuffle story at 100 TB: the per-doc token count is row-local; ONE
+    * source-keyed aggregate (map-side combine to ≤ #sources rows per
+    * task) broadcast back; the keep decision is a row-local codegen'd
+    * hash predicate — replayable under task retry and speculation, and
+    * it composes with further pushed filters. The corpus never shuffles. */
+  def mixtureSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, sharePpm: Map[String, Long],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0L, s"budget must be >= 0, got $budgetTokens")
+    require(sharePpm.values.forall(p => p >= 0L && p <= 1000000L),
+      "shares are ppm values in [0, 1000000]")
+    require(sharePpm.values.sum <= 1000000L,
+      s"shares sum to ${sharePpm.values.sum} ppm > 10^6")
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      TextOps.tokenCount(coalesce(col(textCol), lit(""))).as("n_tokens"))
+    val share = sharePpm.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    val rates = toks.groupBy(col("source"))
+      .agg(greatest(sum(col("n_tokens")), lit(1L)).as("src_tokens"))
+      .select(col("source"), col("src_tokens"), share.as("share_ppm"))
+      .withColumn("allotted",
+        expr(s"($budgetTokens DIV 1000000) * share_ppm") +
+          expr(s"(($budgetTokens % 1000000) * share_ppm) DIV 1000000"))
+      .withColumn("rate_q20", least(lit(1048576L),
+        expr("(allotted * 1024 DIV src_tokens) * 1024") +
+          expr("((allotted * 1024 % src_tokens) * 1024) DIV src_tokens")))
+    toks
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("share_ppm"), col("rate_q20"),
+        (graft.expr.KernelExpressions.mix64(spark, "doc_id")
+          .bitwiseAND(lit(1048575L)) < col("rate_q20")).as("kept"))
+  }
+
   /** Two-phase salted aggregation for skewed grouping keys (the hot-host
     * case): phase 1 aggregates on (key, salt) — the hot key's rows spread
     * over `saltFactor` reducers — phase 2 merges the partials per key.

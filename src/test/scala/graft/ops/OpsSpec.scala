@@ -1198,4 +1198,32 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 3L))
     assert(got.map(_._2).toSeq == Seq(2L, 2L, 2L, 1L))
   }
+
+  test("mixture sampling: rates derive exactly from measured token " +
+    "totals + ppm shares; over-allocated sources clamp to keep-all, " +
+    "unallocated never keep, and the keep coin is the kernel splitmix64") {
+    // fixture token totals: grp a (ids 1,2,3) = 12+12+9 = 33 tokens,
+    // grp b (ids 4,5,6) = 12+1+9 = 22 tokens
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rate_q20"), r.getAs[Boolean]("kept"))).toMap
+    val out1 = grab(ScalePatterns.mixtureSample(docs, "id", "text", "grp",
+      Map("a" -> 900000L), budgetTokens = 400L))
+    // a over-allocated (360 allotted vs 33 measured): rate clamps to 1
+    for (id <- Seq(1L, 2L, 3L)) assert(out1(id) == ((1048576L, true)))
+    // b unallocated: share 0 -> rate 0 -> never kept
+    for (id <- Seq(4L, 5L, 6L)) assert(out1(id) == ((0L, false)))
+    def split20(x: Long, d: Long) =
+      (x * 1024 / d) * 1024 + ((x * 1024 % d) * 1024) / d
+    val rate = split20(12L, 33L) // a allotted = 400·0.03 = 12 of 33
+    val out2 = grab(ScalePatterns.mixtureSample(docs, "id", "text", "grp",
+      Map("a" -> 30000L, "b" -> 500000L), budgetTokens = 400L))
+    for (id <- Seq(1L, 2L, 3L))
+      assert(out2(id) == ((rate, (Hashing.mix(id) & 1048575L) < rate)),
+        s"id $id")
+    for (id <- Seq(4L, 5L, 6L)) // 200 allotted >= 22 measured: clamp
+      assert(out2(id) == ((1048576L, true)))
+    // the mid-rate coin actually splits group a on this fixture
+    assert(Seq(1L, 2L, 3L).map(out2(_)._2).distinct.size == 2)
+  }
 }
