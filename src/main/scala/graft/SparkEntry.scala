@@ -1070,6 +1070,17 @@ object SparkEntry {
       ScalePatterns.mixtureSample(docs, "doc_id", "text", "source",
         Map("src0" -> 400000L, "src1" -> 30000L, "src2" -> 10000L),
         budgetTokens = 5000L)
+    }),
+
+    // Source-reputation filter (the C4/UT1 bad-domain stage with the
+    // blocklist LEARNED from corpus aggregates): flag every doc whose
+    // source's stopword-hit ppm sits below 85% of the corpus rate.
+    // Integer ppm rates (split division) + a cross-multiplied verdict —
+    // exact on both engines.
+    "q75_source_reputation" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      TextOps.sourceReputation(docs, "doc_id", "text", "source",
+        thresholdPct = 85L)
     })
   )
 
@@ -3103,6 +3114,37 @@ object SparkEntry {
         |  CAST(rq.rate_q20 AS BIGINT) AS rate_q20,
         |  (s5.h % 1048576) < rq.rate_q20 AS kept
         |FROM s5 JOIN rq USING (source)""".stripMargin
+
+    // q75: source reputation — padded-replace stop hits, split-division
+    // ppm rates per source and corpus-wide, cross-multiplied verdict.
+    locally {
+      val stopExpr75 = Seq("the", "and", "of", "is").map(occSql)
+        .mkString(" + ")
+      m += "q75_source_reputation" ->
+        s"""WITH padded AS (SELECT doc_id, source,
+          |    coalesce(text, '') AS text,
+          |    ' ' || replace(coalesce(text, ''), ' ', '  ') || ' ' AS pad
+          |  FROM documents),
+          |f AS (SELECT doc_id, source,
+          |    CAST($stopExpr75 AS BIGINT) AS hits,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w <> ''))::BIGINT AS words
+          |  FROM padded),
+          |s AS (SELECT source, sum(hits)::HUGEINT AS h,
+          |    greatest(sum(words), 1)::HUGEINT AS w FROM f GROUP BY 1),
+          |r AS (SELECT source,
+          |    (h * 1000 // w) * 1000 + ((h * 1000 % w) * 1000) // w
+          |      AS src_ppm FROM s),
+          |g0 AS (SELECT sum(h)::HUGEINT AS h,
+          |    greatest(sum(w), 1)::HUGEINT AS w FROM s),
+          |g AS (SELECT
+          |    (h * 1000 // w) * 1000 + ((h * 1000 % w) * 1000) // w
+          |      AS global_ppm FROM g0)
+          |SELECT f.doc_id, f.source, CAST(r.src_ppm AS BIGINT) AS src_ppm,
+          |  CAST(g.global_ppm AS BIGINT) AS global_ppm,
+          |  (r.src_ppm * 100 < g.global_ppm * 85) AS low_reputation
+          |FROM f JOIN r USING (source) CROSS JOIN g""".stripMargin
+    }
 
     m.toMap
   }

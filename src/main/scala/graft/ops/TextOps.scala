@@ -941,6 +941,54 @@ object TextOps {
       .limit(k)
   }
 
+  /** Source-reputation filter — the C4/UT1-style "bad domain" curation
+    * stage with the blocklist LEARNED from the corpus instead of
+    * imported: each source's reputation is its aggregate stopword-hit
+    * rate (hits per million words — the same demonstration-grade signal
+    * the Gopher stop_hits column uses; any per-doc integer signal plugs
+    * in), and every document of a source is flagged when the source's
+    * rate falls below `thresholdPct` percent of the corpus-wide rate.
+    * The comparison is the integer cross-multiply src_ppm·100 <
+    * global_ppm·pct — no division rounding to disagree across engines —
+    * and both ppm rates use the ·10^6 base-1000 split division of
+    * [[trainQualityWeights]] (exact to ~9·10^15 corpus words).
+    *
+    * Shuffle story at 100 TB: per-doc hits/words is one row-local
+    * projection; ONE source-keyed aggregate (map-side combine; output is
+    * #sources rows); the corpus-wide rate is a scalar re-aggregate of
+    * that tiny table — NOT a second corpus pass — broadcast back with
+    * the per-source rates; the verdict join is a broadcast. The corpus
+    * never shuffles. */
+  def sourceReputation(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String,
+      stopwords: Seq[String] = Seq("the", "and", "of", "is"),
+      thresholdPct: Long = 80L): DataFrame = {
+    require(stopwords.nonEmpty && thresholdPct >= 0L && thresholdPct <= 100L,
+      s"need stopwords and thresholdPct in [0,100], got $thresholdPct")
+    def text = coalesce(col(textCol), lit(""))
+    val base = df.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      stopwords.map(wordOccurrences(text, _)).reduce(_ + _).as("hits"),
+      size(filter(split(text, " "), w => w =!= "")).cast("long").as("words"))
+    def ppm(h: String, w: String) = // floor(h·10^6/w), base-1000 split
+      expr(s"($h * 1000 DIV $w) * 1000") +
+        expr(s"(($h * 1000 % $w) * 1000) DIV $w")
+    val bySrc = base.groupBy(col("source"))
+      .agg(sum(col("hits")).as("h"),
+        greatest(sum(col("words")), lit(1L)).as("w"))
+    val rates = bySrc.select(col("source"), ppm("h", "w").as("src_ppm"))
+    val global = bySrc
+      .agg(sum(col("h")).as("h"), greatest(sum(col("w")), lit(1L)).as("w"))
+      .select(ppm("h", "w").as("global_ppm"))
+    base
+      .join(broadcast(rates), Seq("source"))
+      .crossJoin(broadcast(global))
+      .select(col("doc_id"), col("source"), col("src_ppm"),
+        col("global_ppm"),
+        (col("src_ppm") * 100L <
+          col("global_ppm") * thresholdPct).as("low_reputation"))
+  }
+
   /** Order-sensitive rolling-hash document fingerprint via the kernel. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -1226,4 +1226,25 @@ class OpsSpec extends AnyFunSuite {
     // the mid-rate coin actually splits group a on this fixture
     assert(Seq(1L, 2L, 3L).map(out2(_)._2).distinct.size == 2)
   }
+
+  test("source reputation: exact split-division ppm rates per source " +
+    "and corpus-wide; the cross-multiplied verdict flags only sources " +
+    "strictly below the threshold share of the global rate") {
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("src_ppm"), r.getAs[Long]("global_ppm"),
+          r.getAs[Boolean]("low_reputation"))).toMap
+    // the/and/of/is: grp a = 6 hits/33 words, grp b = 4/22 — SAME rate
+    // (2/11 = 181818 ppm after the split division); nothing flags
+    val even = grab(TextOps.sourceReputation(docs, "id", "text", "grp"))
+    for (id <- 1L to 6L) assert(even(id) == ((181818L, 181818L, false)))
+    // 'the' only: a = 6/33 = 181818 (doc 3 has none), b = 3/22 = 136363,
+    // global = 9/55 = 163636; at 85% (139090) only b flags
+    val skew = grab(TextOps.sourceReputation(docs, "id", "text", "grp",
+      stopwords = Seq("the"), thresholdPct = 85L))
+    for (id <- Seq(1L, 2L, 3L))
+      assert(skew(id) == ((181818L, 163636L, false)), s"id $id")
+    for (id <- Seq(4L, 5L, 6L))
+      assert(skew(id) == ((136363L, 163636L, true)), s"id $id")
+  }
 }
