@@ -1081,6 +1081,41 @@ object SparkEntry {
       val docs = spread(t(s, dir, "documents"))
       TextOps.sourceReputation(docs, "doc_id", "text", "source",
         thresholdPct = 85L)
+    }),
+
+    // CCNet-style normalized exact dedup (Wenzek et al. §3.1): the corpus
+    // is ASCII-lowercase by construction, so re-renderings are PLANTED
+    // deterministically (the q46/q52 pattern): a shouting double-spaced
+    // accented variant (+1e6) and two page-stamped variants with
+    // DIFFERENT digits (+2e6/+3e6). Normalization (one translate: case,
+    // accents, digit bucketing; whitespace collapse) makes {orig, +1e6}
+    // and {+2e6, +3e6} collapse under md5-exact dedup — verdicts
+    // re-derived relationally in the oracle with the same codepoint table.
+    "q76_normalized_dedup" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val variants = docs
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "),
+            replace(replace(upper(col("text")), lit(" "), lit("  ")),
+              lit("E"), lit("É")),
+            lit(" ")).as("text")))
+        .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" page 14 rev 7")).as("text")))
+        .unionByName(docs.select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" page 98 rev 3")).as("text")))
+      Dedup.normalizedDedupVerdicts(variants, "doc_id", "text")
+    }),
+
+    // Sequence packing (T5/GPT concat-and-chunk): per-source token tapes
+    // cut into 128-token training windows; each doc reports its tape
+    // offset and first/last window. The only Exchange is keyed on the
+    // shard; the running-frame window needs no global sort (PlanSpec).
+    "q77_sequence_packing" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      TextOps.packSequences(docs, "doc_id", "text", "source",
+        windowTokens = 128L)
     })
   )
 
@@ -3145,6 +3180,57 @@ object SparkEntry {
           |  (r.src_ppm * 100 < g.global_ppm * 85) AS low_reputation
           |FROM f JOIN r USING (source) CROSS JOIN g""".stripMargin
     }
+
+    // q76: normalized exact dedup — the SAME planted variants and the
+    // SAME one-translate normalization codepoint table, group verdicts
+    // re-derived relationally; md5 hex is engine-identical.
+    locally {
+      val normFrom = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+        "ÁÀÂÄÉÈÊËÍÌÎÏÓÒÔÖÚÙÛÜÑÇ" + "áàâäéèêëíìîïóòôöúùûüñç" + "123456789"
+      val normTo = "abcdefghijklmnopqrstuvwxyz" +
+        "aaaaeeeeiiiioooouuuunc" + "aaaaeeeeiiiioooouuuunc" + "000000000"
+      m += "q76_normalized_dedup" ->
+        s"""WITH v AS (
+          |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000,
+          |    '  ' || replace(replace(upper(coalesce(text, '')),
+          |      ' ', '  '), 'E', 'É') || ' ' FROM documents
+          |  UNION ALL SELECT doc_id + 2000000,
+          |    coalesce(text, '') || ' page 14 rev 7' FROM documents
+          |  UNION ALL SELECT doc_id + 3000000,
+          |    coalesce(text, '') || ' page 98 rev 3' FROM documents),
+          |n AS (SELECT doc_id, md5(trim(regexp_replace(translate(text,
+          |    '$normFrom', '$normTo'),
+          |    '[ \\t\\n\\r]+', ' ', 'g'))) AS norm_md5 FROM v),
+          |g AS (SELECT norm_md5, min(doc_id) AS representative,
+          |    count(*) AS group_size FROM n GROUP BY 1)
+          |SELECT n.doc_id, n.norm_md5, g.representative, g.group_size,
+          |  n.doc_id = g.representative AS is_canonical
+          |FROM n JOIN g USING (norm_md5)""".stripMargin
+    }
+
+    // q77: sequence packing — running prefix sum per source tape +
+    // integer window arithmetic; exact on both engines.
+    m += "q77_sequence_packing" ->
+      s"""WITH tk AS (SELECT doc_id, source AS shard,
+        |    CAST(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+        |      ELSE len(string_split(coalesce(text, ''), ' ')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_token
+        |  FROM tk)
+        |SELECT doc_id, shard, n_tokens, start_token,
+        |  start_token // 128 AS first_window,
+        |  CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 128
+        |    ELSE start_token // 128 END AS last_window,
+        |  CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 128
+        |      - start_token // 128 + 1
+        |    ELSE 0 END AS n_windows
+        |FROM o""".stripMargin
 
     m.toMap
   }

@@ -36,6 +36,35 @@ object Dedup {
     df.join(reps, Seq(idCol), "left_semi")
   }
 
+  /** Normalized exact dedup (CCNet, Wenzek et al. LREC'20 §3.1): exact
+    * dedup keyed on md5 of the [[graft.ops.TextOps.ccnetNormalize]]d text,
+    * so documents differing only in case, Latin accents, digit values, or
+    * whitespace runs collapse into one group — the paraphrase-insensitive
+    * sweet spot BETWEEN byte-exact dedup (misses trivial re-renderings)
+    * and MinHash near-dup (pays candidate generation). One verdict row
+    * per input doc: group representative (min id), group size, and
+    * whether this doc is the canonical survivor.
+    *
+    * Shuffle story at 100 TB: normalization is row-local codegen feeding
+    * the md5, so the group aggregate's Exchange carries (16-byte key,
+    * id) — never text — and map-side combine collapses identical pages
+    * before the wire; the verdict join is keyed on the same md5, reusing
+    * the aggregate's partitioning (AQE broadcasts the group table when
+    * the duplicate population is small). */
+  def normalizedDedupVerdicts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc_id"),
+      md5(graft.ops.TextOps.ccnetNormalize(col(textCol)).cast("binary"))
+        .as("norm_md5"))
+    val groups = keyed.groupBy(col("norm_md5"))
+      .agg(min(col("doc_id")).as("representative"),
+        count(lit(1)).as("group_size"))
+    keyed.join(groups, Seq("norm_md5"))
+      .select(col("doc_id"), col("norm_md5"), col("representative"),
+        col("group_size"),
+        (col("doc_id") === col("representative")).as("is_canonical"))
+  }
+
   /** Connected components over a near-duplicate PAIR table — the dedup
     * endgame: pairs become clusters and one representative (the min id)
     * survives per cluster. Alternating large-star/small-star (Kiveris et

@@ -989,6 +989,71 @@ object TextOps {
           col("global_ppm") * thresholdPct).as("low_reputation"))
   }
 
+  // CCNet-style normalization table (Wenzek et al. LREC'20 §3.1: the
+  // pre-hash normalizer that makes near-identical pages collapse under
+  // EXACT dedup — lowercase, strip accents, bucket digits). One flat
+  // codepoint table instead of locale-dependent lower()/strip_accents()
+  // so Spark and any SQL oracle translate() agree char-for-char.
+  private val NormFrom =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      "ÁÀÂÄÉÈÊËÍÌÎÏÓÒÔÖÚÙÛÜÑÇ" + "áàâäéèêëíìîïóòôöúùûüñç" +
+      "123456789"
+  private val NormTo =
+    "abcdefghijklmnopqrstuvwxyz" +
+      "aaaaeeeeiiiioooouuuunc" + "aaaaeeeeiiiioooouuuunc" +
+      "000000000"
+
+  /** CCNet-style text normalization (Wenzek et al. LREC'20 §3.1), the
+    * pre-hash canonicalizer for paraphrase-insensitive EXACT dedup:
+    * ASCII lowercase + Latin accent strip + digit bucketing (every digit
+    * → '0', so "page 14" and "page 98" collapse) via ONE translate over
+    * a fixed codepoint table, then whitespace-run collapse (explicit
+    * `[ \t\n\r]+` class — engine-identical where `\s` classes differ) and
+    * trim. Entirely row-local codegen'd Column expressions — zero cost at
+    * any corpus size, and portable verbatim to the DuckDB oracle. */
+  def ccnetNormalize(text: Column): Column =
+    trim(regexp_replace(
+      translate(coalesce(text, lit("")), NormFrom, NormTo),
+      "[ \\t\\n\\r]+", " "))
+
+  /** Sequence packing (concat-and-chunk, T5/GPT-style: Raffel et al. 2020
+    * §3.1.2 pack documents into fixed-length training windows): within
+    * each shard, documents in id order are laid head-to-tail on a token
+    * tape and cut into `windowTokens`-sized training windows; each doc
+    * reports its tape offset (`start_token`) and the first/last window it
+    * lands in, so the tokenizing writer knows exactly which documents and
+    * boundary crossings each window holds.
+    *
+    * Packing is inherently sequential WITHIN a tape — the offsets are a
+    * prefix sum — so the operator makes the tape the SHARD, never the
+    * corpus: ONE Exchange keyed on the shard column, a per-shard running
+    * frame (UnboundedPreceding → -1: Spark streams it in one pass — no
+    * per-row rescan), and NO global sort anywhere (PlanSpec pins no
+    * RangePartitioning). At 100 TB the shard is the output bucket of the
+    * bucketed layout — uniform by hash construction — so no task sees
+    * more than one bucket's rows; a skewed custom shard column would
+    * serialize its own tape and only its own tape. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, windowTokens: Long): DataFrame = {
+    require(windowTokens >= 1L, s"windowTokens must be >= 1, got $windowTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        tokenCount(coalesce(col(textCol), lit(""))).as("n_tokens"))
+      .withColumn("start_token",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_window",
+        expr(s"start_token DIV ${windowTokens}L"))
+      .withColumn("last_window",
+        when(col("n_tokens") > 0L,
+          expr(s"(start_token + n_tokens - 1) DIV ${windowTokens}L"))
+          .otherwise(col("first_window")))
+      .withColumn("n_windows",
+        when(col("n_tokens") > 0L,
+          col("last_window") - col("first_window") + 1L).otherwise(lit(0L)))
+  }
+
   /** Order-sensitive rolling-hash document fingerprint via the kernel. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -1247,4 +1247,63 @@ class OpsSpec extends AnyFunSuite {
     for (id <- Seq(4L, 5L, 6L))
       assert(skew(id) == ((136363L, 163636L, true)), s"id $id")
   }
+
+  test("ccnet normalization collapses case/accents/digit values/whitespace " +
+    "runs via one codepoint table, and normalized dedup groups exactly " +
+    "the re-renderings") {
+    val frame = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "  THE  QUICK\tBROWN FOX "), // case + whitespace runs
+      (3L, "thé qüick brown fox"),      // accents
+      (4L, "page 14 rev 7"),
+      (5L, "page 98 rev 3"),            // digit-bucketed twin of 4
+      (6L, "page 98 rev 30"),           // '00' != '0': NOT a twin
+      (7L, null.asInstanceOf[String])   // null -> empty
+    ).toDF("id", "text")
+    val norm = frame
+      .select(col("id"), TextOps.ccnetNormalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "the quick brown fox")
+    assert(norm(2L) == "the quick brown fox")
+    assert(norm(3L) == "the quick brown fox")
+    assert(norm(4L) == "page 00 rev 0")
+    assert(norm(5L) == "page 00 rev 0")
+    assert(norm(6L) == "page 00 rev 00")
+    assert(norm(7L) == "")
+    val v = Dedup.normalizedDedupVerdicts(frame, "id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("representative"), r.getAs[Long]("group_size"),
+          r.getAs[Boolean]("is_canonical")))).toMap
+    assert(v.size == 7)
+    assert(v(1L) == ((1L, 3L, true)))
+    assert(v(2L) == ((1L, 3L, false)) && v(3L) == ((1L, 3L, false)))
+    assert(v(4L) == ((4L, 2L, true)) && v(5L) == ((4L, 2L, false)))
+    assert(v(6L) == ((6L, 1L, true)))
+    assert(v(7L) == ((7L, 1L, true)))
+  }
+
+  test("sequence packing: per-shard prefix offsets, exact window " +
+    "arithmetic incl. boundary crossings, empty docs span zero windows, " +
+    "shards are independent tapes") {
+    val frame = Seq(
+      (1L, "w w w", "a"),     // 3 tokens at offset 0 -> window [0,0]
+      (2L, "w w w w", "a"),   // 4 at offset 3 -> [0,1]: crosses
+      (3L, "w", "a"),         // offset 7 -> [1,1]
+      (4L, "", "a"),          // empty at offset 8: first=2, spans 0
+      (5L, "w w w w w", "a"), // 5 at offset 8 -> [2,3]
+      (6L, "w w", "b")        // shard b: its own tape, offset 0
+    ).toDF("id", "text", "grp")
+    val got = TextOps.packSequences(frame, "id", "text", "grp",
+      windowTokens = 4L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("start_token"),
+          r.getAs[Long]("first_window"), r.getAs[Long]("last_window"),
+          r.getAs[Long]("n_windows")))).toMap
+    assert(got(1L) == ((3L, 0L, 0L, 0L, 1L)))
+    assert(got(2L) == ((4L, 3L, 0L, 1L, 2L)))
+    assert(got(3L) == ((1L, 7L, 1L, 1L, 1L)))
+    assert(got(4L) == ((0L, 8L, 2L, 2L, 0L)))
+    assert(got(5L) == ((5L, 8L, 2L, 3L, 2L)))
+    assert(got(6L) == ((2L, 0L, 0L, 0L, 1L)))
+  }
 }

@@ -374,4 +374,22 @@ class PlanSpec extends AnyFunSuite {
     // band-bucket join key present on the near path
     assert(p.contains("band") && p.contains("bucket"), p.take(1200))
   }
+
+  test("normalized dedup: the group aggregate partial-aggregates on the " +
+    "md5 key (map-side combine before the wire) and no join is a product") {
+    val p = plan(graft.SparkEntry.queries("q76_normalized_dedup")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("partial_min") || p.contains("Partial"), p.take(1200))
+    assert(p.contains("norm_md5"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("sequence packing: the tape window is keyed on the shard column — " +
+    "no RangePartitioning (global sort) anywhere in the plan") {
+    val p = plan(graft.SparkEntry.queries("q77_sequence_packing")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("hashpartitioning(shard"), p.take(1200))
+    assert(!p.toLowerCase.contains("rangepartitioning"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
