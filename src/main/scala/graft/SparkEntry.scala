@@ -1116,6 +1116,25 @@ object SparkEntry {
       val docs = spread(t(s, dir, "documents"))
       TextOps.packSequences(docs, "doc_id", "text", "source",
         windowTokens = 128L)
+    }),
+
+    // Winnowed document sketches (Schleimer et al. SIGMOD'03): per doc,
+    // the rightmost-minimum 4-gram hash of every 4-window of gram hashes
+    // — selection depends on exact UNSIGNED hash order, which the oracle
+    // re-derives gram-by-gram in HUGEINT SQL. Row-local kernel scan.
+    "q78_winnow_fingerprints" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Dedup.winnowedFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+    }),
+
+    // Partial-overlap pairs over the winnowed sketches: docs sharing >= 2
+    // selected fingerprints, stop-fingerprints (doc freq > 16) pruned
+    // before the fingerprint-keyed self-join. Detects shared passages of
+    // >= w + k - 1 = 7 tokens (the corpus's planted near-dups).
+    "q79_winnow_overlap" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Dedup.winnowedOverlapPairs(docs, "doc_id", "text", k = 4, w = 4,
+        minShared = 2L, maxDocFreq = 16L)
     })
   )
 
@@ -3231,6 +3250,58 @@ object SparkEntry {
         |      - start_token // 128 + 1
         |    ELSE 0 END AS n_windows
         |FROM o""".stripMargin
+
+    // q78/q79: winnowing — gram-by-gram fnv+mix HUGEINT re-derivation,
+    // then the paper's rightmost-min-per-window selection via a min_by
+    // whose composite key packs (hash, rightmost tie-break) into one
+    // HUGEINT: h·2^20 + (2^20−1−pos) — exact while pos < 2^20 (per-doc
+    // gram positions; documents are orders of magnitude shorter).
+    locally {
+      val fnvOffset = java.lang.Long.toUnsignedString(0xcbf29ce484222325L)
+      val winnowCtes =
+        s"""wd AS (SELECT doc_id,
+          |    list_filter(string_split(coalesce(text, ''), ' '),
+          |      x -> x <> '') AS words
+          |  FROM documents),
+          |gr0 AS (SELECT doc_id,
+          |    unnest(range(0, greatest(len(words) - 3, 0))) AS pos,
+          |    unnest(list_transform(range(0, greatest(len(words) - 3, 0)),
+          |      i -> array_to_string(list_slice(words, i + 1, i + 4), ' ')))
+          |      AS gram
+          |  FROM wd),
+          |g0 AS (SELECT doc_id, pos,
+          |    list_reduce(list_prepend($fnvOffset::HUGEINT,
+          |      list_transform(regexp_extract_all(gram, '.'),
+          |                     c -> unicode(c)::HUGEINT)),
+          |      (h, c) -> (xor(h, c) * 1099511628211) % $U64) AS h
+          |  FROM gr0),
+          |${mixCtes("g", "g0", "doc_id, pos")},
+          |mw AS (SELECT doc_id, count(*)::BIGINT AS m FROM g5 GROUP BY 1),
+          |wj AS (SELECT doc_id,
+          |    unnest(range(0, greatest(m - 4, 0) + 1)) AS j FROM mw),
+          |sel AS (SELECT w.doc_id, w.j,
+          |    min_by(g.pos, g.h * 1048576 + (1048575 - g.pos)) AS pos
+          |  FROM wj w JOIN g5 g ON g.doc_id = w.doc_id
+          |    AND g.pos BETWEEN w.j AND w.j + 3
+          |  GROUP BY 1, 2),
+          |fp AS (SELECT DISTINCT s.doc_id, s.pos, g.h
+          |  FROM sel s JOIN g5 g ON g.doc_id = s.doc_id
+          |    AND g.pos = s.pos)""".stripMargin
+      m += "q78_winnow_fingerprints" ->
+        s"""WITH $winnowCtes
+          |SELECT doc_id, pos, ${u64ToSigned("h")} AS fingerprint
+          |FROM fp""".stripMargin
+      m += "q79_winnow_overlap" ->
+        s"""WITH $winnowCtes,
+          |d AS (SELECT DISTINCT doc_id, h FROM fp),
+          |sh AS (SELECT h FROM d GROUP BY h
+          |  HAVING count(*) BETWEEN 2 AND 16)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  count(*)::BIGINT AS shared_fingerprints
+          |FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+          |JOIN sh ON sh.h = a.h
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    }
 
     m.toMap
   }

@@ -94,4 +94,46 @@ object Hashing {
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Robust winnowing (Schleimer, Wilkerson, Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03 §4): hash every
+    * word k-gram ([[fnv1a]] of the space-joined gram), slide a window of
+    * `w` consecutive gram hashes, and select each window's minimum —
+    * rightmost occurrence on ties, per the paper. Guarantees: every
+    * shared token run of length ≥ w + k − 1 yields at least one shared
+    * selected fingerprint (detection), and expected sketch density is
+    * 2/(w+1) of the gram count (the sub-linear sketch that makes
+    * fingerprint joins affordable at corpus scale).
+    *
+    * Hashes compare as UNSIGNED 64-bit values (the natural order of the
+    * HUGEINT re-derivation in the DuckDB oracle), not signed Longs.
+    * Returns distinct (gram position, gram hash) selections in position
+    * order. Fewer than w grams → one window over all of them; fewer than
+    * k tokens → empty sketch. */
+  def winnow(tokens: IndexedSeq[String], k: Int, w: Int): Vector[(Int, Long)] = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val m = tokens.length - k + 1
+    if (m <= 0) return Vector.empty
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = fnv1a(tokens.slice(i, i + k).mkString(" "))
+      i += 1
+    }
+    val picked = scala.collection.mutable.SortedSet.empty[Int]
+    var j = 0
+    val lastStart = math.max(m - w, 0)
+    while (j <= lastStart) {
+      var best = j
+      var p = j + 1
+      val end = math.min(j + w, m)
+      while (p < end) {
+        if (java.lang.Long.compareUnsigned(hs(p), hs(best)) <= 0) best = p
+        p += 1
+      }
+      picked += best
+      j += 1
+    }
+    picked.toVector.map(p => (p, hs(p)))
+  }
 }

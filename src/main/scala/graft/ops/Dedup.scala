@@ -671,6 +671,76 @@ object Dedup {
     affectedOut.unionByName(untouched)
   }
 
+  /** Winnowed document sketches ([[graft.kernel.Hashing.winnow]] —
+    * Schleimer et al. SIGMOD'03): per document, the rightmost-minimum
+    * k-gram hash of every w-window, as (doc_id, pos, fingerprint) rows.
+    * The sketch detects EVERY shared token run of length ≥ w + k − 1
+    * while keeping only ~2/(w+1) of the grams — the sub-linear sketch
+    * that makes partial-overlap detection affordable where
+    * [[dupGramProfile]]'s full gram table would dominate shuffle volume.
+    *
+    * Entirely row-local (kernel flatMap — the winnow scan is inherently
+    * sequential per document and has no SQL-portable single-pass form);
+    * the sketch rows are the ONLY thing that leaves the task. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        Hashing.winnow(toks.toIndexedSeq, k, w)
+          .map { case (p, h) => (id, p.toLong, h) }
+      }
+      .toDF("doc_id", "pos", "fingerprint")
+  }
+
+  /** Partial-overlap pair detection over winnowed sketches: documents
+    * sharing ≥ `minShared` selected fingerprints — the MOSS-style
+    * "documents share a passage" report, detecting shared runs of
+    * ≥ w + k − 1 tokens (plagiarism/boilerplate passages) that whole-doc
+    * near-dup measures dilute away on long documents.
+    *
+    * Shuffle story at 100 TB: sketches are ~2/(w+1) of gram volume;
+    * the candidate join is keyed on the FINGERPRINT (never all-pairs);
+    * stop-fingerprints — boilerplate selected in more than `maxDocFreq`
+    * docs — are dropped BEFORE the self-join (the frequency aggregate
+    * map-side combines), bounding any key's pair fan-out at
+    * maxDocFreq²; singleton fingerprints (df = 1) are pruned there too,
+    * so the join input is only genuinely shared sketch rows. */
+  def winnowedOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Long = 2L,
+      maxDocFreq: Long = 64L): DataFrame =
+    winnowedOverlapPairsFromSketch(
+      winnowedFingerprints(df, idCol, textCol, k, w), minShared, maxDocFreq)
+
+  /** Pair detection over an already-computed sketch table
+    * ((doc_id, fingerprint)-bearing — [[winnowedFingerprints]] output or
+    * its stored parquet). This is the at-scale entry point: a Spark
+    * self-join evaluates its upstream once PER SIDE, so joining directly
+    * on the kernel flatMap would run the winnow scan twice over the
+    * corpus — materialize the sketch once (it is ~2/(w+1) of gram
+    * volume, bucketable by fingerprint) and join the stored table. */
+  def winnowedOverlapPairsFromSketch(sketch: DataFrame, minShared: Long,
+      maxDocFreq: Long): DataFrame = {
+    require(minShared >= 1L && maxDocFreq >= 2L,
+      s"need minShared >= 1 and maxDocFreq >= 2, got $minShared/$maxDocFreq")
+    val fp = sketch.select(col("doc_id"), col("fingerprint")).distinct()
+    val shared = fp.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= 2L && col("doc_freq") <= maxDocFreq)
+      .select(col("fingerprint"))
+    val f2 = fp.join(shared, Seq("fingerprint"))
+    f2.as("a").join(f2.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   // --- Bloom-filter membership (Dolma's BFF deduper pattern, Soldaini
   // et al. 2024 §2.3: a fixed-size bit array replaces the exact key set
   // when the reference corpus itself is web-scale). benchmarkContamination

@@ -1306,4 +1306,54 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == ((5L, 8L, 2L, 3L, 2L)))
     assert(got(6L) == ((2L, 0L, 0L, 0L, 1L)))
   }
+
+  test("winnowing: selections match a first-principles window scan with " +
+    "UNSIGNED hash order and rightmost ties; shared runs >= w+k-1 tokens " +
+    "always share a fingerprint; short docs degrade gracefully") {
+    val k = 3; val w = 4
+    // first-principles mirror of the paper's algorithm
+    def naive(text: String): Set[(Int, Long)] = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val m = toks.length - k + 1
+      if (m <= 0) return Set.empty
+      val hs = Array.tabulate(m)(i =>
+        Hashing.fnv1a(toks.slice(i, i + k).mkString(" ")))
+      (0 to math.max(m - w, 0)).map { j =>
+        val win = j until math.min(j + w, m)
+        val bestIdx = win.foldLeft(win.head) { (b, i) =>
+          if (java.lang.Long.compareUnsigned(hs(i), hs(b)) <= 0) i else b
+        }
+        (bestIdx, hs(bestIdx))
+      }.toSet
+    }
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river",
+      2L -> "intro words then the quick brown fox jumps over the lazy dog",
+      3L -> "completely different text about spark catalyst rules here",
+      4L -> "a b", // shorter than k: empty sketch
+      5L -> "a b c d" // m=2 < w: one window
+    )
+    val frame = texts.toDF("id", "text")
+    val got = Dedup.winnowedFingerprints(frame, "id", "text", k, w)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id ->
+        rs.map(r => (r.getAs[Long]("pos").toInt,
+          r.getAs[Long]("fingerprint"))).toSet }
+    for ((id, text) <- texts)
+      assert(got.getOrElse(id, Set.empty) == naive(text), s"doc $id")
+    assert(!got.contains(4L))
+    // docs 1 and 2 share the 9-token run "the quick ... lazy dog"
+    // (>= w+k-1 = 6): the detection guarantee promises a shared hash
+    val shared = got(1L).map(_._2).intersect(got(2L).map(_._2))
+    assert(shared.nonEmpty)
+    assert(got(1L).map(_._2).intersect(got(3L).map(_._2)).isEmpty)
+
+    val pairs = Dedup.winnowedOverlapPairs(frame, "id", "text", k, w,
+      minShared = 1L, maxDocFreq = 16L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("shared_fingerprints"))).toSet
+    assert(pairs.contains((1L, 2L, shared.size.toLong)))
+    assert(pairs.forall(p => p._1 == 1L && p._2 == 2L))
+  }
 }

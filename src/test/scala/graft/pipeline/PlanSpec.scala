@@ -384,6 +384,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("winnow overlap: the candidate join is keyed on the fingerprint " +
+    "(never a product) and the stop-fingerprint aggregate partial-" +
+    "aggregates before the wire") {
+    val p = plan(graft.SparkEntry.queries("q79_winnow_overlap")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("fingerprint"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(1200))
+  }
+
   test("sequence packing: the tape window is keyed on the shard column — " +
     "no RangePartitioning (global sort) anywhere in the plan") {
     val p = plan(graft.SparkEntry.queries("q77_sequence_packing")(
