@@ -1135,6 +1135,18 @@ object SparkEntry {
       val docs = spread(t(s, dir, "documents"))
       Dedup.winnowedOverlapPairs(docs, "doc_id", "text", k = 4, w = 4,
         minShared = 2L, maxDocFreq = 16L)
+    }),
+
+    // Leakage-proof train/eval split: near-dup clusters (q23's LSH pair
+    // graph + q45's components) take ONE split coin on the component
+    // representative — no eval doc has a near-copy in train. 20% holdout.
+    // Oracle: all-pairs Jaccard + recursive components + the splitmix64
+    // coin re-derived in HUGEINT SQL with the q44 pmod translation.
+    "q80_leakage_split" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Dedup.leakageProofSplit(docs, "doc_id", "text",
+        holdoutPerMille = 200, shingleK = 3, numHashes = 32,
+        numBands = 8, threshold = 0.5)
     })
   )
 
@@ -3302,6 +3314,31 @@ object SparkEntry {
           |JOIN sh ON sh.h = a.h
           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
     }
+
+    // q80: leakage-proof split — q23's all-pairs Jaccard pair graph +
+    // q45's recursive components, then ONE splitmix64 coin per component
+    // (q44's pmod translation of the signed Spark value).
+    m += "q80_leakage_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, c) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
+        |comp AS (SELECT v AS id, min(c) AS component FROM reach GROUP BY v),
+        |lab AS (SELECT d.doc_id,
+        |    coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |h0 AS (SELECT doc_id, component, component::HUGEINT AS h FROM lab),
+        |${mixCtes("s", "h0", "doc_id, component")}
+        |SELECT doc_id, component,
+        |  CASE WHEN ((${u64ToSigned("h")} % 1000) + 1000) % 1000 < 200
+        |    THEN 'eval' ELSE 'train' END AS split
+        |FROM s5""".stripMargin
 
     m.toMap
   }

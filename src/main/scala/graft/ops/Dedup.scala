@@ -741,6 +741,41 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Leakage-proof train/eval split: a cluster-aware holdout where every
+    * near-duplicate CLUSTER lands wholly on one side, so no eval document
+    * has a near-copy in train (the standard decontaminated-split
+    * requirement: e.g. Lee et al. 2022 §6 measure exactly this
+    * train-test leakage in C4/RealNews). A per-document coin would split
+    * dup clusters across the boundary; here the coin is thrown once per
+    * cluster, on the component representative: split = "eval" iff
+    * `mix64(component) mod 1000 < holdoutPerMille`. Singletons (docs in
+    * no near-dup pair) are their own component. Deterministic and
+    * replayable — re-running on the same corpus reproduces the split.
+    *
+    * Shuffle story at 100 TB: pair generation is the LSH band join
+    * ([[minhashNearDups]] — banded, never all-pairs); components run on
+    * the PAIR GRAPH (tiny vs corpus); the label join back onto the corpus
+    * is broadcastable for realistic dup-cluster populations; the split
+    * coin is a row-local codegen'd hash predicate. */
+  def leakageProofSplit(df: DataFrame, idCol: String, textCol: String,
+      holdoutPerMille: Int, shingleK: Int = 3, numHashes: Int = 32,
+      numBands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(holdoutPerMille >= 0 && holdoutPerMille <= 1000,
+      s"holdoutPerMille must be in [0,1000], got $holdoutPerMille")
+    val spark = df.sparkSession
+    val pairs = minhashNearDups(df, idCol, textCol, shingleK, numHashes,
+      numBands, threshold).select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    df.select(col(idCol).as("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(graft.expr.KernelExpressions.mix64(spark, "component"),
+          lit(1000L)) < holdoutPerMille.toLong, lit("eval"))
+          .otherwise(lit("train")))
+  }
+
   // --- Bloom-filter membership (Dolma's BFF deduper pattern, Soldaini
   // et al. 2024 §2.3: a fixed-size bit array replaces the exact key set
   // when the reference corpus itself is web-scale). benchmarkContamination

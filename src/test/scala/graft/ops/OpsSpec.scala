@@ -1356,4 +1356,27 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L, shared.size.toLong)))
     assert(pairs.forall(p => p._1 == 1L && p._2 == 2L))
   }
+
+  test("leakage-proof split: near-dup clusters land wholly on one side, " +
+    "the coin is mix64(component) per-mille, and the extremes degenerate " +
+    "to all-train / all-eval") {
+    def grab(per: Int) = Dedup.leakageProofSplit(docs, "id", "text", per,
+      shingleK = 3, numHashes = 32, numBands = 16, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[String]("split")))).toMap
+    val v = grab(200)
+    assert(v.size == 6)
+    // docs 1/2/4 form the near-dup cluster rooted at 1; the rest are
+    // their own singleton components
+    assert(Seq(1L, 2L, 4L).forall(v(_)._1 == 1L))
+    for (id <- Seq(3L, 5L, 6L)) assert(v(id)._1 == id, s"doc $id")
+    // exactly one coin per component, matching the kernel hash
+    def coin(c: Long) =
+      if (java.lang.Math.floorMod(Hashing.mix(c), 1000L) < 200L) "eval"
+      else "train"
+    for ((id, (c, s)) <- v) assert(s == coin(c), s"doc $id")
+    assert(Seq(1L, 2L, 4L).map(v(_)._2).distinct.size == 1)
+    assert(grab(0).values.forall(_._2 == "train"))
+    assert(grab(1000).values.forall(_._2 == "eval"))
+  }
 }
