@@ -3216,10 +3216,9 @@ object SparkEntry {
     // SAME one-translate normalization codepoint table, group verdicts
     // re-derived relationally; md5 hex is engine-identical.
     locally {
-      val normFrom = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
-        "ÁÀÂÄÉÈÊËÍÌÎÏÓÒÔÖÚÙÛÜÑÇ" + "áàâäéèêëíìîïóòôöúùûüñç" + "123456789"
-      val normTo = "abcdefghijklmnopqrstuvwxyz" +
-        "aaaaeeeeiiiioooouuuunc" + "aaaaeeeeiiiioooouuuunc" + "000000000"
+      // interpolate TextOps' OWN tables — parity by construction
+      val normFrom = graft.ops.TextOps.NormFrom
+      val normTo = graft.ops.TextOps.NormTo
       m += "q76_normalized_dedup" ->
         s"""WITH v AS (
           |  SELECT doc_id, coalesce(text, '') AS text FROM documents

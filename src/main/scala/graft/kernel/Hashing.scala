@@ -95,11 +95,14 @@ object Hashing {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Robust winnowing (Schleimer, Wilkerson, Aiken, "Winnowing: Local
-    * Algorithms for Document Fingerprinting", SIGMOD'03 §4): hash every
-    * word k-gram ([[fnv1a]] of the space-joined gram), slide a window of
-    * `w` consecutive gram hashes, and select each window's minimum —
-    * rightmost occurrence on ties, per the paper. Guarantees: every
+  /** Winnowing — the STANDARD algorithm of Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 §4 (not the paper's "robust" variant, which prefers
+    * re-selecting the previous window's pick on ties — the rightmost
+    * rule here is position-deterministic, which the SQL oracle needs):
+    * hash every word k-gram ([[fnv1a]] of the space-joined gram), slide
+    * a window of `w` consecutive gram hashes, and select each window's
+    * minimum — rightmost occurrence on ties. Guarantees: every
     * shared token run of length ≥ w + k − 1 yields at least one shared
     * selected fingerprint (detection), and expected sketch density is
     * 2/(w+1) of the gram count (the sub-linear sketch that makes

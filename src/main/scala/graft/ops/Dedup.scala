@@ -713,8 +713,13 @@ object Dedup {
   def winnowedOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5, minShared: Long = 2L,
       maxDocFreq: Long = 64L): DataFrame =
+    // localCheckpoint: the self-join + stop-fingerprint aggregate would
+    // otherwise re-run the winnow kernel scan once PER consumer (the
+    // measured upstream-per-side trap); materializing the sketch once
+    // makes every consumer read the (small) sketch, not the corpus.
     winnowedOverlapPairsFromSketch(
-      winnowedFingerprints(df, idCol, textCol, k, w), minShared, maxDocFreq)
+      winnowedFingerprints(df, idCol, textCol, k, w).localCheckpoint(),
+      minShared, maxDocFreq)
 
   /** Pair detection over an already-computed sketch table
     * ((doc_id, fingerprint)-bearing — [[winnowedFingerprints]] output or

@@ -994,11 +994,13 @@ object TextOps {
   // EXACT dedup — lowercase, strip accents, bucket digits). One flat
   // codepoint table instead of locale-dependent lower()/strip_accents()
   // so Spark and any SQL oracle translate() agree char-for-char.
-  private val NormFrom =
+  // private[graft]: the q76 oracle SQL interpolates these SAME strings,
+  // so Spark/DuckDB codepoint-table identity holds by construction.
+  private[graft] val NormFrom =
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
       "ÁÀÂÄÉÈÊËÍÌÎÏÓÒÔÖÚÙÛÜÑÇ" + "áàâäéèêëíìîïóòôöúùûüñç" +
       "123456789"
-  private val NormTo =
+  private[graft] val NormTo =
     "abcdefghijklmnopqrstuvwxyz" +
       "aaaaeeeeiiiioooouuuunc" + "aaaaeeeeiiiioooouuuunc" +
       "000000000"
