@@ -27,6 +27,57 @@ object Bench {
       }
     } catch { case _: Throwable => -1.0 }
 
+  /** Stall-SHAPE probe (the round-5 verdict's ask): p99 pause of a 1 ms
+    * tick loop on an otherwise-idle JVM. The md5 mops probe measures
+    * aggregate throughput and is blind to stall shape — a host phase made
+    * of multi-second pauses at near-normal average throughput multiplies
+    * across many-stage jobs (the q45/q54/q62/q68 composition quartet)
+    * while barely denting mops. Healthy window: low single-digit ms.
+    * Stall window: tens to thousands of ms. */
+  private def idleP99PauseMs(millis: Long = 3000L): Double = {
+    val gaps = scala.collection.mutable.ArrayBuffer[Long]()
+    val end = System.nanoTime() + millis * 1000000L
+    var last = System.nanoTime()
+    while (last < end) {
+      Thread.sleep(1)
+      val now = System.nanoTime()
+      gaps += (now - last)
+      last = now
+    }
+    val sorted = gaps.sorted
+    sorted(math.min(sorted.length - 1, (sorted.length * 99) / 100)) / 1e6
+  }
+
+  /** Background 1 ms ticker running THROUGH the timed suite: its pause
+    * distribution evidences stalls inside the measured window itself, not
+    * just at its edges. NOTE on reading it: while all 32 Spark threads are
+    * busy the ticker competes for a core, so scheduler waits of tens of ms
+    * are NORMAL under full load — compare round over round; only a
+    * multi-second max/p99 marks a genuine host stall. */
+  private final class PauseTicker extends Thread {
+    @volatile private var running = true
+    private val gaps = scala.collection.mutable.ArrayBuffer[Long]()
+    setDaemon(true)
+    override def run(): Unit = {
+      var last = System.nanoTime()
+      while (running) {
+        Thread.sleep(1)
+        val now = System.nanoTime()
+        gaps.synchronized { gaps += (now - last) }
+        last = now
+      }
+    }
+    /** (p99 ms, max ms) of tick pauses so far; stops the ticker. */
+    def finish(): (Double, Double) = {
+      running = false
+      join(2000)
+      val snap = gaps.synchronized { gaps.toArray.sorted }
+      if (snap.isEmpty) (-1.0, -1.0)
+      else (snap(math.min(snap.length - 1, (snap.length * 99) / 100)) / 1e6,
+        snap.last / 1e6)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,11 +92,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val probeBefore = hostProbe()
+    val pauseBefore = idleP99PauseMs()
 
     // warmup: JIT + codegen caches on a cheap query
     try SparkEntry.queries("q35_lineitem_pricing")(spark, sfDir).count()
     catch { case _: Throwable => }
 
+    val ticker = new PauseTicker
+    ticker.start()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -70,7 +124,9 @@ object Bench {
     val docsPerSec = cnt / extractSecs
     input.unpersist()
 
+    val (suiteP99, suiteMax) = ticker.finish()
     val probeAfter = hostProbe()
+    val pauseAfter = idleP99PauseMs()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
@@ -80,7 +136,12 @@ object Bench {
       f""""extract_docs":$cnt,"extract_secs":$extractSecs%.4f,""" +
       f""""extract_docs_per_sec":$docsPerSec%.1f,""" +
       f""""probe_before_mops":$probeBefore%.2f,"probe_after_mops":$probeAfter%.2f,""" +
-      f""""probe_healthy_mops":"55-76","sf":"$sfDir"}""")
+      f""""probe_healthy_mops":"55-76",""" +
+      f""""idle_p99_pause_ms_before":$pauseBefore%.2f,""" +
+      f""""idle_p99_pause_ms_after":$pauseAfter%.2f,""" +
+      f""""suite_p99_pause_ms":$suiteP99%.2f,"suite_max_pause_ms":$suiteMax%.2f,""" +
+      f""""pause_note":"idle p99 healthy: low single-digit ms; suite pauses include normal 32-thread scheduler waits - only multi-second max marks a host stall",""" +
+      f""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

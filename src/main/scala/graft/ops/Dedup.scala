@@ -96,8 +96,14 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): (DataFrame, Int) = {
+    // materialize the pair table ONCE: verts and edges below are two
+    // consumers, and without this checkpoint each would re-evaluate the
+    // whole pair-generation upstream (for LSH pairs that is the full
+    // shingle/minhash/band/verify pipeline — the round-5 composition
+    // cost the driver bench surfaced on q45/q54/q62/q68)
     val dirE0 = pairs.select(
       col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
     // vertices snapshot BEFORE the self-pair filter: a vertex appearing
     // only in (v, v) rows still belongs to the pair graph and must get a
     // label (its own id), per the every-vertex contract
@@ -274,6 +280,82 @@ object Dedup {
     when(union === 0, 0.0).otherwise(inter.cast("double") / union.cast("double"))
   }
 
+  /** (id, shingles) sketch table, MATERIALIZED once (`localCheckpoint`).
+    * Every minhash consumer reads this table 2–3 times (band generation +
+    * both sides of the verify join); without the checkpoint each read
+    * re-runs the tokenize+shingle+hash scan over the corpus — the
+    * upstream-per-consumer trap the winnow operator already guards
+    * against, and the dominant cost of the round-5 composition queries.
+    * At true crawl scale the same pattern persists the sketch to a table
+    * (it is small: sorted distinct 64-bit fingerprints per doc); the
+    * checkpoint is the in-session equivalent and spills to disk. */
+  private[graft] def shingleTable(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        shingleFingerprints(split(col(textCol), " "), shingleK).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
+
+  /** (id, band, bucket) LSH band-key table over a [[shingleTable]],
+    * MATERIALIZED once: the candidate self-join reads it per side, and
+    * the minhash signature (numHashes hash folds per doc) must not
+    * re-evaluate per side. Small by construction — docs × numBands rows
+    * of three fixed-width columns. */
+  private def bandTable(shingled: DataFrame, numHashes: Int,
+      numBands: Int): DataFrame = {
+    val bandSize = numHashes / numBands
+    shingled
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("bk", explode(bandKeys(col("sig"), numBands, bandSize)))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+      .localCheckpoint()
+  }
+
+  /** Distinct candidate pairs from a band table: self-join on
+    * (band, bucket), upper triangle, dedup BEFORE any verify. When
+    * `maxBucketDocs` < Long.MaxValue, buckets holding MORE than that many
+    * docs are pruned before the join (the q79 stop-fingerprint pattern):
+    * a boilerplate template cluster of 10^6 docs in one bucket would
+    * otherwise emit ~10^12 candidate rows — AQE can split the skewed
+    * partition but cannot reduce the pair count. Recall trade: a true
+    * pair is lost only if EVERY band bucket it shares is hot, so with b
+    * independent bands the miss probability for a pair colliding in k
+    * bands is (hot-rate)^k — and genuinely template-sized clusters are
+    * exactly the ones whose members also collide with each other in
+    * every band. For clustering consumers, use [[minhashClusterEdges]]
+    * instead (linear fan-out with NO recall loss at the candidate
+    * level). */
+  private def candidatePairs(bands: DataFrame,
+      maxBucketDocs: Long): DataFrame = {
+    val pruned =
+      if (maxBucketDocs == Long.MaxValue) bands
+      else {
+        require(maxBucketDocs >= 2L,
+          s"maxBucketDocs must be >= 2, got $maxBucketDocs")
+        val hot = bands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketDocs)
+          .select(col("band"), col("bucket"))
+        bands.join(hot, Seq("band", "bucket"), "left_anti")
+      }
+    val l = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = pruned.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** The UNVERIFIED LSH candidate pairs (what the band join emits before
+    * the Jaccard verify) — exposed for the star-edge label-equality
+    * contract ([[minhashClusterEdges]]) and its tests. */
+  private[graft] def minhashCandidatePairs(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, numHashes: Int = 32,
+      numBands: Int = 8,
+      maxBucketDocs: Long = Long.MaxValue): DataFrame =
+    candidatePairs(
+      bandTable(shingleTable(df, idCol, textCol, shingleK),
+        numHashes, numBands), maxBucketDocs)
+
   /** MinHash+LSH near-duplicate candidate pairs with exact Jaccard
     * verification.
     *
@@ -285,7 +367,14 @@ object Dedup {
     * pairs are `distinct()`ed BEFORE the Jaccard verify, so a pair
     * colliding in k bands is verified once, not k times. Shingles are
     * joined back onto the (small) deduplicated pair set for the single
-    * exact verify. */
+    * exact verify. The shingle and band tables are materialized once
+    * ([[shingleTable]]/[[bandTable]]) so the kernel scans never
+    * re-evaluate per join side or per downstream consumer.
+    *
+    * `maxBucketDocs` (opt-in, default unbounded) prunes hot buckets
+    * before the self-join — the fan-out bound for real web data, where a
+    * template cluster can put 10^6 docs in one bucket (recall trade
+    * documented on [[candidatePairs]]). */
   def minhashNearDups(
       df: DataFrame,
       idCol: String,
@@ -293,24 +382,11 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 32,
       numBands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
-    val bandSize = numHashes / numBands
-    val toks = split(col(textCol), " ")
-    val shingled = df
-      .select(col(idCol).as("id"),
-        shingleFingerprints(toks, shingleK).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val bands = shingled
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .withColumn("bk", explode(bandKeys(col("sig"), numBands, bandSize)))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
-
-    val l = bands.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = bands.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+      threshold: Double = 0.5,
+      maxBucketDocs: Long = Long.MaxValue): DataFrame = {
+    val shingled = shingleTable(df, idCol, textCol, shingleK)
+    val candidates = candidatePairs(
+      bandTable(shingled, numHashes, numBands), maxBucketDocs)
 
     val shA = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
@@ -320,6 +396,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Bucket-min STAR edges for clustering consumers — the hot-bucket
+    * bound that loses nothing: per (band, bucket) with ≥ 2 members, emit
+    * one edge (min member id, member id) per OTHER member instead of all
+    * C(n,2) pairs, so a bucket of n docs contributes n−1 edge rows where
+    * the pair join contributes n(n−1)/2 — LINEAR fan-out, no cap, no
+    * recall trade at the candidate level.
+    *
+    * Label-equality contract (provable): within one bucket the candidate
+    * pair graph is a clique, and a star centered on any member has
+    * exactly the clique's connectivity; the union over buckets therefore
+    * has exactly the same connected components as the all-pairs
+    * candidate graph (OpsSpec pins this against
+    * [[minhashCandidatePairs]]). What changes vs the VERIFIED pair
+    * graph: these edges skip the Jaccard verify, so components are those
+    * of LSH-candidate connectivity — the production semantics of the
+    * large-scale MinHash dedup pipelines that cluster on bucket
+    * membership directly (band collisions at the configured banding ARE
+    * the near-dup test; see Leskovec/Rajaraman/Ullman, MMDS ch. 3).
+    * Verified-pair components are always a REFINEMENT of these (every
+    * verified pair is a candidate pair), so consumers that only need
+    * cluster-level decisions stay sound: dedup keeps one doc per
+    * (possibly coarser) cluster, and a leakage-proof split can only
+    * group MORE suspected near-dups on the same side — conservative in
+    * the safe direction. */
+  def minhashClusterEdges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8): DataFrame = {
+    val bands = bandTable(shingleTable(df, idCol, textCol, shingleK),
+      numHashes, numBands)
+    val reps = bands.groupBy(col("band"), col("bucket"))
+      .agg(min(col("id")).as("id_a"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2L)
+      .select(col("band"), col("bucket"), col("id_a"))
+    bands.join(reps, Seq("band", "bucket"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .distinct()
   }
 
   /** SimHash near-duplicates: 64-bit fingerprints (kernel hash — engine
@@ -336,10 +455,14 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     graft.expr.KernelExpressions.register(spark)
+    // materialized once: the block self-join reads the fingerprints per
+    // side, and the simhash kernel scan must not re-run per side (the
+    // shingleTable rationale; 16 bytes/row, tiny)
     val sims = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .withColumn("simhash", expr("graft_simhash64(coalesce(text, ''))"))
       .select(col("id"), col("simhash"))
+      .localCheckpoint()
 
     val blocked = sims.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -391,10 +514,13 @@ object Dedup {
     // sorted distinct shingle fingerprints: the sort IS the global total
     // order the prefix principle needs (any total order is valid; longs
     // sort far cheaper than shingle strings)
+    // materialized once — consumed by the prefix explode (both join
+    // sides) AND the verify join (both sides); see shingleTable
     val base = df.select(
       (groupCols.map(col) :+ col(idCol).as("id") :+
         shingleFingerprints(toks, shingleK).as("sh")): _*)
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val prefixLen = size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + 1
     val joinKeys = groupCols :+ "tok"
@@ -455,9 +581,13 @@ object Dedup {
       .select(col("doc_id")).distinct()
       .withColumn("is_exact", lit(true))
 
+    // each side's sketch is materialized once — consumed by the band
+    // generation AND the verify join (see shingleTable; at a 100 TB base
+    // the same pattern persists the base sketch to a stored table)
     def shingled(df: DataFrame) = df.select(col("doc_id"),
       shingleFingerprints(split(col("text"), " "), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     def banded(df: DataFrame) = df
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("bk", explode(bandKeys(col("sig"), numBands,
@@ -764,12 +894,21 @@ object Dedup {
     * coin is a row-local codegen'd hash predicate. */
   def leakageProofSplit(df: DataFrame, idCol: String, textCol: String,
       holdoutPerMille: Int, shingleK: Int = 3, numHashes: Int = 32,
-      numBands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      numBands: Int = 8, threshold: Double = 0.5,
+      bucketStarEdges: Boolean = false): DataFrame = {
     require(holdoutPerMille >= 0 && holdoutPerMille <= 1000,
       s"holdoutPerMille must be in [0,1000], got $holdoutPerMille")
     val spark = df.sparkSession
-    val pairs = minhashNearDups(df, idCol, textCol, shingleK, numHashes,
-      numBands, threshold).select(col("id_a"), col("id_b"))
+    // bucketStarEdges (opt-in, the at-scale path): cluster on LSH-candidate
+    // connectivity via linear-fan-out star edges instead of verified pairs.
+    // Conservative for splitting — verified components are a refinement of
+    // candidate components, so every true near-dup pair still lands on one
+    // side; coarser clusters only group MORE suspects together.
+    val pairs =
+      if (bucketStarEdges)
+        minhashClusterEdges(df, idCol, textCol, shingleK, numHashes, numBands)
+      else minhashNearDups(df, idCol, textCol, shingleK, numHashes,
+        numBands, threshold).select(col("id_a"), col("id_b"))
     val comp = connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")
     df.select(col(idCol).as("doc_id"))

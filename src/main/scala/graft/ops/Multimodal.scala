@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata structs. The Spark side — schema, partitioning,
-  * per-partition batch shape — is real and tested; the decoder itself is a
-  * clearly-marked deterministic STUB (no image/audio libs ship in this
-  * container): it derives "decoded" metadata and features purely from the
-  * payload bytes, so tests are reproducible and swapping in a real codec
-  * only changes `decodeStub`. */
+  * per-partition batch shape — is real and tested. IMAGE payloads carrying
+  * a real container (baseline JPEG / PNG magic) decode through the repo's
+  * own full decoders ([[graft.kernel.MediaCodec.decodeImage]] — Huffman +
+  * IDCT / inflate + defilter), yielding genuine dimensions and a real
+  * 8-bin luminance-histogram feature. Only audio/video rows (and image
+  * rows whose bytes are not a supported container) fall back to the
+  * clearly-marked deterministic STUB — those codecs don't ship in this
+  * container — so swapping in a real codec only changes `decodeStub`. */
 object Multimodal {
 
   final case class MediaRow(id: Long, kind: String, media: Array[Byte])
@@ -18,9 +21,25 @@ object Multimodal {
       id: Long, kind: String, byte_len: Long, width: Int, height: Int,
       frames: Int, feature: Array[Float])
 
-  /** STUB decoder — deterministic fake of an image/audio decode. A real
-    * implementation would parse the container format here; everything
-    * around it (batching, schema, null handling) is production shape. */
+  /** Real image decode: baseline-JPEG/PNG payloads run the full kernel
+    * decoder; width/height come from the decoded raster and the feature
+    * is the 8-bin luminance histogram (fractions in [0,1]) of the actual
+    * pixels. None when the bytes are not a supported image container. */
+  def decodeImageReal(id: Long, kind: String,
+      media: Array[Byte]): Option[DecodedMeta] =
+    graft.kernel.MediaCodec.decodeImage(media).map { d =>
+      val hist = new Array[Long](8)
+      d.pixels.foreach { p => hist((p & 0xFF) >> 5) += 1 }
+      val n = math.max(d.pixels.length, 1).toFloat
+      DecodedMeta(id, kind, media.length.toLong, d.width, d.height, 1,
+        hist.map(_ / n))
+    }
+
+  /** STUB decoder — deterministic fake of an audio/video decode (and the
+    * fallback for image rows whose bytes are not a supported container).
+    * A real implementation would parse the container format here;
+    * everything around it (batching, schema, null handling) is
+    * production shape. */
   def decodeStub(id: Long, kind: String, media: Array[Byte]): DecodedMeta = {
     if (media == null || media.isEmpty)
       return DecodedMeta(id, kind, 0L, 0, 0, 0, Array.empty)
@@ -38,13 +57,20 @@ object Multimodal {
 
   /** Decode a media table: one decoder pass per partition over the binary
     * column (the Scala analog of `mapInPandas` batches — rows stream through
-    * the partition iterator without materializing the partition). */
+    * the partition iterator without materializing the partition). Image
+    * rows with a real container go through the REAL decoder
+    * ([[decodeImageReal]]); everything else through the stub. */
   def decode(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("id").cast("long"), col("kind"), col("media"))
       .as[MediaRow]
-      .mapPartitions(_.map(r => decodeStub(r.id, r.kind, r.media)))
+      .mapPartitions(_.map { r =>
+        val real =
+          if (r.kind == "image") decodeImageReal(r.id, r.kind, r.media)
+          else None
+        real.getOrElse(decodeStub(r.id, r.kind, r.media))
+      })
       .toDF()
   }
 

@@ -210,14 +210,39 @@ object TextOps {
     * Parity details: symbol split replicates Spark's `split(token, "")`
     * (code-point steps); the argmax tie-break compares strings in UTF-8
     * binary order (Spark's StringType ordering), which Java's UTF-16
-    * `compareTo` does NOT match for supplementary characters. */
-  def bpeMergesLocal(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    * `compareTo` does NOT match for supplementary characters.
+    *
+    * Driver-memory bound: the vocabulary collect is bounded by DISTINCT
+    * tokens — a few million rows on clean corpora, but 100 TB of raw web
+    * text (URL fragments, hex hashes, numbers) pushes distinct
+    * whitespace tokens into the billions, so the collect needs a floor.
+    * `minCount` drops tokens occurring fewer than that many times BEFORE
+    * the collect (applied on the map-side-combined aggregate, so the
+    * floor also bounds what leaves the executors); `maxVocab` > 0
+    * additionally keeps only the top-N tokens by (count DESC, token ASC
+    * — deterministic ties). TRUNCATION SEMANTICS, stated: with the
+    * defaults (minCount=1, maxVocab=0) the trace is exactly
+    * [[bpeMerges]]'; with a floor, pair counts lose the contributions of
+    * sub-floor tokens, so a merge whose support lives mostly in the
+    * dropped tail can rank differently — the standard trade of every
+    * production BPE trainer (a pair seen only inside below-minCount
+    * tokens has bounded support and cannot beat repeated-support pairs
+    * at realistic merge counts). Above the floor the incremental pair
+    * counts and tie-breaks are unchanged. */
+  def bpeMergesLocal(df: DataFrame, textCol: String, steps: Int,
+      minCount: Long = 1L, maxVocab: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val sep = "\u0001"
-    val vocab: Array[(Long, Array[String])] = df
+    val counted = df
       .select(explode(split(col(textCol), " ")).as("token"))
       .filter(col("token") =!= "" && !col("token").contains(sep))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val bounded =
+      if (maxVocab > 0)
+        counted.orderBy(col("cnt").desc, col("token").asc).limit(maxVocab)
+      else counted
+    val vocab: Array[(Long, Array[String])] = bounded
       .collect()
       .map(r => (r.getLong(1), splitCodePoints(r.getString(0))))
 

@@ -1379,4 +1379,129 @@ class OpsSpec extends AnyFunSuite {
     assert(grab(0).values.forall(_._2 == "train"))
     assert(grab(1000).values.forall(_._2 == "eval"))
   }
+
+  test("minhash bucket-star edges: component labels EXACTLY equal the " +
+    "all-pairs candidate graph's (the provable clique≡star property), " +
+    "with linear instead of quadratic fan-out") {
+    def labels(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (corpus <- Seq(
+        docs.withColumnRenamed("id", "doc_id"),
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet"))) {
+      val star = Dedup.minhashClusterEdges(corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 32, numBands = 8)
+      val cand = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+        shingleK = 3, numHashes = 32, numBands = 8)
+      assert(labels(star) == labels(cand), "component labels diverged")
+      // star fan-out is n−1 per bucket vs n(n−1)/2 pairs — never more rows
+      assert(star.count() <= cand.count())
+      assert(star.count() > 0)
+    }
+  }
+
+  test("minhash hot-bucket cap: a planted 40-doc template cluster's " +
+    "quadratic pairs are pruned, every other verified pair survives " +
+    "(the documented recall trade hits only the hot buckets)") {
+    val template = (100L until 140L)
+      .map(i => (i, "lorem ipsum template boilerplate navigation footer " +
+        "copyright terms privacy contact about site map", "t"))
+    val all = docs.unionByName(template.toDF("id", "text", "grp"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbounded = pairSet(Dedup.minhashNearDups(all, "id", "text",
+      shingleK = 3, numHashes = 32, numBands = 16, threshold = 0.5))
+    // 40 byte-identical docs: C(40,2) = 780 template pairs in EVERY bucket
+    assert(unbounded.count(p => p._1 >= 100L && p._2 >= 100L) == 780)
+    val capped = pairSet(Dedup.minhashNearDups(all, "id", "text",
+      shingleK = 3, numHashes = 32, numBands = 16, threshold = 0.5,
+      maxBucketDocs = 8L))
+    // the cap removes exactly the template-cluster pairs (its members fill
+    // every one of their buckets past the cap); all other pairs survive
+    assert(capped == unbounded.filterNot(p => p._1 >= 100L && p._2 >= 100L),
+      s"missing=${unbounded.diff(capped).filterNot(p => p._1 >= 100L).take(3)} " +
+        s"extra=${capped.diff(unbounded).take(3)}")
+    // the star-edge path needs NO cap: linear rows even on the hot bucket,
+    // and the template cluster keeps ONE component
+    val star = Dedup.minhashClusterEdges(all, "id", "text",
+      shingleK = 3, numHashes = 32, numBands = 16)
+    val starRows = star.count()
+    assert(starRows < 780, s"star fan-out should be linear, got $starRows")
+    val comp = Dedup.connectedComponents(star, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((100L until 140L).forall(comp(_) == 100L))
+  }
+
+  test("bpeMergesLocal minCount floor and maxVocab heavy-hitters cut " +
+    "bound the driver collect; trace unchanged when the dropped tail " +
+    "carries no winning support") {
+    def trace(got: org.apache.spark.sql.DataFrame) =
+      got.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // 10× "low", 3× "lower", plus singleton junk tokens (URL-fragment tail)
+    val df = (Seq.fill(10)("low") ++ Seq.fill(3)("lower") ++
+      Seq("qz0x", "vv9k", "m3uu")).map(Tuple1(_)).toDF("text")
+    val full = trace(TextOps.bpeMergesLocal(df, "text", steps = 4))
+    val floored = trace(TextOps.bpeMergesLocal(df, "text", steps = 4,
+      minCount = 2L))
+    // the junk singletons never carry a winning pair on this corpus, so
+    // the floored trace is identical above the floor
+    assert(floored == full, s"\nfull: $full\nfloored: $floored")
+    // top-1 heavy-hitters cut: only "low" (cnt 10) survives the collect —
+    // its exact trace is (l,o)@10 then (lo,w)@10, then exhaustion
+    val top1 = trace(TextOps.bpeMergesLocal(df, "text", steps = 4,
+      maxVocab = 1))
+    assert(top1 == Seq((1, "l", "o", 10L), (2, "lo", "w", 10L)), top1)
+  }
+
+  test("multimodal decode routes real PNG/JPEG image payloads through " +
+    "the full pixel decoder; audio/video and non-container bytes keep " +
+    "the stub") {
+    import graft.kernel.MediaCodec
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", MediaCodec.renderPng(20, 10)),
+      Multimodal.MediaRow(2L, "image", MediaCodec.renderJpeg(24, 16)),
+      Multimodal.MediaRow(3L, "image", Array[Byte](9, 9, 9, 9, 9, 9, 9, 9)),
+      Multimodal.MediaRow(4L, "audio", MediaCodec.renderPng(20, 10)))
+      .toDF()
+    val out = Multimodal.decode(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // real PNG: decoded dims, blank raster = all-255 luminance → bin 7
+    assert(out(1L).getInt(3) == 20 && out(1L).getInt(4) == 10)
+    assert(out(1L).getAs[Seq[Float]]("feature")(7) == 1.0f)
+    // real baseline JPEG: blank raster IDCTs to 208 everywhere → bin 6
+    assert(out(2L).getInt(3) == 24 && out(2L).getInt(4) == 16)
+    assert(out(2L).getAs[Seq[Float]]("feature")(6) == 1.0f)
+    // non-container image bytes and audio rows keep the stub's shape
+    assert(out(3L).getInt(3) >= 64)
+    assert(out(4L).getInt(3) >= 64)
+  }
+
+  test("leakage-proof split with bucketStarEdges: every VERIFIED near-dup " +
+    "pair still lands wholly on one side (candidate components only " +
+    "coarsen the verified ones — conservative in the safe direction)") {
+    val v = Dedup.leakageProofSplit(docs, "id", "text", 200,
+      shingleK = 3, numHashes = 32, numBands = 16, threshold = 0.5,
+      bucketStarEdges = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[String]("split")))).toMap
+    assert(v.size == 6)
+    val verified = Dedup.minhashNearDups(docs, "id", "text",
+      shingleK = 3, numHashes = 32, numBands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(verified.nonEmpty)
+    for ((a, b) <- verified) {
+      assert(v(a)._1 == v(b)._1, s"pair ($a,$b) split across components")
+      assert(v(a)._2 == v(b)._2, s"pair ($a,$b) split across sides")
+    }
+    // the coin is still one mix64 per component
+    for ((id, (c, s)) <- v) {
+      val expect =
+        if (java.lang.Math.floorMod(Hashing.mix(c), 1000L) < 200L) "eval"
+        else "train"
+      assert(s == expect, s"doc $id")
+    }
+  }
 }
