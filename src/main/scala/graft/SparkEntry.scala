@@ -1147,6 +1147,33 @@ object SparkEntry {
       Dedup.leakageProofSplit(docs, "doc_id", "text",
         holdoutPerMille = 200, shingleK = 3, numHashes = 32,
         numBands = 8, threshold = 0.5)
+    }),
+
+    // The funnel's last opt-in cleaning stage under oracle at corpus
+    // scale: ExactSubstr span REMOVAL inside CurateJob (q64's operator as
+    // a funnel stage). The q64 passage is planted into doc_id % 11 docs;
+    // the funnel cuts every ≥12-token corpus-duplicated run, then
+    // computes too_short/quality/repetition on the CLEANED text (dedup
+    // stages stay on the planted input text, per CurateJob's contract).
+    // 64x32 banding for the same reason as q62: the oracle verifies
+    // near-dups with all-pairs Jaccard, so LSH recall must be ~certain
+    // at j ≥ 0.5 on the planted corpus (OpsSpec pins the premise).
+    "q81_curation_span_removal" -> ((s, dir) => {
+      val passage = "exact substring duplication test passage alpha beta " +
+        "gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      val docs = spread(t(s, dir, "documents")).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" " + passage)))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"),
+        col("lang"))
+      graft.pipeline.CurateJob.verdicts(docs, "doc_id", "text", "lang",
+        graft.pipeline.CurateConfig(
+          numHashes = 64,
+          numBands = 32,
+          spanRemoval = true,
+          spanK = 8,
+          spanMinTokens = 12,
+          spanMinCount = 2L))
     })
   )
 
@@ -3338,6 +3365,176 @@ object SparkEntry {
         |  CASE WHEN ((${u64ToSigned("h")} % 1000) + 1000) % 1000 < 200
         |    THEN 'eval' ELSE 'train' END AS split
         |FROM s5""".stripMargin
+
+    // q81: the q54 funnel machinery over the q64 passage-planted corpus,
+    // with the q64 span-removal CTEs supplying the cleaned text that the
+    // too_short/quality/repetition signals consume (the q62 composition
+    // pattern — dedup stages stay on the planted INPUT text, per
+    // CurateJob's contract). The q64 and q54 CTE families are disjoint by
+    // name, so they compose verbatim.
+    m += "q81_curation_span_removal" ->
+      ("""WITH RECURSIVE
+        |d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN coalesce(text, '') || ' exact substring duplication""" +
+        """ test passage alpha beta gamma delta epsilon zeta eta theta""" +
+        """ iota kappa lambda mu'
+        |         ELSE coalesce(text, '') END AS text,
+        |    lang
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(toks[i : i + 7], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |        FROM w WHERE len(toks) >= 8)),
+        |dup AS (
+        |  SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1)
+        |  WHERE c >= 2),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + u AS i
+        |  FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS u FROM m)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM cov),
+        |rem AS (
+        |  SELECT doc_id, min(i) AS s, max(i) AS e
+        |  FROM isl GROUP BY doc_id, grp HAVING count(*) >= 12),
+        |remtok AS (
+        |  SELECT doc_id, s + u AS i
+        |  FROM (SELECT doc_id, s, unnest(range(0, e - s + 1)) AS u
+        |        FROM rem)),
+        |aff AS (SELECT DISTINCT doc_id FROM rem),
+        |tokr AS (
+        |  SELECT doc_id, u - 1 AS i, toks[CAST(u AS INT)] AS t
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS u
+        |        FROM w)
+        |  WHERE doc_id IN (SELECT doc_id FROM aff)),
+        |kept AS (
+        |  SELECT tokr.doc_id, tokr.i, tokr.t FROM tokr
+        |  WHERE NOT EXISTS (SELECT 1 FROM remtok r
+        |    WHERE r.doc_id = tokr.doc_id AND r.i = tokr.i)),
+        |reb AS (
+        |  SELECT doc_id, array_to_string(list(t ORDER BY i), ' ')
+        |      AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |clean AS (
+        |  SELECT w.doc_id,
+        |    CASE WHEN aff.doc_id IS NULL THEN d0.text
+        |         ELSE coalesce(reb.clean_text, '') END AS ctext
+        |  FROM w
+        |  JOIN d0 USING (doc_id)
+        |  LEFT JOIN aff ON w.doc_id = aff.doc_id
+        |  LEFT JOIN reb ON w.doc_id = reb.doc_id),
+        |ek AS (SELECT doc_id, md5(text) AS k FROM d0),
+        |ekeep AS (SELECT k, min(doc_id) AS keep FROM ek GROUP BY 1),
+        |exact_losers AS (
+        |  SELECT e.doc_id FROM ek e JOIN ekeep kk USING (k)
+        |  WHERE e.doc_id <> kk.keep),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_sort(list_distinct(list_transform(
+        |                range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' ')))) END AS sh
+        |  FROM tok),
+        |nz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh0 WHERE len(sh) > 0),
+        |pref AS (
+        |  SELECT doc_id, sz,
+        |    unnest(sh[1 : sz - CAST(ceil(0.5 * sz) AS INT) + 1]) AS tok
+        |  FROM nz),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |   AND a.sz * 0.5 <= b.sz AND b.sz * 0.5 <= a.sz),
+        |ver AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(x.sh, y.sh)) * 1.0 /
+        |    len(list_distinct(list_concat(x.sh, y.sh))) AS j
+        |  FROM cand
+        |  JOIN nz x ON x.doc_id = id_a
+        |  JOIN nz y ON y.doc_id = id_b),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, c) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
+        |comp AS (SELECT v AS doc_id, min(c) AS component FROM reach
+        |  GROUP BY v),
+        |near_losers AS (
+        |  SELECT doc_id FROM comp WHERE doc_id <> component),
+        |padded AS (
+        |  SELECT doc_id, ctext AS text,
+        |    ' ' || replace(ctext, ' ', '  ') || ' ' AS pad
+        |  FROM clean),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    CAST((length(pad) - length(replace(pad, ' the ', ''))) / 5
+        |       + (length(pad) - length(replace(pad, ' and ', ''))) / 5
+        |       + (length(pad) - length(replace(pad, ' of ', ''))) / 4
+        |       + (length(pad) - length(replace(pad, ' is ', ''))) / 4
+        |       + (length(pad) - length(replace(pad, ' a ', ''))) / 3
+        |       + (length(pad) - length(replace(pad, ' to ', ''))) / 4
+        |      AS BIGINT) AS stop_hits,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS words,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS digits
+        |  FROM padded),
+        |q AS (
+        |  SELECT doc_id,
+        |    least(
+        |      least(CASE WHEN words = 0 THEN 0.0
+        |                 ELSE stop_hits * 1.0 / words END, 0.5) +
+        |      (CASE WHEN length(text) >= 200 AND length(text) <= 5000
+        |            THEN 0.3 ELSE 0.0 END) +
+        |      (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+        |                       ELSE digits * 1.0 / length(text) END) < 0.3
+        |            THEN 0.2 ELSE 0.0 END),
+        |      1.0) AS quality
+        |  FROM f),
+        |ctok AS (
+        |  SELECT doc_id, string_split(ctext, ' ') AS toks FROM clean),
+        |bg AS (
+        |  SELECT doc_id,
+        |    greatest(len(toks) - 1, 0)::BIGINT AS n_bigrams,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+        |  FROM ctok),
+        |bu AS (SELECT doc_id, unnest(bigrams) AS gb FROM bg),
+        |bc AS (SELECT doc_id, gb, count(*) AS cnt FROM bu GROUP BY 1, 2),
+        |bagg AS (SELECT doc_id, max(cnt) AS top_count FROM bc GROUP BY 1),
+        |rep AS (
+        |  SELECT bg.doc_id,
+        |    CASE WHEN bg.n_bigrams = 0 THEN FALSE
+        |         ELSE coalesce(bagg.top_count, 0) * 1000000
+        |                // bg.n_bigrams > 60000 END AS repetitive
+        |  FROM bg LEFT JOIN bagg ON bg.doc_id = bagg.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN el.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nl.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN length(c.ctext) < 120 THEN 'too_short'
+        |       WHEN d.lang NOT IN ('en', 'de', 'fr') THEN 'lang_filter'
+        |       WHEN qq.quality < 0.3 THEN 'low_quality'
+        |       WHEN rep.repetitive THEN 'repetitive'
+        |       ELSE 'kept' END AS verdict
+        |FROM d0 d
+        |LEFT JOIN clean c ON d.doc_id = c.doc_id
+        |LEFT JOIN exact_losers el ON d.doc_id = el.doc_id
+        |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
+        |LEFT JOIN q qq ON d.doc_id = qq.doc_id
+        |LEFT JOIN rep ON d.doc_id = rep.doc_id""").stripMargin
 
     m.toMap
   }

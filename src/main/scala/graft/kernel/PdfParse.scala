@@ -119,6 +119,13 @@ object PdfParse {
   // 90ms-RKSJ, …) which stay undecodable without CMap data.
   private val PatEncodingUcs2 =
     Py.re("""/Encoding\s*/Uni(?:GB|CNS|JIS|KS)-(?:UCS2|UTF16)-[HV]""")
+  // byte-oriented LEGACY predefined CMaps (PDF 32000-1 table 118, the
+  // pre-Unicode CJK producer layouts): their code spaces ARE the byte
+  // structure of Shift-JIS / GBK / EUC / Big5 / UHC, so the JDK's public
+  // charset decoders perform exactly the mixed 1/2-byte codespace walk
+  // plus the code→Unicode mapping — no shipped CMap tables needed
+  private val PatEncodingLegacyCjk = Py.re(
+    """/Encoding\s*/(90ms-RKSJ|90msp-RKSJ|GBK-EUC|GB-EUC|B5pc|ETen-B5|KSCms-UHC|KSC-EUC)-[HV]""")
   private val PatEncodingName = Py.re("""/Encoding\s*/(\w+)""")
   private val PatEncodingRef = Py.re("""/Encoding\s+(\d+)\s+\d+\s+R""")
   private val PatEncodingInline = Py.re("""/Encoding\s*<<""")
@@ -416,7 +423,10 @@ object PdfParse {
   private[kernel] final case class FontCMap(
       bytesPerCode: Int, map: Map[Int, String],
       identityCid: Boolean = false,
-      ucs2: Boolean = false)
+      ucs2: Boolean = false,
+      // JDK charset name for byte-oriented legacy predefined CMaps
+      // (90ms-RKSJ → windows-31j, GBK-EUC → GBK, …); "" = none
+      legacyCharset: String = "")
 
   /** Resolve the /Font dict of a resources dict into per-name CMaps.
     * Simple fonts without a ToUnicode stream decode byte-identically
@@ -436,6 +446,15 @@ object PdfParse {
     *     code units by definition — EXACT verbatim decode (surrogate
     *     pairs reassemble by appending both halves), the layouts legacy
     *     and modern CJK producers emit (table 118, PDF 32000-1).
+    *   - byte-oriented LEGACY predefined CMaps (`90ms-RKSJ-H`,
+    *     `GBK-EUC-H`, `B5pc-H`, `KSCms-UHC-H`, … — the pre-2005 CJK
+    *     producer layouts): the code space IS the byte structure of the
+    *     family's defining charset (Shift-JIS / GBK / EUC / Big5 / UHC),
+    *     so show strings decode EXACTLY through the JDK's public charset
+    *     decoders — the mixed 1/2-byte codespace walk plus code→Unicode,
+    *     no shipped CMap tables (see `legacyCmapCharset`). This is the
+    *     text layer the reference reads free via PyMuPDF
+    *     (_detector.py:250-296).
     *   - anything else (other predefined CMap names, missing): UNDECODABLE
     *     without the font program — marked with an empty 2-byte CMap so
     *     show strings yield NO text (instead of 1-byte mojibake that would
@@ -466,7 +485,8 @@ object PdfParse {
             // is EXACT, not heuristic — no plausibility guard needed
             val ucs2 = PatEncodingUcs2.matcher(fontObj.body).find()
             out(name) = FontCMap(2, Map.empty,
-              identityCid = identity, ucs2 = ucs2)
+              identityCid = identity, ucs2 = ucs2,
+              legacyCharset = legacyCmapCharset(fontObj.body))
           case None =>
             // simple font: byte-identity decode, EXCEPT where an explicit
             // /Encoding (WinAnsi/MacRoman base, /Differences glyph names)
@@ -766,6 +786,44 @@ object PdfParse {
     sb.toString
   }
 
+  /** JDK charset for a byte-oriented legacy predefined CMap /Encoding
+    * name, "" when absent or the charset is not installed. The mapping
+    * is the CMap families' DEFINING character sets (Adobe CMap
+    * resources, public): 90ms/90msp-RKSJ = Microsoft Shift-JIS (CP932),
+    * GBK-EUC = GBK, GB-EUC = EUC-CN, B5pc/ETen-B5 = Big5,
+    * KSCms-UHC = UHC (CP949), KSC-EUC = EUC-KR. */
+  private[kernel] def legacyCmapCharset(fontBody: String): String = {
+    val m = PatEncodingLegacyCjk.matcher(fontBody)
+    if (!m.find()) return ""
+    val cs = m.group(1) match {
+      case "90ms-RKSJ" | "90msp-RKSJ" => "windows-31j"
+      case "GBK-EUC" => "GBK"
+      case "GB-EUC" => "GB2312"
+      case "B5pc" | "ETen-B5" => "Big5"
+      case "KSCms-UHC" => "x-windows-949"
+      case "KSC-EUC" => "EUC-KR"
+      case _ => ""
+    }
+    if (cs.nonEmpty && java.nio.charset.Charset.isSupported(cs)) cs else ""
+  }
+
+  /** Decode a legacy-CMap show string: the raw code bytes through the
+    * CMap family's defining charset (the JDK decoder IS the mixed
+    * 1/2-byte codespace walk). NULs and unmappable/malformed sequences
+    * yield nothing — garbage never masquerades as text, so a broken
+    * stream still degrades to the needs-OCR path. */
+  private[kernel] def decodeLegacyCjk(rawStr: String, charset: String): String = {
+    val bytes = new Array[Byte](rawStr.length)
+    var i = 0
+    while (i < rawStr.length) { bytes(i) = rawStr.charAt(i).toByte; i += 1 }
+    val dec = java.nio.charset.Charset.forName(charset).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      .filter(c => c != '\u0000' && c != '\uFFFD')
+    catch { case _: Exception => "" }
+  }
+
   /** Decode a raw show-string (chars = bytes) through the active font. */
   private def decodeString(rawStr: String, font: Option[FontCMap]): String =
     font match {
@@ -774,9 +832,11 @@ object PdfParse {
         // Unicode-family predefined CMap (UCS2/UTF16): codes are UCS-2 /
         // UTF-16BE units by definition — exact verbatim decode (NULs
         // dropped; appending both surrogate halves reassembles UTF16
-        // supplementary chars). Identity-encoded CID: guarded Unicode
-        // passthrough. Otherwise undecodable CID font: degrade (1-byte
-        // fonts keep identity).
+        // supplementary chars). Byte-oriented legacy CMap (90ms-RKSJ,
+        // GBK-EUC, …): exact decode through the family's defining JDK
+        // charset. Identity-encoded CID: guarded Unicode passthrough.
+        // Otherwise undecodable CID font: degrade (1-byte fonts keep
+        // identity).
         if (f.ucs2) {
           val sb = new StringBuilder(rawStr.length / 2)
           var i = 0
@@ -786,7 +846,9 @@ object PdfParse {
             i += 2
           }
           sb.toString
-        } else if (f.identityCid) decodeIdentityCid(rawStr)
+        } else if (f.legacyCharset.nonEmpty)
+          decodeLegacyCjk(rawStr, f.legacyCharset)
+        else if (f.identityCid) decodeIdentityCid(rawStr)
         else ""
       case Some(f) if f.bytesPerCode == 1 =>
         val sb = new StringBuilder
@@ -1636,9 +1698,11 @@ object PdfParse {
       embedCcitt: Boolean = false,
       cidFont: Boolean = false,
       // /Encoding name of the Type0 font when cidFont: Identity-H (the
-      // dominant modern layout) or a predefined UCS2-family CMap name
-      // (UniJIS-UCS2-H etc. — the legacy CJK layout); both show 2-byte
-      // UTF-16-unit hex strings, so the text layer bytes are identical
+      // dominant modern layout), a predefined UCS2-family CMap name
+      // (UniJIS-UCS2-H etc.) showing 2-byte UTF-16-unit hex strings, or
+      // a byte-oriented LEGACY CMap name (90ms-RKSJ-H, GBK-EUC-H, …)
+      // whose show strings carry the line's bytes in the family's
+      // defining charset (ASCII text is byte-identical under all three)
       cidEncoding: String = "Identity-H"): Array[Byte] = {
     val objects = mutable.ArrayBuffer[Array[Byte]]() // 1-indexed bodies
     def obj(n: Int, body: String): Array[Byte] =
@@ -1677,6 +1741,9 @@ object PdfParse {
       if (resParts.nonEmpty) s" /Resources << ${resParts.mkString(" ")} >>"
       else ""
 
+    // legacy byte-oriented CMap: show strings carry charset-encoded bytes
+    val legacyCs = if (cidFont) legacyCmapCharset(s"/Encoding /$cidEncoding")
+      else ""
     pageLines.zipWithIndex.foreach { case (lines, i) =>
       val pageNum = 3 + 2 * i
       val contNum = 4 + 2 * i
@@ -1687,9 +1754,14 @@ object PdfParse {
       lines.zipWithIndex.foreach { case (line, li) =>
         if (li > 0) ops.append("T*\n")
         if (cidFont) {
-          // 2-byte Identity-H codes = the text's UTF-16 units, as a hex
-          // show string (the layout Unicode-CID producers emit)
-          val hex = line.map(c => f"${c.toInt}%04X").mkString
+          // 2-byte Identity-H/UCS2 codes = the text's UTF-16 units; a
+          // legacy CMap shows the charset-encoded bytes instead — both
+          // as hex show strings (the layouts the respective producers
+          // emit)
+          val hex =
+            if (legacyCs.nonEmpty)
+              line.getBytes(legacyCs).map(b => f"${b & 0xFF}%02X").mkString
+            else line.map(c => f"${c.toInt}%04X").mkString
           ops.append(s"<$hex> Tj\n")
         } else {
           val esc = line.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
@@ -1738,10 +1810,16 @@ object PdfParse {
       // Registry/Ordering follows the encoding family (cosmetic for this
       // parser, keeps external readers honest about the character set)
       val ordering =
-        if (cidEncoding.startsWith("UniGB")) "GB1"
-        else if (cidEncoding.startsWith("UniCNS")) "CNS1"
-        else if (cidEncoding.startsWith("UniJIS")) "Japan1"
-        else if (cidEncoding.startsWith("UniKS")) "Korea1"
+        if (cidEncoding.startsWith("UniGB") ||
+          cidEncoding.startsWith("GBK-EUC") ||
+          cidEncoding.startsWith("GB-EUC")) "GB1"
+        else if (cidEncoding.startsWith("UniCNS") ||
+          cidEncoding.startsWith("B5pc") ||
+          cidEncoding.startsWith("ETen-B5")) "CNS1"
+        else if (cidEncoding.startsWith("UniJIS") ||
+          cidEncoding.contains("RKSJ")) "Japan1"
+        else if (cidEncoding.startsWith("UniKS") ||
+          cidEncoding.startsWith("KSC")) "Korea1"
         else "Identity"
       objects += obj(fontObjNum,
         "<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID " +

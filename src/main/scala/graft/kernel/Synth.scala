@@ -221,15 +221,19 @@ object Synth {
           // unchanged. The text layer is byte-identical either way.
           case 0 => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
             cidFont = (idx / 10) % 2 == 0,
-            // half the CID docs carry a predefined Unicode-family CMap
-            // instead of Identity-H (the legacy/modern CJK producer
-            // layouts the exact UCS-2/UTF-16BE decode rescues), split
-            // between the UCS2 and UTF16 names — keyed off idx/10 like
-            // the cidFont split, no rng draw, text layer byte-identical
-            // (BMP text encodes the same under both)
-            cidEncoding = (idx / 10) % 8 match {
+            // two thirds of the CID docs carry a predefined CMap instead
+            // of Identity-H: the Unicode family (UCS2/UTF16 — exact
+            // UTF-16BE decode) and the byte-oriented LEGACY family
+            // (90ms-RKSJ/GBK-EUC — exact JDK-charset decode), so every
+            // CMap path runs at corpus scale. Keyed off idx/10 like the
+            // cidFont split, no rng draw; the text layer is
+            // byte-identical under all names (ASCII prose encodes the
+            // same bytes→text under each decode)
+            cidEncoding = (idx / 10) % 12 match {
               case 0 => "UniJIS-UCS2-H"
               case 4 => "UniGB-UTF16-H"
+              case 2 => "90ms-RKSJ-H"
+              case 8 => "GBK-EUC-H"
               case _ => "Identity-H"
             })
           case 1 => PdfParse.writePdfObjStm(d.pages.map(_.textLayer.split("\n").toSeq))

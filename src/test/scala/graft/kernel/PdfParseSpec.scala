@@ -365,11 +365,11 @@ class PdfParseSpec extends AnyFunSuite {
     val tl = PdfParse.parse(utf16).pages(0).textLayer
     assert(tl == "名前𠮷", tl)
     assert(tl.length == 4 && tl.codePointCount(0, tl.length) == 3)
-    // non-Unicode predefined CMap (byte-oriented GBK-EUC): still
-    // undecodable without CMap data — empty text layer, OCR path
+    // an UNKNOWN predefined CMap name (no charset, no CMap data): still
+    // undecodable — empty text layer, OCR path
     val pdf = cidFixture(
       "<< /Type /Font /Subtype /Type0 /BaseFont /NoMap " +
-        "/Encoding /GBK-EUC-H >>",
+        "/Encoding /Add-RKSJ-H >>",
       "00480065006C006C006F")
     val doc = PdfParse.parse(pdf)
     assert(doc.pages(0).textLayer == "",
@@ -383,6 +383,43 @@ class PdfParseSpec extends AnyFunSuite {
     val wd = new Extractor(ProbeConfig()).extract(written)
     assert(wd.status != "true" && wd.extractedText.contains("quick brown fox"),
       s"UCS2-CMap writePdf must extract, got status=${wd.status}")
+  }
+
+  test("byte-oriented LEGACY predefined CMaps (90ms-RKSJ, GBK-EUC, B5pc, " +
+    "KSCms-UHC) decode exactly through the family's defining JDK charset " +
+    "— the mixed 1/2-byte codespace walk, no shipped CMap tables") {
+    def tl(enc: String, hex: String): String =
+      PdfParse.parse(cidFixture(
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Legacy " +
+          s"/Encoding /$enc >>", hex)).pages(0).textLayer
+    // Shift-JIS 2-byte kanji (93FA 967B 8CEA = 日本語)
+    assert(tl("90ms-RKSJ-H", "93FA967B8CEA") == "日本語")
+    // mixed 1-byte ASCII + 2-byte kanji runs — the codespace walk that
+    // a fixed-width decoder gets wrong ("Test 日本語 123")
+    assert(tl("90ms-RKSJ-H", "546573742093FA967B8CEA20313233")
+      == "Test 日本語 123")
+    // 1-byte halfwidth katakana block (A0–DF): B1 B2 B3 = ｱｲｳ
+    assert(tl("90ms-RKSJ-V", "B1B2B3") == "ｱｲｳ")
+    // GBK (D6D0 CEC4 = 中文), Big5 (A4A4 A4E5 = 中文), UHC (한국)
+    assert(tl("GBK-EUC-H", "D6D0CEC4") == "中文")
+    assert(tl("B5pc-H", "A4A4A4E5") == "中文")
+    assert(tl("KSCms-UHC-H", "C7D1B1B9") == "한국")
+    // malformed/unmappable sequences yield NO replacement-char padding
+    // (a truncated lead byte decodes to nothing; embedded valid ASCII
+    // survives, which is what a real charset walk does)
+    assert(tl("90ms-RKSJ-H", "81") == "")
+    assert(tl("GBK-EUC-H", "8130FF00") == "0")
+    // end-to-end: a legacy-CMap PDF routes down the native-text path
+    val written = PdfParse.writePdf(
+      Seq(Seq("The quick brown fox jumps over the lazy dog " * 5)),
+      cidFont = true, cidEncoding = "90ms-RKSJ-H")
+    val wd = new Extractor(ProbeConfig()).extract(written)
+    assert(wd.status != "true" && wd.extractedText.contains("quick brown fox"),
+      s"90ms-RKSJ writePdf must extract, got status=${wd.status}")
+    // and a legacy-CMap PDF carrying REAL kanji round-trips its text
+    val kanji = PdfParse.writePdf(Seq(Seq("日本語のテキスト抽出")),
+      cidFont = true, cidEncoding = "90ms-RKSJ-H")
+    assert(PdfParse.parse(kanji).pages(0).textLayer == "日本語のテキスト抽出")
   }
 
   test("Identity-H WITHOUT ToUnicode: Unicode-CID hex strings decode (the " +
@@ -589,10 +626,11 @@ class PdfParseSpec extends AnyFunSuite {
 
   test("form XObject with its OWN undecodable CID font degrades to empty " +
     "alt text (form-local /Resources fonts are honored)") {
-    // GBK-EUC-H: a predefined CMap that is NOT UCS2-family — undecodable
-    // without CMap data (UCS2 names now decode exactly, tested above)
+    // Add-RKSJ-H: a predefined CMap with neither a UCS2 family nor a
+    // defining JDK charset — undecodable without real CMap data (UCS2
+    // and legacy byte-oriented names now decode exactly, tested above)
     val pdf = formCidFixture("<< /Type /Font /Subtype /Type0 " +
-      "/BaseFont /NoMap /Encoding /GBK-EUC-H >>")
+      "/BaseFont /NoMap /Encoding /Add-RKSJ-H >>")
     val doc = PdfParse.parse(pdf, needAlt = true)
     assert(doc.pages(0).textLayer == "")
     assert(doc.pages(0).altTextLayer == Some(""),

@@ -116,6 +116,31 @@ class OpsSpec extends AnyFunSuite {
       s"expected a sub-0.7 Jaccard pair in the planted corpus: $exact")
   }
 
+  test("minhash LSH full recall under q81's 32x2 banding on the PASSAGE-" +
+    "planted corpus (the q81 oracle premise): the appended 17-token " +
+    "passage shifts Jaccards, so recall is re-pinned on the shifted set") {
+    val passage = "exact substring duplication test passage alpha beta " +
+      "gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" " + passage)))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val lsh = pairSet(Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 64, numBands = 32, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      groupCols = Seq.empty, shingleK = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    assert(lsh == exact,
+      s"32x2 LSH recall broke on the q81 corpus: " +
+        s"missing=${exact.diff(lsh).take(3)} extra=${lsh.diff(exact).take(3)}")
+    assert(exact.nonEmpty)
+  }
+
   test("minhash LSH full recall holds at sf0.1 too (10× corpus — the q23 " +
     "oracle premise is not an sf0.01 artifact)") {
     val dir = new java.io.File("/root/testdata/sf0.1/documents.parquet")
