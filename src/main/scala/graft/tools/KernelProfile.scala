@@ -52,6 +52,9 @@ object KernelProfile {
     time("pdf18p_cid_ucs2cmap",
       docs.map(d => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
         cidFont = true, cidEncoding = "UniJIS-UCS2-H")))
+    time("pdf18p_cid_legacy_rksj",
+      docs.map(d => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),
+        cidFont = true, cidEncoding = "90ms-RKSJ-H")))
 
     // CID docs must flow the TEXT path, not degrade to needs-OCR: the
     // Identity-H text layer decodes byte-identically to the classic layout
@@ -70,6 +73,10 @@ object KernelProfile {
     // predefined UCS2-family CMap docs must ALSO flow the text path
     // (exact UCS-2 decode), not degrade to needs-OCR
     cidCorpusCheck("cid_ucs2_cmap", "/UniJIS-UCS2-H")
+    // byte-oriented LEGACY CMap docs (round 6): the JDK-charset decode
+    // moves these off the image-only/OCR path onto the text path too
+    cidCorpusCheck("cid_legacy_rksj", "/90ms-RKSJ-H")
+    cidCorpusCheck("cid_legacy_gbk", "/GBK-EUC-H")
 
     // decryption overhead isolated: same 18-page docs, owner-locked
     time("pdf18p_rc4_128",
