@@ -897,7 +897,9 @@ object MediaCodec {
     if (b == null || b.length < 8) None
     else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) decodeJpeg(b)
     else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P') decodePng(b)
-    else None
+    // PDF-embedded JBIG2 has no magic; Jbig2.decode structurally sniffs
+    // the segment stream and rejects arbitrary binaries
+    else Jbig2.decode(b)
   }
 
   /** Walk raw JBIG2 segment headers (number(4) flags(1) referred-segment

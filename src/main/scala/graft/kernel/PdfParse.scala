@@ -1635,15 +1635,18 @@ object PdfParse {
             val mismatch = !isG4 && payload.nonEmpty &&
               MediaCodec.embeddedImageDims(payload)
                 .exists { case (hw, hh, _) => hw != w || hh != h }
+            val isJbig2 = filters == Vector("JBIG2Decode") && !mismatch
             val data =
-              if ((filters == Vector("DCTDecode") && !mismatch) || isG4)
+              if ((filters == Vector("DCTDecode") && !mismatch) || isG4 ||
+                isJbig2)
                 payload
               else Array.empty[Byte]
             // placement unknown without full graphics-state tracking: use a
             // nominal rect at intrinsic size
             out += PdfImage(w, h, Vector(PdfRect(0, 0, w.toDouble, h.toDouble)),
               data, headerMismatch = mismatch,
-              ccittG4 = isG4 && data.nonEmpty)
+              ccittG4 = isG4 && data.nonEmpty,
+              jbig2 = isJbig2 && data.nonEmpty)
           }
         } else if (PatSubForm.matcher(body).find()) {
           resolveResources(body, objs)
@@ -1696,6 +1699,11 @@ object PdfParse {
       // /Filter /CCITTFaxDecode /K -1 (the fax-scanner layout) carrying
       // a deterministic ink pattern; mutually exclusive with embedJpeg
       embedCcitt: Boolean = false,
+      // the XObject stream is a REAL JBIG2 embedded segment stream
+      // (/Filter /JBIG2Decode — the jbig2enc-recompressed scanned-PDF
+      // layout) carrying the same deterministic ink; MQ-coded generic
+      // region, template 0, TPGDON on (the production encoder default)
+      embedJbig2: Boolean = false,
       cidFont: Boolean = false,
       // /Encoding name of the Type0 font when cidFont: Identity-H (the
       // dominant modern layout), a predefined UCS2-family CMap name
@@ -1787,14 +1795,16 @@ object PdfParse {
       val payload =
         if (embedJpeg) MediaCodec.renderJpeg(w, h)
         else if (embedCcitt) CcittG4.encode(w, h, ccittInk)
+        else if (embedJbig2) Jbig2.encode(w, h, ccittInk, tpgdon = true)
         else Array.emptyByteArray
       val filter =
         if (embedJpeg) " /Filter /DCTDecode"
         else if (embedCcitt)
           s" /Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns $w " +
             s"/Rows $h /BlackIs1 true >>"
+        else if (embedJbig2) " /Filter /JBIG2Decode"
         else ""
-      val bpc = if (embedCcitt) 1 else 8
+      val bpc = if (embedCcitt || embedJbig2) 1 else 8
       val data = encStream(num, payload)
       val body =
         s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +

@@ -37,7 +37,11 @@ final case class PdfImage(
     // data is a raw CCITT G4 bitstream (/Filter /CCITTFaxDecode, /K -1):
     // decodable via CcittG4.decode with the dict dims, but NOT a
     // self-contained image — S6 reuse must not return it verbatim
-    ccittG4: Boolean = false)
+    ccittG4: Boolean = false,
+    // data is a PDF-embedded JBIG2 segment stream (/Filter /JBIG2Decode):
+    // self-describing (page-info dims), decodable via Jbig2.decode, but
+    // like G4 not a standalone image container — no verbatim S6 reuse
+    jbig2: Boolean = false)
 
 final case class PdfPage(
     width: Double,

@@ -257,10 +257,11 @@ final class PdfProbe(cfg: ProbeConfig) {
         }
       }
       best match {
-        // raw CCITT G4 bitstreams are excluded: without their TIFF/PDF
-        // wrapper they are not a self-contained image a downstream OCR
-        // engine can open, so such pages render via S5 instead
-        case Some(img) if img.data.nonEmpty && !img.ccittG4 &&
+        // raw CCITT G4 bitstreams and JBIG2 segment streams are excluded:
+        // without their TIFF/PDF wrapper they are not a self-contained
+        // image a downstream OCR engine can open, so such pages render
+        // via S5 instead
+        case Some(img) if img.data.nonEmpty && !img.ccittG4 && !img.jbig2 &&
             img.pixelWidth > 200 && img.pixelHeight > 200 =>
           return Base64.getEncoder.encodeToString(img.data)
         case _ => // fall through to render
