@@ -1174,6 +1174,38 @@ object SparkEntry {
           spanK = 8,
           spanMinTokens = 12,
           spanMinCount = 2L))
+    }),
+
+    // Distributed JBIG2 pixel decode (q66's closed-form pattern over the
+    // round-6 codec): per doc row, ENCODE the deterministic dashed-ink
+    // raster (the ccittInk formula: black ⇔ y%10<2 ∧ x%8<5) as a real
+    // JBIG2 embedded segment stream — MMR (T.6) class on even ids, MQ
+    // arithmetic class with TPGDON cycling all four GB templates on odd
+    // ids — then DECODE it on the executors through the production
+    // MediaCodec.decodeImage dispatch (magic-less structural sniff).
+    // Dims are multiples of (8, 10), so the decoded luminance stats are
+    // exact integers: mean = 255·7/8 → 223125‰, dark = 1/8 → 125000 ppm.
+    "q82_jbig2_decode" -> ((s, dir) => {
+      import s.implicits._
+      spread(t(s, dir, "documents")).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8L * (2 + (id * 7) % 30)).toInt
+          val h = (10L * (2 + (id * 13) % 24)).toInt
+          val mmr = id % 2 == 0
+          val tpl = ((id / 2) % 4).toInt
+          val bytes = graft.kernel.Jbig2.encode(w, h,
+            (x, y) => y % 10 < 2 && x % 8 < 5,
+            mmr = mmr, gbTemplate = tpl, tpgdon = !mmr)
+          val d = graft.kernel.MediaCodec.decodeImage(bytes).get
+          var sum = 0L
+          var dark = 0L
+          d.pixels.foreach { p => sum += p; if (p < 160) dark += 1 }
+          val n = d.pixels.length
+          (id, if (mmr) "mmr" else s"mq_t$tpl", d.width, d.height,
+            sum * 1000L / n, dark * 1000000L / n)
+        })
+        .toDF("doc_id", "kind", "width", "height", "mean_lum_x1000",
+          "dark_ppm")
     })
   )
 
@@ -3535,6 +3567,21 @@ object SparkEntry {
         |LEFT JOIN near_losers nl ON d.doc_id = nl.doc_id
         |LEFT JOIN q qq ON d.doc_id = qq.doc_id
         |LEFT JOIN rep ON d.doc_id = rep.doc_id""").stripMargin
+
+    // q82: the JBIG2 codec's dashed-ink raster is closed-form — dims are
+    // multiples of (8, 10), so dark = exactly 1/8 of pixels and the
+    // integer stats re-derive as constants; kind/width/height restate the
+    // synthesize formulas
+    m += "q82_jbig2_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mmr'
+        |       ELSE 'mq_t' || CAST((doc_id // 2) % 4 AS VARCHAR)
+        |  END AS kind,
+        |  CAST(8 * (2 + (doc_id * 7) % 30) AS INT) AS width,
+        |  CAST(10 * (2 + (doc_id * 13) % 24) AS INT) AS height,
+        |  CAST(223125 AS BIGINT) AS mean_lum_x1000,
+        |  CAST(125000 AS BIGINT) AS dark_ppm
+        |FROM documents""".stripMargin
 
     m.toMap
   }
