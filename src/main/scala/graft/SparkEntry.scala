@@ -1206,6 +1206,30 @@ object SparkEntry {
         })
         .toDF("doc_id", "kind", "width", "height", "mean_lum_x1000",
           "dark_ppm")
+    }),
+
+    // Near-dup components from the round-6 bucket-min STAR edges
+    // (minhashClusterEdges — the linear-fan-out clustering path that
+    // needs no hot-bucket cap), one label row per document. Unlike
+    // q23/q45 (whose oracles verify against all-pairs Jaccard under a
+    // pinned full-recall premise), this oracle DERIVES the entire LSH
+    // machinery independently: Spark's xxhash64 (XXH64) is re-implemented
+    // in HUGEINT mod-2^64 SQL (stripes, tails, avalanche — see
+    // xxh64StrCtes/xxh64LongCtes), so the shingle fingerprints, all 32
+    // minhash signature lanes, the 8 band-bucket keys, the star edges
+    // and the components are all recomputed from the raw text by a
+    // second engine. No recall premise, no pinned constant.
+    "q83_star_components" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val edges = Dedup.minhashClusterEdges(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 32, numBands = 8)
+      val comp = Dedup.connectedComponents(edges, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
     })
   )
 
@@ -1224,6 +1248,113 @@ object SparkEntry {
   /** Reinterpret u64 (HUGEINT) as the signed BIGINT Spark emits. */
   private def u64ToSigned(x: String): String =
     s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - $U64 ELSE ($x) END AS BIGINT)"
+
+  // --- Spark xxhash64 (XXH64, the engine's own hash) re-implemented in
+  // HUGEINT mod-2^64 SQL, validated value-by-value against
+  // org.apache.spark.sql.functions.xxhash64 for strings of every length
+  // class (empty / <32 / ≥32 with 8/4/1-byte tails), chained long seeds,
+  // and array folds. Constants are XXH64's public primes. This is what
+  // lets the q83 oracle derive the ENTIRE MinHash/LSH banding machinery
+  // independently instead of leaning on a pinned-recall premise.
+  private val XxP1 = "11400714785074694791"
+  private val XxP2 = "14029467366897019727"
+  private val XxP3 = "1609587929392839161"
+  private val XxP4 = "9650029242287828579"
+  private val XxP5 = "2870177450012600261"
+
+  /** Left-rotate u64 expression by r: the two shifted halves cannot
+    * overlap bit-wise, so addition IS the or. */
+  private def u64Rotl(x: String, r: Int): String = {
+    val lo = 64 - r
+    s"((((${x}) % ${BigInt(1) << lo}) * ${BigInt(1) << r}) + ((${x}) >> $lo))"
+  }
+
+  private def u64XorShr(h: String, k: Int): String =
+    s"xor(($h), ($h) >> $k)"
+
+  /** XXH64 avalanche (fmix) of u64 expression h — inline; h is
+    * duplicated 2× per xor stage, so pass only cheap column refs. */
+  private def xxFmix(h: String): String = {
+    val e2 = u64MulMod(u64XorShr(h, 33), XxP2)
+    val e4 = u64MulMod(u64XorShr(e2, 29), XxP3)
+    u64XorShr(e4, 32)
+  }
+
+  /** XXH64 round with accumulator 0: rotl31(v·P2)·P1. */
+  private def xxRound0(v: String): String =
+    u64MulMod(u64Rotl(u64MulMod(v, XxP2), 31), XxP1)
+
+  /** CTE chain computing Spark's xxhash64 of a LONG — hashLong(l, seed)
+    * — as `out`(carry, h); l/seed are u64 HUGEINT exprs over `src`. Each
+    * fmix stage is its own CTE so nothing re-evaluates. */
+  private def xxh64LongCtes(p: String, src: String, carry: String,
+      l: String, seed: String, out: String): String = {
+    val h0 = s"((($seed) + $XxP5 + 8) % $U64)"
+    s"""${p}0 AS (SELECT $carry, xor($h0, ${xxRound0(l)}) AS h FROM $src),
+       |${p}1 AS (SELECT $carry, (${u64MulMod(u64Rotl("h", 27), XxP1)} + $XxP4) % $U64 AS h FROM ${p}0),
+       |${p}2 AS (SELECT $carry, ${u64XorShr("h", 33)} AS h FROM ${p}1),
+       |${p}3 AS (SELECT $carry, ${u64MulMod("h", XxP2)} AS h FROM ${p}2),
+       |${p}4 AS (SELECT $carry, ${u64XorShr("h", 29)} AS h FROM ${p}3),
+       |${p}5 AS (SELECT $carry, ${u64MulMod("h", XxP3)} AS h FROM ${p}4),
+       |$out AS (SELECT $carry, ${u64XorShr("h", 32)} AS h FROM ${p}5)""".stripMargin
+  }
+
+  /** CTE chain computing Spark's xxhash64(string) (seed 42) over ASCII
+    * column `strCol` of `src` → `out`(carry, h): the full XXH64 byte
+    * stream — 32-byte stripes carried as a [v1,v2,v3,v4] HUGEINT-list
+    * accumulator, then 8-byte, 4-byte and single-byte tails, then fmix.
+    * Valid on this corpus because text is ASCII (UTF-8 bytes =
+    * codepoints — the same premise the q24 simhash oracle states). */
+  private def xxh64StrCtes(src: String, carry: String, strCol: String,
+      out: String): String = {
+    def word8(j: String): String =
+      s"list_reduce(list_reverse(bs[($j):($j)+7]), (a, b) -> a * 256 + b)"
+    def word4(j: String): String =
+      s"list_reduce(list_reverse(bs[($j):($j)+3]), (a, b) -> a * 256 + b)"
+    val vinit = s"[((42 + $XxP1 + $XxP2) % $U64)::HUGEINT, " +
+      s"(42 + $XxP2)::HUGEINT, 42::HUGEINT, ((42 - $XxP1 + $U64) % $U64)::HUGEINT]"
+    def vround(acc: String, w: String): String =
+      u64MulMod(u64Rotl(s"(($acc + ${u64MulMod(w, XxP2)}) % $U64)", 31), XxP1)
+    val stripes = s"list_reduce(list_prepend($vinit, " +
+      s"list_transform(range((n // 32)::BIGINT), t -> [1 + t * 32]::HUGEINT[])), " +
+      s"(acc, e) -> [${vround("acc[1]", word8("e[1]"))}, " +
+      s"${vround("acc[2]", word8("e[1]+8"))}, " +
+      s"${vround("acc[3]", word8("e[1]+16"))}, " +
+      s"${vround("acc[4]", word8("e[1]+24"))}])"
+    val merged = s"((${u64Rotl("v[1]", 1)} + ${u64Rotl("v[2]", 7)} + " +
+      s"${u64Rotl("v[3]", 12)} + ${u64Rotl("v[4]", 18)}) % $U64)"
+    def mergeRound(h: String, v: String): String =
+      s"((${u64MulMod(s"xor($h, ${xxRound0(v)})", XxP1)} + $XxP4) % $U64)"
+    val hpost = mergeRound(mergeRound(mergeRound(mergeRound(
+      merged, "v[1]"), "v[2]"), "v[3]"), "v[4]")
+    val tail8 = {
+      val inner = u64MulMod(u64Rotl(s"xor(hh, ${xxRound0(word8("o"))})", 27), XxP1)
+      s"list_reduce(list_prepend((h)::HUGEINT, " +
+        s"list_transform(range(((n % 32) // 8)::BIGINT), " +
+        s"t -> ((n // 32) * 32 + 1 + t * 8)::HUGEINT)), " +
+        s"(hh, o) -> (($inner + $XxP4) % $U64))"
+    }
+    val tail4 = s"(CASE WHEN n % 8 >= 4 THEN " +
+      s"((${u64MulMod(u64Rotl(s"xor((h), ${u64MulMod(word4("((n // 8) * 8 + 1)"), XxP1)})", 23), XxP2)} + $XxP3) % $U64) " +
+      s"ELSE (h) END)"
+    val tail1 = s"list_reduce(list_prepend((h)::HUGEINT, " +
+      s"list_transform(range((n % 4)::BIGINT), " +
+      s"t -> ((n // 4) * 4 + 1 + t)::HUGEINT)), " +
+      s"(hh, o) -> ${u64MulMod(u64Rotl(s"xor(hh, ${u64MulMod("bs[o::INT]", XxP5)})", 11), XxP1)})"
+    s"""${out}_b AS (SELECT $carry,
+       |    list_transform(regexp_extract_all($strCol, '.'),
+       |                   c -> unicode(c)::HUGEINT) AS bs,
+       |    length($strCol)::HUGEINT AS n FROM $src),
+       |${out}_s AS (SELECT $carry, bs, n,
+       |    CASE WHEN n >= 32 THEN $stripes ELSE NULL END AS v FROM ${out}_b),
+       |${out}_h0 AS (SELECT $carry, bs, n,
+       |    ((CASE WHEN n >= 32 THEN $hpost
+       |           ELSE (42 + $XxP5) % $U64 END) + n) % $U64 AS h FROM ${out}_s),
+       |${out}_h1 AS (SELECT $carry, bs, n, $tail8 AS h FROM ${out}_h0),
+       |${out}_h2 AS (SELECT $carry, bs, n, $tail4 AS h FROM ${out}_h1),
+       |${out}_h3 AS (SELECT $carry, n, $tail1 AS h FROM ${out}_h2),
+       |$out AS (SELECT $carry, ${xxFmix("h")} AS h FROM ${out}_h3)""".stripMargin
+  }
 
   /** CTE chain applying the kernel's splitmix64 finisher (Hashing.mix) to
     * u64 column `h` of CTE `src`, carrying `carry`; result CTE is `<p>5`. */
@@ -3582,6 +3713,71 @@ object SparkEntry {
         |  CAST(223125 AS BIGINT) AS mean_lum_x1000,
         |  CAST(125000 AS BIGINT) AS dark_ppm
         |FROM documents""".stripMargin
+
+    // q83: the FULL LSH derivation — 3-gram shingles, Spark-xxhash64
+    // fingerprints (globally-distinct strings hashed once, then joined
+    // back: min is duplicate-insensitive), 32 signature lanes via chained
+    // hashLong (SIGNED min, Spark `least` semantics), 4-element band
+    // folds seeded 42, bucket-min star edges, recursive-CTE components,
+    // singletons = own id. Every hash CTE chain is validated
+    // value-by-value against org.apache.spark.sql.functions.xxhash64.
+    m += "q83_star_components" -> {
+      val numHashes = 32
+      val numBands = 8
+      val bandSize = numHashes / numBands
+      val bandFolds = (1 to bandSize).map { k =>
+        val src = if (k == 1) "bq0" else s"bq${k - 1}"
+        val out = if (k == bandSize) "bkt" else s"bq$k"
+        val carry = "doc_id, band" +
+          ((k + 1) to bandSize).map(j => s", e$j").mkString
+        xxh64LongCtes(s"bf${k}_", src, carry, s"e$k", "h", out)
+      }.mkString(",\n")
+      val pivot = (0 until bandSize).map(j =>
+        s"min(CASE WHEN seed % $bandSize = $j THEN " +
+          s"CASE WHEN sgn < 0 THEN sgn + $U64 ELSE sgn END END) AS e${j + 1}")
+        .mkString(",\n    ")
+      s"""WITH RECURSIVE
+        |d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
+        |shl AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |           i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        |  FROM w),
+        |shu AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |sdist AS (SELECT DISTINCT s FROM shu),
+        |${xxh64StrCtes("sdist", "s", "s", "fp")},
+        |${xxh64LongCtes("fh", "fp", "s", "h", "42", "f1")},
+        |sx AS (SELECT s, h AS h1, unnest(range($numHashes)) AS seed
+        |  FROM f1),
+        |${xxh64LongCtes("sh_", "sx", "s, seed", "seed::HUGEINT", "h1", "s1")},
+        |sv AS (SELECT s, seed,
+        |    CASE WHEN h >= 9223372036854775808 THEN h - $U64 ELSE h END AS v
+        |  FROM s1),
+        |sg AS (SELECT doc_id, seed, min(v) AS sgn
+        |  FROM shu JOIN sv USING (s) GROUP BY doc_id, seed),
+        |bq0 AS (SELECT doc_id, (seed // $bandSize) AS band,
+        |    $pivot,
+        |    42::HUGEINT AS h
+        |  FROM sg GROUP BY doc_id, (seed // $bandSize)),
+        |$bandFolds,
+        |cnt AS (SELECT band, h AS bucket, count(*) AS n, min(doc_id) AS rep
+        |  FROM bkt GROUP BY band, h),
+        |ed AS (SELECT DISTINCT c.rep AS id_a, b.doc_id AS id_b
+        |  FROM bkt b JOIN cnt c ON b.band = c.band AND b.h = c.bucket
+        |  WHERE c.n >= 2 AND b.doc_id <> c.rep),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+        |  UNION ALL SELECT id_b, id_a FROM ed),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, c) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
+        |comp AS (SELECT v AS doc_id, min(c) AS component FROM reach
+        |  GROUP BY v)
+        |SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+        |FROM d0 d LEFT JOIN comp USING (doc_id)""".stripMargin
+    }
 
     m.toMap
   }
