@@ -1230,6 +1230,22 @@ object SparkEntry {
         .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))
+    }),
+
+    // The HOT-BUCKET-CAPPED pair operator (round 6's quadratic-fan-out
+    // bound — verdict task #1) under the same fully-derived oracle as
+    // q83: maxBucketDocs = 2 genuinely prunes on this corpus (size-3+
+    // band buckets exist at sf0.01 and sf0.1), and the oracle re-derives
+    // the buckets, applies the identical n ≤ cap rule, re-joins the
+    // surviving candidates and verifies with exact fingerprint-set
+    // Jaccard — so the documented recall trade is itself oracle-checked,
+    // not just unit-pinned.
+    "q84_capped_neardups" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      Dedup.minhashNearDups(docs, "doc_id", "text", shingleK = 3,
+        numHashes = 32, numBands = 8, threshold = 0.5,
+        maxBucketDocs = 2L)
     })
   )
 
@@ -1297,6 +1313,54 @@ object SparkEntry {
        |${p}4 AS (SELECT $carry, ${u64XorShr("h", 29)} AS h FROM ${p}3),
        |${p}5 AS (SELECT $carry, ${u64MulMod("h", XxP3)} AS h FROM ${p}4),
        |$out AS (SELECT $carry, ${u64XorShr("h", 32)} AS h FROM ${p}5)""".stripMargin
+  }
+
+  /** CTE chain deriving the ENTIRE MinHash/LSH banding pipeline of
+    * `Dedup.shingleTable`/`bandTable` from the documents table: d0 →
+    * tokens → per-doc-distinct 3-gram shingles (shu) → xxhash64 shingle
+    * fingerprints (fp — globally-distinct strings hashed once; min is
+    * duplicate-insensitive so per-doc fp dedup is unnecessary) →
+    * numHashes signature lanes via chained hashLong with SIGNED min
+    * (Spark `least` semantics) → band-bucket keys via the unrolled
+    * 4-element array fold seeded 42 → CTE `bkt`(doc_id, band, h). Shared
+    * by the q83 (star components) and q84 (capped pairs) oracles. */
+  private def lshBandCtes(numHashes: Int, numBands: Int): String = {
+    val bandSize = numHashes / numBands
+    val bandFolds = (1 to bandSize).map { k =>
+      val src = if (k == 1) "bq0" else s"bq${k - 1}"
+      val out = if (k == bandSize) "bkt" else s"bq$k"
+      val carry = "doc_id, band" +
+        ((k + 1) to bandSize).map(j => s", e$j").mkString
+      xxh64LongCtes(s"bf${k}_", src, carry, s"e$k", "h", out)
+    }.mkString(",\n")
+    val pivot = (0 until bandSize).map(j =>
+      s"min(CASE WHEN seed % $bandSize = $j THEN " +
+        s"CASE WHEN sgn < 0 THEN sgn + $U64 ELSE sgn END END) AS e${j + 1}")
+      .mkString(",\n    ")
+    s"""d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
+      |shl AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |           i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+      |  FROM w),
+      |shu AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+      |sdist AS (SELECT DISTINCT s FROM shu),
+      |${xxh64StrCtes("sdist", "s", "s", "fp")},
+      |${xxh64LongCtes("fh", "fp", "s", "h", "42", "f1")},
+      |sx AS (SELECT s, h AS h1, unnest(range($numHashes)) AS seed
+      |  FROM f1),
+      |${xxh64LongCtes("sh_", "sx", "s, seed", "seed::HUGEINT", "h1", "s1")},
+      |sv AS (SELECT s, seed,
+      |    CASE WHEN h >= 9223372036854775808 THEN h - $U64 ELSE h END AS v
+      |  FROM s1),
+      |sg AS (SELECT doc_id, seed, min(v) AS sgn
+      |  FROM shu JOIN sv USING (s) GROUP BY doc_id, seed),
+      |bq0 AS (SELECT doc_id, (seed // $bandSize) AS band,
+      |    $pivot,
+      |    42::HUGEINT AS h
+      |  FROM sg GROUP BY doc_id, (seed // $bandSize)),
+      |$bandFolds""".stripMargin
   }
 
   /** CTE chain computing Spark's xxhash64(string) (seed 42) over ASCII
@@ -3721,46 +3785,9 @@ object SparkEntry {
     // folds seeded 42, bucket-min star edges, recursive-CTE components,
     // singletons = own id. Every hash CTE chain is validated
     // value-by-value against org.apache.spark.sql.functions.xxhash64.
-    m += "q83_star_components" -> {
-      val numHashes = 32
-      val numBands = 8
-      val bandSize = numHashes / numBands
-      val bandFolds = (1 to bandSize).map { k =>
-        val src = if (k == 1) "bq0" else s"bq${k - 1}"
-        val out = if (k == bandSize) "bkt" else s"bq$k"
-        val carry = "doc_id, band" +
-          ((k + 1) to bandSize).map(j => s", e$j").mkString
-        xxh64LongCtes(s"bf${k}_", src, carry, s"e$k", "h", out)
-      }.mkString(",\n")
-      val pivot = (0 until bandSize).map(j =>
-        s"min(CASE WHEN seed % $bandSize = $j THEN " +
-          s"CASE WHEN sgn < 0 THEN sgn + $U64 ELSE sgn END END) AS e${j + 1}")
-        .mkString(",\n    ")
+    m += "q83_star_components" ->
       s"""WITH RECURSIVE
-        |d0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-        |w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
-        |shl AS (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-        |      ELSE list_transform(range(1, len(toks) - 1),
-        |           i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-        |  FROM w),
-        |shu AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-        |sdist AS (SELECT DISTINCT s FROM shu),
-        |${xxh64StrCtes("sdist", "s", "s", "fp")},
-        |${xxh64LongCtes("fh", "fp", "s", "h", "42", "f1")},
-        |sx AS (SELECT s, h AS h1, unnest(range($numHashes)) AS seed
-        |  FROM f1),
-        |${xxh64LongCtes("sh_", "sx", "s, seed", "seed::HUGEINT", "h1", "s1")},
-        |sv AS (SELECT s, seed,
-        |    CASE WHEN h >= 9223372036854775808 THEN h - $U64 ELSE h END AS v
-        |  FROM s1),
-        |sg AS (SELECT doc_id, seed, min(v) AS sgn
-        |  FROM shu JOIN sv USING (s) GROUP BY doc_id, seed),
-        |bq0 AS (SELECT doc_id, (seed // $bandSize) AS band,
-        |    $pivot,
-        |    42::HUGEINT AS h
-        |  FROM sg GROUP BY doc_id, (seed // $bandSize)),
-        |$bandFolds,
+        |${lshBandCtes(32, 8)},
         |cnt AS (SELECT band, h AS bucket, count(*) AS n, min(doc_id) AS rep
         |  FROM bkt GROUP BY band, h),
         |ed AS (SELECT DISTINCT c.rep AS id_a, b.doc_id AS id_b
@@ -3777,7 +3804,32 @@ object SparkEntry {
         |  GROUP BY v)
         |SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
         |FROM d0 d LEFT JOIN comp USING (doc_id)""".stripMargin
-    }
+
+    // q84: the derived band table again, then the operator's own cap rule
+    // (prune buckets with n > 2 BEFORE pairing), candidate pairs from the
+    // survivors, and the exact Jaccard verify on the derived FINGERPRINT
+    // sets (identical operands to Spark's fp-array jaccard, so the double
+    // division is bit-identical)
+    m += "q84_capped_neardups" ->
+      s"""WITH
+        |${lshBandCtes(32, 8)},
+        |cnt AS (SELECT band, h AS bucket, count(*) AS n
+        |  FROM bkt GROUP BY band, h),
+        |kept AS (SELECT b.doc_id, b.band, b.h FROM bkt b
+        |  JOIN cnt c ON b.band = c.band AND b.h = c.bucket
+        |  WHERE c.n <= 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM kept a JOIN kept b2
+        |    ON a.band = b2.band AND a.h = b2.h AND a.doc_id < b2.doc_id),
+        |fs AS (SELECT shu.doc_id, list_distinct(list(fp.h)) AS f
+        |  FROM shu JOIN fp USING (s) GROUP BY shu.doc_id),
+        |ver AS (SELECT id_a, id_b,
+        |    len(list_intersect(x.f, y.f)) * 1.0 /
+        |    len(list_distinct(list_concat(x.f, y.f))) AS jaccard
+        |  FROM cand
+        |  JOIN fs x ON x.doc_id = id_a
+        |  JOIN fs y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin
 
     m.toMap
   }
