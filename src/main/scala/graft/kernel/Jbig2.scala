@@ -386,6 +386,39 @@ object Jbig2 {
   }
 
   // ---------------------------------------------------- segment reading
+  /** Decode one embedded-format segment HEADER at offset `i`:
+    * `(segType, dataStart, dataLen)` or null on structural inconsistency
+    * (bad long-form count, truncated header, negative/overflowing data
+    * length). The nextOffset is dataStart + dataLen. ONE implementation
+    * of the fiddly arithmetic (referred-segment size classes, long-form
+    * retain-bit bytes, page-association width) shared by this decoder
+    * and `MediaCodec.jbig2PageDims` so the two walks cannot drift. */
+  private[kernel] def segmentHeader(b: Array[Byte], i: Int): Array[Int] = {
+    if (i + 11 > b.length) return null
+    val segNum = rd32(b, i)
+    if (segNum < 0) return null
+    val flags = b(i + 4) & 0xFF
+    val segType = flags & 0x3F
+    val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+    var j = i + 5
+    val rts = b(j) & 0xFF
+    val refCount =
+      if ((rts >>> 5) == 7) {
+        val longCount = rd32(b, j) & 0x1FFFFFFF
+        if (longCount > 0xFFFF) return null
+        j += 4 + (longCount + 8) / 8
+        longCount
+      } else { j += 1; rts >>> 5 }
+    j += refCount * refSize
+    j += (if ((flags & 0x40) != 0) 4 else 1) // page association
+    if (j + 4 > b.length) return null
+    val dataLen = rd32(b, j)
+    j += 4
+    // overflow-safe: compare against the REMAINING byte count
+    if (dataLen < 0 || dataLen > b.length - j) return null
+    Array(segType, j, dataLen)
+  }
+
   /** Decode a PDF-embedded JBIG2 stream to luminance (white=255, black=0,
     * the [[CcittG4]] convention). None on anything outside the supported
     * generic-region profile, any structural inconsistency, or absurd
@@ -403,29 +436,28 @@ object Jbig2 {
     var pageH = -1
     var defPixel = false
     var page: Array[Array[Boolean]] = null
+    // cumulative decode-work budget, set from the page area: the
+    // per-region area check alone would let a tiny crafted stream
+    // declare up to 1024 segments × 64M pixels each (minutes of CPU for
+    // ~50 bytes of input — MQ decode never runs out of data, the marker
+    // rule synthesizes 0xFF forever). Legitimate multi-region pages
+    // tile or locally overlap the page, so 4× page area is generous;
+    // beyond it the stream is structurally absurd → None.
+    var pixelBudget = 0L
     var i = 0
     var guard = 0
-    while (i + 11 <= b.length && guard < 1024) {
+    while (i + 11 <= b.length) {
       guard += 1
-      val segNum = rd32(b, i)
-      val flags = b(i + 4) & 0xFF
-      val segType = flags & 0x3F
-      val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
-      var j = i + 5
-      val rts = b(j) & 0xFF
-      val refCount =
-        if ((rts >>> 5) == 7) {
-          val longCount = rd32(b, j) & 0x1FFFFFFF
-          if (longCount > 0xFFFF) return None
-          j += 4 + (longCount + 8) / 8
-          longCount
-        } else { j += 1; rts >>> 5 }
-      j += refCount * refSize
-      j += (if ((flags & 0x40) != 0) 4 else 1) // page association
-      if (j + 4 > b.length) return None
-      val dataLen = rd32(b, j)
-      j += 4
-      if (dataLen < 0 || j + dataLen > b.length) return None
+      // a structural guard, not a truncation point: a stream with more
+      // segments than any sane page is rejected WHOLE — returning the
+      // partially composed page would hand the caller plausible-looking
+      // wrong pixels instead of the header-only fallback
+      if (guard > 1024) return None
+      val hdr = segmentHeader(b, i)
+      if (hdr == null) return None
+      val segType = hdr(0)
+      val j = hdr(1)
+      val dataLen = hdr(2)
       segType match {
         case 48 => // page information (§7.4.8)
           if (dataLen < 17) return None
@@ -435,6 +467,7 @@ object Jbig2 {
             pageW.toLong * pageH > 64L * 1024 * 1024) return None
           defPixel = ((b(j + 16) & 0x04) != 0)
           page = Array.fill(pageH, pageW)(defPixel)
+          pixelBudget = 4L * pageW * pageH
         case 36 | 38 | 39 => // generic region (intermediate or immediate)
           if (page == null || dataLen < 18) return None
           val rw = rd32(b, j)
@@ -444,6 +477,8 @@ object Jbig2 {
           val combOp = b(j + 16) & 0x07
           if (rw <= 0 || rh <= 0 || rx < 0 || ry < 0 ||
             rw.toLong * rh > 64L * 1024 * 1024) return None
+          pixelBudget -= rw.toLong * rh
+          if (pixelBudget < 0) return None
           val gFlags = b(j + 17) & 0xFF
           val mmr = (gFlags & 1) != 0
           val gbTemplate = (gFlags >>> 1) & 3

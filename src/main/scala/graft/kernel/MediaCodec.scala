@@ -911,31 +911,20 @@ object MediaCodec {
     var guard = 0
     while (i + 11 < b.length && guard < 64) {
       guard += 1
-      val segNum = rdBe32(b, i)
-      val flags = b(i + 4) & 0xFF
-      val segType = flags & 0x3F
       // the very first segment of a plausible JBIG2 stream has a small
       // number and a known type — reject arbitrary binaries early
-      if (guard == 1 && (segNum < 0 || segNum > 0xFFFF || segType > 53))
-        return None
-      val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
-      var j = i + 5
-      val rts = b(j) & 0xFF
-      if ((rts >>> 5) == 7) {
-        val longCount = rdBe32(b, j) & 0x1FFFFFFF
-        if (longCount < 0 || longCount > 0xFFFF) return None
-        j += 4 + (longCount + 8) / 8 + longCount * refSize
-      } else j += 1 + (rts >>> 5) * refSize
-      j += (if ((flags & 0x40) != 0) 4 else 1) // page association size
-      if (j + 4 > b.length) return None
-      val dataLen = rdBe32(b, j)
-      j += 4
-      if (segType == 48) {
+      if (guard == 1 && ((rdBe32(b, 0) & 0xFFFF0000) != 0 ||
+        (b(4) & 0x3F) > 53)) return None
+      // header arithmetic shared with Jbig2.decodeUnsafe (one
+      // implementation of the refSize/long-form/page-assoc walk)
+      val hdr = Jbig2.segmentHeader(b, i)
+      if (hdr == null) return None
+      val j = hdr(1)
+      if (hdr(0) == 48) {
         if (j + 8 > b.length) return None
         return Some((rdBe32(b, j), rdBe32(b, j + 4), "jbig2"))
       }
-      if (dataLen < 0 || j + dataLen < j) return None
-      i = j + dataLen
+      i = j + hdr(2)
     }
     None
   }

@@ -812,13 +812,26 @@ object PdfParse {
     * 1/2-byte codespace walk). NULs and unmappable/malformed sequences
     * yield nothing — garbage never masquerades as text, so a broken
     * stream still degrades to the needs-OCR path. */
+  /** Per-thread decoder cache for the legacy-CMap charsets: a CJK page
+    * has hundreds of show strings, and a fresh registry lookup +
+    * CharsetDecoder allocation per Tj would be pure churn on the kernel
+    * hot path. Decoders are stateful (not thread-safe) but reusable via
+    * reset(); extraction is single-threaded within a task, so one
+    * decoder per (thread, charset) is exact. */
+  private val legacyDecoders =
+    new ThreadLocal[mutable.HashMap[String, java.nio.charset.CharsetDecoder]] {
+      override def initialValue() = mutable.HashMap.empty
+    }
+
   private[kernel] def decodeLegacyCjk(rawStr: String, charset: String): String = {
     val bytes = new Array[Byte](rawStr.length)
     var i = 0
     while (i < rawStr.length) { bytes(i) = rawStr.charAt(i).toByte; i += 1 }
-    val dec = java.nio.charset.Charset.forName(charset).newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val dec = legacyDecoders.get().getOrElseUpdate(charset,
+      java.nio.charset.Charset.forName(charset).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE))
+    dec.reset()
     try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
       .filter(c => c != '\u0000' && c != '\uFFFD')
     catch { case _: Exception => "" }

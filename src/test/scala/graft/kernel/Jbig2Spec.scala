@@ -127,6 +127,36 @@ class Jbig2Spec extends AnyFunSuite {
     assert(Jbig2.decode(symDict).isEmpty)
   }
 
+  test("crafted-stream work bounds: a segment-count bomb and a " +
+    "region-area bomb both return None (never a partial page, never " +
+    "unbounded decode work)") {
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def seg(num: Int, segType: Int, data: Array[Byte]): Array[Byte] =
+      be32(num) ++ Array(segType.toByte, 0x00.toByte, 1.toByte) ++
+        be32(data.length) ++ data
+    val full = Jbig2.encode(100, 100, PdfParse.ccittInk, tpgdon = true)
+    val pageInfo = full.take(30) // 11-byte header + 19-byte page info
+    val eop = full.takeRight(11)
+    val region = full.slice(30, full.length - 11)
+    // baseline: pageInfo + region + eop decodes
+    assert(Jbig2.decode(pageInfo ++ region ++ eop).nonEmpty)
+    // 3 copies of the 100x100 region: 30k px <= the 4x-page-area budget
+    assert(Jbig2.decode(pageInfo ++ region ++ region ++ region ++ eop)
+      .nonEmpty)
+    // 5 copies: 50k px > 40k budget -> the whole stream is rejected
+    // (a tiny stream may not buy O(segments x 64M) of MQ decode work)
+    val bomb = pageInfo ++ region ++ region ++ region ++ region ++
+      region ++ eop
+    assert(Jbig2.decode(bomb).isEmpty)
+    // > 1024 segments: structural rejection, NOT a partially composed
+    // page handed back as a successful decode
+    val manySegs = pageInfo ++ region ++
+      (0 until 1030).map(k => seg(2 + k, 50, be32(0)))
+        .reduce(_ ++ _) ++ eop
+    assert(Jbig2.decode(manySegs).isEmpty)
+  }
+
   test("end-to-end scanned layout: the /JBIG2Decode payload decodes " +
     "through the pixel probe (closed-form darkRatio), header dims " +
     "cross-check, and S6 never returns the raw segment stream") {
