@@ -1246,6 +1246,19 @@ object SparkEntry {
       Dedup.minhashNearDups(docs, "doc_id", "text", shingleK = 3,
         numHashes = 32, numBands = 8, threshold = 0.5,
         maxBucketDocs = 2L)
+    }),
+
+    // The star-edge leakage-proof split (leakageProofSplit's opt-in
+    // bucketStarEdges path — the at-scale form that clusters on
+    // LSH-candidate connectivity with linear fan-out): one split coin
+    // per candidate component. Oracle = the q83 derived component
+    // labels + the q80 splitmix64 coin CTEs, so the LAST opt-in dedup
+    // path gets a corpus-scale hash-green row with no pinned premise.
+    "q85_star_leakage_split" -> ((s, dir) => {
+      val docs = spread(t(s, dir, "documents"))
+      Dedup.leakageProofSplit(docs, "doc_id", "text",
+        holdoutPerMille = 200, shingleK = 3, numHashes = 32,
+        numBands = 8, bucketStarEdges = true)
     })
   )
 
@@ -3830,6 +3843,34 @@ object SparkEntry {
         |  JOIN fs x ON x.doc_id = id_a
         |  JOIN fs y ON y.doc_id = id_b)
         |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5""".stripMargin
+
+    // q85: q83's derived star components + q80's splitmix64 coin — one
+    // replayable 'eval'/'train' draw per candidate component
+    m += "q85_star_leakage_split" ->
+      s"""WITH RECURSIVE
+        |${lshBandCtes(32, 8)},
+        |cnt AS (SELECT band, h AS bucket, count(*) AS n, min(doc_id) AS rep
+        |  FROM bkt GROUP BY band, h),
+        |ed AS (SELECT DISTINCT c.rep AS id_a, b.doc_id AS id_b
+        |  FROM bkt b JOIN cnt c ON b.band = c.band AND b.h = c.bucket
+        |  WHERE c.n >= 2 AND b.doc_id <> c.rep),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+        |  UNION ALL SELECT id_b, id_a FROM ed),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, c) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
+        |comp AS (SELECT v AS id, min(c) AS component FROM reach GROUP BY v),
+        |lab AS (SELECT d.doc_id,
+        |    coalesce(c.component, d.doc_id) AS component
+        |  FROM d0 d LEFT JOIN comp c ON c.id = d.doc_id),
+        |h0 AS (SELECT doc_id, component, component::HUGEINT AS h FROM lab),
+        |${mixCtes("sm", "h0", "doc_id, component")}
+        |SELECT doc_id, component,
+        |  CASE WHEN ((${u64ToSigned("h")} % 1000) + 1000) % 1000 < 200
+        |    THEN 'eval' ELSE 'train' END AS split
+        |FROM sm5""".stripMargin
 
     m.toMap
   }
