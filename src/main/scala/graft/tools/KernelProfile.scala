@@ -78,6 +78,12 @@ object KernelProfile {
     cidCorpusCheck("cid_legacy_rksj", "/90ms-RKSJ-H")
     cidCorpusCheck("cid_legacy_gbk", "/GBK-EUC-H")
 
+    // JBIG2 scanned layout (round 6): full-page MQ generic region
+    // encode at writePdf time, parse + pixel-probe decode measured here
+    time("pdf1p_scan_jbig2_1200x1600", Array.tabulate(40)(_ =>
+      PdfParse.writePdf(Seq(Seq.empty), images = Seq((1200, 1600)),
+        embedJbig2 = true)))
+
     // decryption overhead isolated: same 18-page docs, owner-locked
     time("pdf18p_rc4_128",
       docs.map(d => PdfParse.writePdf(d.pages.map(_.textLayer.split("\n").toSeq),

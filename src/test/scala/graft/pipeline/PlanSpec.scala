@@ -402,4 +402,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("rangepartitioning"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("star cluster edges: the bucket-rep aggregate partial-aggregates " +
+    "min(id) before the wire, the rep join is a (band, bucket) equi-join " +
+    "(never a product), and the shuffles carry fixed-width keys") {
+    val p = plan(Dedup.minhashClusterEdges(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text", shingleK = 3, numHashes = 32, numBands = 8))
+    assert(p.contains("partial_min") || p.contains("Partial"), p.take(1200))
+    assert(p.contains("band") && p.contains("bucket"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
+
+  test("capped near-dup pairs: the hot-bucket prune is a left-anti " +
+    "equi-join on (band, bucket) ahead of the pair self-join — no " +
+    "product anywhere") {
+    val p = plan(graft.SparkEntry.queries("q84_capped_neardups")(
+      spark, "/root/testdata/sf0.001"))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
 }
