@@ -1376,6 +1376,30 @@ object SparkEntry {
       |$bandFolds""".stripMargin
   }
 
+  /** CTE chain from the derived band table `bkt` (see [[lshBandCtes]])
+    * to star-edge candidate components — ONE copy of the bucket-rep
+    * star edges (`Dedup.minhashClusterEdges`'s rule: per (band, bucket)
+    * with ≥ 2 members, min member → each other member) and the
+    * recursive-CTE connected components, shared by the q83 and q85
+    * oracles so the two derivations cannot drift. Result CTE:
+    * `comp(id, component)` — ids appearing in some edge only;
+    * singletons coalesce to their own id at the caller. */
+  private val starComponentCtes: String =
+    """cnt AS (SELECT band, h AS bucket, count(*) AS n, min(doc_id) AS rep
+      |  FROM bkt GROUP BY band, h),
+      |ed AS (SELECT DISTINCT c.rep AS id_a, b.doc_id AS id_b
+      |  FROM bkt b JOIN cnt c ON b.band = c.band AND b.h = c.bucket
+      |  WHERE c.n >= 2 AND b.doc_id <> c.rep),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+      |  UNION ALL SELECT id_b, id_a FROM ed),
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |reach(v, c) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
+      |comp AS (SELECT v AS id, min(c) AS component FROM reach
+      |  GROUP BY v)""".stripMargin
+
   /** CTE chain computing Spark's xxhash64(string) (seed 42) over ASCII
     * column `strCol` of `src` → `out`(carry, h): the full XXH64 byte
     * stream — 32-byte stripes carried as a [v1,v2,v3,v4] HUGEINT-list
@@ -3801,22 +3825,9 @@ object SparkEntry {
     m += "q83_star_components" ->
       s"""WITH RECURSIVE
         |${lshBandCtes(32, 8)},
-        |cnt AS (SELECT band, h AS bucket, count(*) AS n, min(doc_id) AS rep
-        |  FROM bkt GROUP BY band, h),
-        |ed AS (SELECT DISTINCT c.rep AS id_a, b.doc_id AS id_b
-        |  FROM bkt b JOIN cnt c ON b.band = c.band AND b.h = c.bucket
-        |  WHERE c.n >= 2 AND b.doc_id <> c.rep),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM ed
-        |  UNION ALL SELECT id_b, id_a FROM ed),
-        |verts AS (SELECT DISTINCT src AS v FROM edges),
-        |reach(v, c) AS (
-        |  SELECT v, v FROM verts
-        |  UNION
-        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
-        |comp AS (SELECT v AS doc_id, min(c) AS component FROM reach
-        |  GROUP BY v)
-        |SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
-        |FROM d0 d LEFT JOIN comp USING (doc_id)""".stripMargin
+        |$starComponentCtes
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |FROM d0 d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
 
     // q84: the derived band table again, then the operator's own cap rule
     // (prune buckets with n > 2 BEFORE pairing), candidate pairs from the
@@ -3849,19 +3860,7 @@ object SparkEntry {
     m += "q85_star_leakage_split" ->
       s"""WITH RECURSIVE
         |${lshBandCtes(32, 8)},
-        |cnt AS (SELECT band, h AS bucket, count(*) AS n, min(doc_id) AS rep
-        |  FROM bkt GROUP BY band, h),
-        |ed AS (SELECT DISTINCT c.rep AS id_a, b.doc_id AS id_b
-        |  FROM bkt b JOIN cnt c ON b.band = c.band AND b.h = c.bucket
-        |  WHERE c.n >= 2 AND b.doc_id <> c.rep),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM ed
-        |  UNION ALL SELECT id_b, id_a FROM ed),
-        |verts AS (SELECT DISTINCT src AS v FROM edges),
-        |reach(v, c) AS (
-        |  SELECT v, v FROM verts
-        |  UNION
-        |  SELECT e.src, r.c FROM edges e JOIN reach r ON r.v = e.dst),
-        |comp AS (SELECT v AS id, min(c) AS component FROM reach GROUP BY v),
+        |$starComponentCtes,
         |lab AS (SELECT d.doc_id,
         |    coalesce(c.component, d.doc_id) AS component
         |  FROM d0 d LEFT JOIN comp c ON c.id = d.doc_id),

@@ -392,8 +392,16 @@ object Jbig2 {
     * length). The nextOffset is dataStart + dataLen. ONE implementation
     * of the fiddly arithmetic (referred-segment size classes, long-form
     * retain-bit bytes, page-association width) shared by this decoder
-    * and `MediaCodec.jbig2PageDims` so the two walks cannot drift. */
-  private[kernel] def segmentHeader(b: Array[Byte], i: Int): Array[Int] = {
+    * and `MediaCodec.jbig2PageDims` so the two walks cannot drift.
+    *
+    * `requireData = false` (the dims-walk mode): the declared dataLen is
+    * NOT required to be fully present — a truncated or
+    * dataLen-overdeclared stream still yields its header so the caller
+    * can read the page-info dims it DOES have (the cross-check path
+    * must flag a dims mismatch even on streams too broken to decode);
+    * overflowing lengths are still rejected. */
+  private[kernel] def segmentHeader(b: Array[Byte], i: Int,
+      requireData: Boolean = true): Array[Int] = {
     if (i + 11 > b.length) return null
     val segNum = rd32(b, i)
     if (segNum < 0) return null
@@ -415,7 +423,9 @@ object Jbig2 {
     val dataLen = rd32(b, j)
     j += 4
     // overflow-safe: compare against the REMAINING byte count
-    if (dataLen < 0 || dataLen > b.length - j) return null
+    if (dataLen < 0) return null
+    if (requireData && dataLen > b.length - j) return null
+    if (!requireData && dataLen > Int.MaxValue - j) return null // i overflow
     Array(segType, j, dataLen)
   }
 

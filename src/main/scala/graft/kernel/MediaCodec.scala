@@ -916,8 +916,11 @@ object MediaCodec {
       if (guard == 1 && ((rdBe32(b, 0) & 0xFFFF0000) != 0 ||
         (b(4) & 0x3F) > 53)) return None
       // header arithmetic shared with Jbig2.decodeUnsafe (one
-      // implementation of the refSize/long-form/page-assoc walk)
-      val hdr = Jbig2.segmentHeader(b, i)
+      // implementation of the refSize/long-form/page-assoc walk);
+      // requireData = false: dims must be readable from a truncated or
+      // dataLen-overdeclared stream too — the PdfParse cross-check
+      // flags mismatched dims on payloads too broken to decode
+      val hdr = Jbig2.segmentHeader(b, i, requireData = false)
       if (hdr == null) return None
       val j = hdr(1)
       if (hdr(0) == 48) {

@@ -807,11 +807,6 @@ object PdfParse {
     if (cs.nonEmpty && java.nio.charset.Charset.isSupported(cs)) cs else ""
   }
 
-  /** Decode a legacy-CMap show string: the raw code bytes through the
-    * CMap family's defining charset (the JDK decoder IS the mixed
-    * 1/2-byte codespace walk). NULs and unmappable/malformed sequences
-    * yield nothing — garbage never masquerades as text, so a broken
-    * stream still degrades to the needs-OCR path. */
   /** Per-thread decoder cache for the legacy-CMap charsets: a CJK page
     * has hundreds of show strings, and a fresh registry lookup +
     * CharsetDecoder allocation per Tj would be pure churn on the kernel
@@ -823,6 +818,11 @@ object PdfParse {
       override def initialValue() = mutable.HashMap.empty
     }
 
+  /** Decode a legacy-CMap show string: the raw code bytes through the
+    * CMap family's defining charset (the JDK decoder IS the mixed
+    * 1/2-byte codespace walk). NULs and unmappable/malformed sequences
+    * yield nothing — garbage never masquerades as text, so a broken
+    * stream still degrades to the needs-OCR path. */
   private[kernel] def decodeLegacyCjk(rawStr: String, charset: String): String = {
     val bytes = new Array[Byte](rawStr.length)
     var i = 0

@@ -121,6 +121,15 @@ class Jbig2Spec extends AnyFunSuite {
     assert(MediaCodec.embeddedImageDims(good).contains((48, 30, "jbig2")))
     // chop inside the region segment's coded data: structural walk fails
     assert(Jbig2.decode(good.take(good.length / 2)).isEmpty)
+    // ...but the dims walk stays LENIENT on broken streams: a payload
+    // truncated inside the region (above) or even inside the page-info
+    // data keeps yielding its page dims, so PdfParse's /Width //Height
+    // cross-check can flag a mismatched-but-undecodable payload
+    assert(MediaCodec.embeddedImageDims(good.take(good.length / 2))
+      .contains((48, 30, "jbig2")))
+    assert(MediaCodec.embeddedImageDims(good.take(19)) // 11 hdr + 8 data
+      .contains((48, 30, "jbig2")))
+    assert(Jbig2.decode(good.take(19)).isEmpty)
     // a symbol-dictionary segment (type 0) is out of profile → None
     val symDict = good.clone()
     symDict(4 + 11 + 19) = 0x00 // second segment header's flags byte
