@@ -323,14 +323,21 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"))
     }),
 
-    // J2 — golden verification: full-outer compare of two derived tables
+    // J2 — golden verification: full-outer compare of two derived tables.
+    // Restated as ONE conditional aggregate (round 7): the even/odd sides
+    // are disjoint slices of the same scan, so sum(when(parity, qty))
+    // reproduces the full-outer join's row set (every key with a line of
+    // either parity) and its null semantics (sum over zero matching rows
+    // is NULL) with one scan + one exchange instead of two scans + two
+    // exchanges + a sort-merge full-outer join. Value-identical — the
+    // frozen oracle SQL still verifies it.
     "q15_fullouter_verify" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val a = li.filter(col("l_linenumber") % 2 === 0).groupBy(col("l_orderkey"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("qty_a"))
-      val b = li.filter(col("l_linenumber") % 2 === 1).groupBy(col("l_orderkey"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("qty_b"))
-      a.join(b, Seq("l_orderkey"), "full_outer")
+      t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(
+          sum(when(col("l_linenumber") % 2 === 0,
+            round(col("l_quantity")).cast("long"))).as("qty_a"),
+          sum(when(col("l_linenumber") % 2 === 1,
+            round(col("l_quantity")).cast("long"))).as("qty_b"))
         .select(col("l_orderkey"), col("qty_a"), col("qty_b"),
           (col("qty_a") <=> col("qty_b")).as("matches"))
     }),

@@ -53,9 +53,15 @@ object Dedup {
     * the duplicate population is small). */
   def normalizedDedupVerdicts(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // materialized once (the shingleTable rationale): the group aggregate
+    // AND the verdict join both consume this table, and without the
+    // checkpoint each would re-run the normalize+md5 scan over the corpus
+    // text. 48 bytes/row (id + hex md5) — at crawl scale the same pattern
+    // persists the key table.
     val keyed = df.select(col(idCol).as("doc_id"),
       md5(graft.ops.TextOps.ccnetNormalize(col(textCol)).cast("binary"))
         .as("norm_md5"))
+      .localCheckpoint()
     val groups = keyed.groupBy(col("norm_md5"))
       .agg(min(col("doc_id")).as("representative"),
         count(lit(1)).as("group_size"))
@@ -143,15 +149,20 @@ object Dedup {
 
   /** A canonical (src > dst) edge set is the large/small-star fixpoint iff
     * it is a star forest rooted at each component's minimum: every src
-    * carries exactly one edge, and no src is another edge's dst. Both
-    * checks are scalar aggregates over the pair graph (tiny relative to
-    * the corpus), never a data collect. */
-  private def isStarForest(edges: DataFrame): Boolean = {
-    val singleEdgePerSrc = edges.groupBy("src")
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty
-    singleEdgePerSrc &&
-      edges.select(col("src")).intersect(edges.select(col("dst"))).isEmpty
-  }
+    * carries exactly one edge, and no src is another edge's dst. ONE
+    * vertex-keyed aggregate job checks both (per vertex, count its src and
+    * dst appearances; a violation is a vertex with 2+ src edges or with
+    * both roles) — round 7 folded the previous two convergence jobs (a
+    * grouped count plus a distinct+distinct intersect) into this single
+    * map-side-combining pass, saving two shuffles plus a job per star
+    * round on every components consumer. Never a data collect. */
+  private def isStarForest(edges: DataFrame): Boolean =
+    edges.select(col("src").as("v"), lit(1L).as("s"), lit(0L).as("d"))
+      .union(edges.select(col("dst").as("v"), lit(0L).as("s"), lit(1L).as("d")))
+      .groupBy(col("v"))
+      .agg(sum(col("s")).as("ns"), sum(col("d")).as("nd"))
+      .filter(col("ns") > 1L || (col("ns") > 0L && col("nd") > 0L))
+      .isEmpty
 
   /** Large-star round (Kiveris et al. §3): for every vertex u, connect each
     * STRICTLY LARGER neighbor v to m = min({u} ∪ N(u)). One symmetrized

@@ -296,9 +296,14 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
+    // materialized once (the Dedup.bandTable rationale): the candidate
+    // self-join consumes this per side, and each side would otherwise
+    // re-run the numPlanes×dim plane-sign dot products per row. Small by
+    // construction — rows × numBands of four fixed-width columns.
     val banded = base
       .withColumn("bk", explode(array(bandStructs: _*)))
       .select(col("grp"), col("id"), col("bk.band"), col("bk.bucket"))
+      .localCheckpoint()
 
     val l = banded.select(col("grp"), col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("grp"), col("band"), col("bucket"), col("id").as("id_b"))
@@ -394,7 +399,12 @@ object Similarity {
       .drop("scores")
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("centroid_cosine").desc, col("id").asc)
+    // materialized once (the shingleTable rationale): the screen join
+    // consumes this per side and the verdict join a third time — without
+    // the checkpoint each consumer re-runs the corpus scan, the
+    // nlist-centroid cosine transform and the rank window.
     val ranked = assigned.withColumn("rn", row_number().over(w))
+      .localCheckpoint()
     val earlier = ranked.select(col("cluster"), col("rn").as("rn_a"),
       col("v").as("v_a"))
     val later = ranked.select(col("cluster"), col("rn").as("rn_b"),

@@ -46,7 +46,24 @@ final case class CurateConfig(
     // remove-all-but-one (each duplicated gram's globally first
     // occurrence survives — the suffix-array original's semantics)
     // instead of the default remove-every-occurrence
-    spanKeepFirst: Boolean = false) {
+    spanKeepFirst: Boolean = false,
+    // --- near-dup candidate-generation scale bounds (round 7: the funnel
+    // previously always used the UNCAPPED pair operator, the one
+    // quadratic-fan-out risk left at 100 TB). Both default OFF so the
+    // default funnel's verdicts are bit-identical to prior rounds.
+    // nearDupMaxBucketDocs: prune LSH band buckets holding more than this
+    // many docs before the pair self-join (Dedup.minhashNearDups'
+    // documented cap; recall trade on Dedup.candidatePairs).
+    nearDupMaxBucketDocs: Long = Long.MaxValue,
+    // nearDupStarEdges: compute near-dup losers from the bucket-min STAR
+    // edges (Dedup.minhashClusterEdges — linear fan-out per bucket, no
+    // cap needed, no Jaccard verify): components become LSH-candidate
+    // connectivity, a conservative COARSENING of verified-pair components
+    // (every verified pair is a candidate pair), so dedup still keeps
+    // exactly one doc per cluster — the at-scale recommendation for
+    // 100 TB corpora where a template mega-cluster would otherwise emit
+    // quadratic candidates inside one band bucket.
+    nearDupStarEdges: Boolean = false) {
   /** True when any opt-in cleaning stage rewrites keeper text — such runs
     * carry `clean_text` on the verdict table and write keepers clean. */
   def rewritesText: Boolean = lineDedupMinDocs > 0 || spanRemoval
@@ -163,11 +180,21 @@ object CurateJob {
       .filter(col("doc_id") =!= col("keep"))
       .select(col("doc_id"), col("k")).distinct()
       .withColumn("x_exact", lit(true))
-    val pairs = Dedup.minhashNearDups(base, "doc_id", "text",
-      shingleK = cfg.shingleK, numHashes = cfg.numHashes,
-      numBands = cfg.numBands, threshold = cfg.nearDupThreshold)
-    val nearLosers = Dedup.connectedComponents(
-      pairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+    // the consumer is clustering (components → min-id losers), so the
+    // at-scale path is the linear-fan-out star edges; the verified pair
+    // operator (optionally hot-bucket-capped) remains the default for
+    // verdict-level parity with prior rounds
+    val nearEdges =
+      if (cfg.nearDupStarEdges)
+        Dedup.minhashClusterEdges(base, "doc_id", "text",
+          shingleK = cfg.shingleK, numHashes = cfg.numHashes,
+          numBands = cfg.numBands)
+      else Dedup.minhashNearDups(base, "doc_id", "text",
+        shingleK = cfg.shingleK, numHashes = cfg.numHashes,
+        numBands = cfg.numBands, threshold = cfg.nearDupThreshold,
+        maxBucketDocs = cfg.nearDupMaxBucketDocs)
+        .select(col("id_a"), col("id_b"))
+    val nearLosers = Dedup.connectedComponents(nearEdges, "id_a", "id_b")
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id")).withColumn("x_near", lit(true))
 

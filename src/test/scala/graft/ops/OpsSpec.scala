@@ -391,6 +391,26 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.size == 121 - (2 + 1 + 3 + 10))
   }
 
+  test("connected components convergence check (r7 single-pass form): an " +
+    "already-star input converges in one round; a non-forest input (a " +
+    "vertex in both roles) is never accepted as a false fixpoint") {
+    // star forest already: {1,2,3} rooted at 1, {10,11} rooted at 10
+    val star = Seq((1L, 2L), (1L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val (labels1, rounds1) =
+      Dedup.connectedComponentsWithRounds(star, "id_a", "id_b")
+    assert(rounds1 == 1, s"star input took $rounds1 rounds")
+    assert(labels1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // chain 1-2-3 arrives canonical as (2,1),(3,2) — vertex 2 is both a
+    // src and a dst, so this input shape is NOT a forest; the round must
+    // rewrite it and the check must only accept the rewritten star.
+    // Correct labels prove no false fixpoint was accepted.
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels2 = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), labels2.toString)
+  }
+
   test("url canonicalization: scheme/host case, default ports, utm strip, " +
     "param sort, fragment drop, empty path") {
     def canon(u: String): String =

@@ -300,6 +300,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(curated.columns.contains("bucket"))
   }
 
+  test("CurateJob near-dup scale knobs (r7): starEdges clusters on " +
+    "candidate connectivity (losers a superset of the verified path's — " +
+    "identical here), maxBucketDocs genuinely prunes the hot bucket, and " +
+    "the default config's verdicts are unchanged") {
+    import spark.implicits._
+    def prose(seed: Int): String =
+      (0 until 60).map(i =>
+        s"w${seed * 971 + 2 * i} the w${seed * 971 + 2 * i + 1}").mkString(" ")
+    val docs = Seq(
+      (1L, prose(1) + " alpha beta gamma", "en"),
+      (2L, prose(1) + " alpha beta gamma", "en"),        // exact dup of 1
+      (3L, prose(1) + " alpha beta gamma delta", "en"),  // near dup of 1
+      (4L, prose(4) + " unrelated tail", "en")
+    ).toDF("doc_id", "text", "lang")
+    def verdictMap(cfg: CurateConfig): Map[Long, String] =
+      CurateJob.verdicts(docs, "doc_id", "text", "lang", cfg)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val default = verdictMap(CurateConfig())
+    assert(default(2L) == "exact_dup" && default(3L) == "near_dup" &&
+      default(1L) == "kept" && default(4L) == "kept", default.toString)
+
+    // star edges: candidate components coarsen verified components, so
+    // every default-path near-dup loser stays a loser (here: identical)
+    val star = verdictMap(CurateConfig(nearDupStarEdges = true))
+    assert(star == default, s"star=$star default=$default")
+
+    // hot-bucket cap at 2: the {1,2,3} bucket (3 members) is pruned in
+    // every band, so the near-dup stage finds nothing — doc 3 falls
+    // through to kept while the exact stage still catches doc 2
+    val capped = verdictMap(CurateConfig(nearDupMaxBucketDocs = 2L))
+    assert(capped(2L) == "exact_dup" && capped(3L) == "kept", capped.toString)
+  }
+
   test("CurateJob over a url-keyed table (the extraction-output shape): " +
     "string ids hash to stable keys, nothing silently nulls out") {
     import spark.implicits._
