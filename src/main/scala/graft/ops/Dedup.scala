@@ -112,10 +112,13 @@ object Dedup {
       .localCheckpoint()
     // vertices snapshot BEFORE the self-pair filter: a vertex appearing
     // only in (v, v) rows still belongs to the pair graph and must get a
-    // label (its own id), per the every-vertex contract
+    // label (its own id), per the every-vertex contract. NOT checkpointed
+    // (round 7): it has exactly one consumer — the final labels join — and
+    // reads the already-checkpointed dirE0, so the eager materialization
+    // job bought nothing.
     val verts = dirE0.select(col("src").as("id"))
       .union(dirE0.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct()
     // canonical larger→smaller direction, self-loops dropped
     var edges = dirE0
       .filter(col("src") =!= col("dst"))
@@ -744,44 +747,18 @@ object Dedup {
       coalesce(col(textCol), lit("")).as("text"))
     val toks = split(col("text"), " ")
 
-    // (doc_id, pos, gram-fp), NOT per-doc distinct: occurrence counts
-    val grams = base
-      .select(col("doc_id"), posexplode(wordShingles(toks, k)))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gram"))
-    // duplicated-gram start positions → covered token indices (distinct:
-    // overlapping grams cover shared tokens once — required by islands);
-    // keepFirst exempts each gram's canonical (min (doc_id, pos))
-    // occurrence from coverage — same ONE map-side-combining aggregate,
-    // the min just rides along as a second combiner
-    val marked =
-      if (keepFirst) {
-        val occ = grams.groupBy(col("gram"))
-          .agg(count(lit(1)).as("n"),
-            min(struct(col("doc_id"), col("pos"))).as("first"))
-          .filter(col("n") >= minCount)
-        grams.join(occ.select(col("gram"), col("first")), Seq("gram"))
-          .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
-      } else {
-        val dup = grams.groupBy(col("gram"))
-          .agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
-          .select(col("gram"))
-        grams.join(dup, Seq("gram"))
-      }
-    val covered = marked
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("i"))
-      .distinct()
-
-    // gaps-and-islands: consecutive covered indices share (i - row_number)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("i"))
-    val removal = covered
-      .withColumn("grp", col("i") - row_number().over(w))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("i")).as("s"), max(col("i")).as("e"),
-        count(lit(1)).as("seg_len"))
-      .filter(col("seg_len") >= minTokens)
-      .select(col("doc_id"), col("s"), col("e"))
+    // materialized once (round 7, the shingleTable rationale): the removal
+    // table is tiny (one row per removed segment of an affected doc) but
+    // its upstream is the WHOLE gram pipeline (posexplode → occurrence
+    // aggregate → membership join → covered distinct → islands window),
+    // and it feeds four consumers (affected×3 joins + removalTok) — without
+    // the checkpoint the q64 plan carried 66 Exchanges of which none were
+    // reused, re-running that pipeline per consumer. PlanSpec locks the
+    // pipeline's shape on [[duplicatedSpanSegments]] (the checkpoint hides
+    // it from the final plan).
+    val removal =
+      duplicatedSpanSegments(base, k, minTokens, minCount, keepFirst)
+        .localCheckpoint()
 
     val affected = removal.select(col("doc_id")).distinct()
     val removalTok = removal.select(col("doc_id"),
@@ -810,6 +787,56 @@ object Dedup {
       .select(col("doc_id"), col("text").as("clean_text"),
         lit(0L).as("n_removed_tokens"))
     affectedOut.unionByName(untouched)
+  }
+
+  /** The (doc_id, s, e) removed-segment table of [[removeDuplicatedSpans]]
+    * BEFORE materialization — the gram pipeline whose physical shape
+    * PlanSpec locks (the canonical-occurrence min-struct combiner, the
+    * doc-keyed-only windows, keyed equi-joins): posexplode → occurrence
+    * aggregate (count + optional min(struct(doc_id,pos)) combiner) →
+    * membership join on the gram fingerprint → covered-index distinct →
+    * gaps-and-islands window → segment aggregate. `base` must carry
+    * (doc_id, text). */
+  private[graft] def duplicatedSpanSegments(base: DataFrame, k: Int,
+      minTokens: Int, minCount: Long, keepFirst: Boolean): DataFrame = {
+    val toks = split(col("text"), " ")
+    // (doc_id, pos, gram-fp), NOT per-doc distinct: occurrence counts
+    val grams = base
+      .select(col("doc_id"), posexplode(wordShingles(toks, k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gram"))
+    // duplicated-gram start positions → covered token indices (distinct:
+    // overlapping grams cover shared tokens once — required by islands);
+    // keepFirst exempts each gram's canonical (min (doc_id, pos))
+    // occurrence from coverage — same ONE map-side-combining aggregate,
+    // the min just rides along as a second combiner
+    val marked =
+      if (keepFirst) {
+        val occ = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("n"),
+            min(struct(col("doc_id"), col("pos"))).as("first"))
+          .filter(col("n") >= minCount)
+        grams.join(occ.select(col("gram"), col("first")), Seq("gram"))
+          .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      } else {
+        val dup = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= minCount)
+          .select(col("gram"))
+        grams.join(dup, Seq("gram"))
+      }
+    val covered = marked
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("i"))
+      .distinct()
+    // gaps-and-islands: consecutive covered indices share (i - row_number)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    covered
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("s"), max(col("i")).as("e"),
+        count(lit(1)).as("seg_len"))
+      .filter(col("seg_len") >= minTokens)
+      .select(col("doc_id"), col("s"), col("e"))
   }
 
   /** Winnowed document sketches ([[graft.kernel.Hashing.winnow]] —
@@ -878,7 +905,10 @@ object Dedup {
       .agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= 2L && col("doc_freq") <= maxDocFreq)
       .select(col("fingerprint"))
-    val f2 = fp.join(shared, Seq("fingerprint"))
+    // materialized once (round 7): the self-join consumes this per side —
+    // without the checkpoint each side re-ran the distinct + the
+    // stop-fingerprint screen. Only genuinely shared sketch rows (small).
+    val f2 = fp.join(shared, Seq("fingerprint")).localCheckpoint()
     f2.as("a").join(f2.as("b"),
         col("a.fingerprint") === col("b.fingerprint") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -180,9 +180,14 @@ object ScalePatterns {
     require(coarseShift >= 0 && coarseShift < 63,
       s"coarseShift must be in [0, 63), got $coarseShift")
     import org.apache.spark.sql.expressions.Window
+    // materialized once (round 7): the coarse rollup and the within-coarse
+    // CDF window are two consumers of the value histogram — without the
+    // checkpoint each re-ran the upstream scan + grouped count. Distinct
+    // observed values only (histogram-sized, not corpus-sized).
     val hist = df.select(col(valueCol).cast("long").as("_v"))
       .groupBy(col("_v")).agg(count(lit(1)).as("_n"))
       .withColumn("_c", shiftright(col("_v"), coarseShift))
+      .localCheckpoint()
     val coarse = hist.groupBy(col("_c")).agg(sum(col("_n")).as("_cn"))
     val wCoarse = Window.orderBy(col("_c"))
       .rowsBetween(Window.unboundedPreceding, -1)

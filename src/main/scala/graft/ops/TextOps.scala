@@ -624,6 +624,11 @@ object TextOps {
     * quantizer. */
   def trainQualityWeights(df: DataFrame, textCol: String, labelCol: String,
       minCount: Long = 2L): DataFrame = {
+    // materialized once (round 7): the prior (scalar re-aggregate) and the
+    // final weight projection both consume this vocabulary table — without
+    // the checkpoint each re-ran the corpus token explode + count. The
+    // table is the trained model's vocabulary (aggregate-sized, not
+    // corpus-sized); production would persist it anyway.
     val counts = df
       .select(col(labelCol).cast("boolean").as("y"),
         explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
@@ -632,6 +637,7 @@ object TextOps {
       .agg(
         sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+      .localCheckpoint()
     // x·10⁶ div d is computed by base-1000 long division (two ·1000
     // steps, carrying remainders) instead of the literal multiply: a
     // naive pos * 1000000 silently wraps Long past ~9.2e12 occurrences —
@@ -745,11 +751,16 @@ object TextOps {
       .groupBy(col("bucket"))
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("tc"),
         sum(when(col("y"), 0L).otherwise(1L)).as("rc"))
+    // materialized once (round 7): exactly `buckets` rows by construction,
+    // consumed by the totals re-aggregate AND the final weight projection —
+    // without the checkpoint each re-ran the corpus gram pass behind
+    // `counts`.
     val full = spark.range(buckets).toDF("bucket")
       .join(broadcast(counts), Seq("bucket"), "left_outer")
       .select(col("bucket"),
         coalesce(col("tc"), lit(0L)).as("tc"),
         coalesce(col("rc"), lit(0L)).as("rc"))
+      .localCheckpoint()
     val totals = full.agg(sum(col("tc")).as("t"), sum(col("rc")).as("r"))
     full.crossJoin(broadcast(totals))
       .select(col("bucket"),
@@ -841,13 +852,18 @@ object TextOps {
   def bigramLmScores(df: DataFrame, idCol: String, textCol: String,
       pairCounts: DataFrame, buckets: Int = 1024): DataFrame = {
     graft.expr.KernelExpressions.register(df.sparkSession)
-    val ctxTotals = pairCounts.groupBy(col("ctx"))
+    // materialized once (round 7): the context-total re-aggregate and the
+    // pair-count broadcast are two consumers of the trained table — without
+    // the checkpoint each re-ran the training corpus pass. Capped at ≤ B²
+    // rows by construction.
+    val pc = pairCounts.localCheckpoint()
+    val ctxTotals = pc.groupBy(col("ctx"))
       .agg(sum(col("pair_n")).as("ctx_n"))
     df.select(col(idCol).as("doc_id"),
         explode(bigramBucketPairs(col(textCol), buckets)).as("p"))
       .select(col("doc_id"), col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
       .join(broadcast(ctxTotals), Seq("ctx"), "left_outer")
-      .join(broadcast(pairCounts.select(col("ctx"), col("nxt"),
+      .join(broadcast(pc.select(col("ctx"), col("nxt"),
         col("pair_n"))), Seq("ctx", "nxt"), "left_outer")
       .select(col("doc_id"),
         (ilog2q20(coalesce(col("ctx_n"), lit(0L)) + buckets.toLong) -
@@ -869,8 +885,15 @@ object TextOps {
   def perplexityPartition(df: DataFrame, idCol: String, textCol: String,
       pairCounts: DataFrame, buckets: Int = 1024,
       labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame =
+    // scores materialized once (round 7): the CDF's histogram pass and its
+    // final label join are two consumers — without the checkpoint each
+    // re-ran the whole LM scoring pipeline (corpus explode + two broadcast
+    // lookups + doc aggregate; the before-plan carried 94 Exchanges, none
+    // reused). One narrow row per doc — the standard persisted-scores
+    // table a production CCNet partition would write anyway.
     ScalePatterns.valueQuantileBuckets(
-      bigramLmScores(df, idCol, textCol, pairCounts, buckets),
+      bigramLmScores(df, idCol, textCol, pairCounts, buckets)
+        .localCheckpoint(),
       "avg_cost_q20", labels)
 
   /** BM25 top-k retrieval over the corpus for a LITERAL query term set —
@@ -923,6 +946,11 @@ object TextOps {
     // one row-local pass: dl + per-term tf, melted via a constant-size
     // literal array (computed BEFORE the explode, so each term costs one
     // wordOccurrences scan per row, never per output element)
+    // materialized once (round 7): the df aggregate and the scoring join
+    // both consume the postings — without the checkpoint each re-ran the
+    // corpus scan with its per-term wordOccurrences passes. One narrow row
+    // per (matching doc, term): the posting list a sparse index would
+    // persist anyway.
     val base = df
       .select(col(idCol).cast("long").as("doc_id"), dlOf(text).as("dl"),
         explode(array(terms.map(t0 => struct(lit(t0).as("term"),
@@ -930,7 +958,10 @@ object TextOps {
       .select(col("doc_id"), col("dl"),
         col("e.term").as("term"), col("e.tf").as("tf"))
       .filter(col("tf") > 0L)
-    // corpus stats: N docs, T total words, avgdl in Q20 (base-1024 split)
+      .localCheckpoint()
+    // corpus stats: N docs, T total words, avgdl in Q20 (base-1024 split).
+    // Materialized (one row): consumed by both the idf and the scorer —
+    // without the checkpoint each re-ran the corpus dl pass.
     val stats = df
       .select(dlOf(text).as("dl"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t"))
@@ -938,6 +969,7 @@ object TextOps {
       .select(col("n"),
         (expr("(t * 1024 DIV n) * 1024") +
           expr("((t * 1024 % n) * 1024) DIV n")).as("avgdl_q20"))
+      .localCheckpoint()
     val idf = base.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // base has one row per (doc, term)
       .crossJoin(broadcast(stats.select(col("n"))))
@@ -991,16 +1023,23 @@ object TextOps {
     require(stopwords.nonEmpty && thresholdPct >= 0L && thresholdPct <= 100L,
       s"need stopwords and thresholdPct in [0,100], got $thresholdPct")
     def text = coalesce(col(textCol), lit(""))
+    // materialized once (round 7): the source aggregate and the verdict
+    // join both consume this per-doc signal table — without the checkpoint
+    // each re-ran the corpus scan with its stopword-occurrence passes.
+    // Four narrow columns per doc.
     val base = df.select(col(idCol).as("doc_id"),
       col(sourceCol).as("source"),
       stopwords.map(wordOccurrences(text, _)).reduce(_ + _).as("hits"),
       size(filter(split(text, " "), w => w =!= "")).cast("long").as("words"))
+      .localCheckpoint()
     def ppm(h: String, w: String) = // floor(h·10^6/w), base-1000 split
       expr(s"($h * 1000 DIV $w) * 1000") +
         expr(s"(($h * 1000 % $w) * 1000) DIV $w")
+    // #sources rows; consumed by both the rates and the global rollup
     val bySrc = base.groupBy(col("source"))
       .agg(sum(col("hits")).as("h"),
         greatest(sum(col("words")), lit(1L)).as("w"))
+      .localCheckpoint()
     val rates = bySrc.select(col("source"), ppm("h", "w").as("src_ppm"))
     val global = bySrc
       .agg(sum(col("h")).as("h"), greatest(sum(col("w")), lit(1L)).as("w"))

@@ -254,28 +254,45 @@ class PlanSpec extends AnyFunSuite {
 
   test("duplicated-span removal: every join is a keyed equi-join (gram " +
     "fingerprint / doc id) — no product, no nested loop; gram counting " +
-    "map-side combines") {
+    "map-side combines (asserted on the segment pipeline, which the r7 " +
+    "materialize-once checkpoint hides from the final plan)") {
     val p = plan(graft.SparkEntry.queries("q64_dup_span_removal")(
       spark, "/root/testdata/sf0.001"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(800))
-    assert(p.contains("partial_count") || p.contains("Partial"), p.take(1200))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val seg = plan(Dedup.duplicatedSpanSegments(docs, 8, 12, 2L,
+      keepFirst = false))
+    assert(!seg.contains("CartesianProduct") &&
+      !seg.contains("BroadcastNestedLoop"), seg.take(800))
+    assert(seg.contains("partial_count") || seg.contains("Partial"),
+      seg.take(1200))
   }
 
   test("keepFirst span removal: the canonical occurrence is a min-struct " +
     "COMBINER in the gram aggregate — no window/rank over gram " +
-    "occurrences (a hot gram must never force a per-key sort), no product") {
+    "occurrences (a hot gram must never force a per-key sort), no product " +
+    "(asserted on the segment pipeline, which the r7 materialize-once " +
+    "checkpoint hides from the final plan)") {
     val p = plan(graft.SparkEntry.queries("q65_dup_span_keep_first")(
       spark, "/root/testdata/sf0.001"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(800))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val seg = plan(Dedup.duplicatedSpanSegments(docs, 8, 12, 2L,
+      keepFirst = true))
+    assert(!seg.contains("CartesianProduct") &&
+      !seg.contains("BroadcastNestedLoop"), seg.take(800))
     // min(struct(doc_id, pos)) must partial-aggregate alongside the count
-    assert(p.contains("partial_min") || p.contains("Partial"), p.take(1200))
-    // the ONLY Window in the plan is the doc-keyed gaps-and-islands
+    assert(seg.contains("partial_min"), seg.take(1200))
+    // the ONLY Window in the pipeline is the doc-keyed gaps-and-islands
     // row_number; nothing windows over the gram key
     val windowSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
-      .findAllMatchIn(p).map(_.group(1)).toList
-    assert(windowSpecs.forall(s => s.contains("doc_id") && !s.contains("gram")),
+      .findAllMatchIn(seg).map(_.group(1)).toList
+    assert(windowSpecs.nonEmpty &&
+      windowSpecs.forall(s => s.contains("doc_id") && !s.contains("gram")),
       s"unexpected window partitioning: $windowSpecs")
   }
 
