@@ -173,8 +173,17 @@ object CurateJob {
     // dedup losers (exact keeps the min id per group; near keeps each
     // connected component's min-id representative)
     // agg + join-back (the q21 shape): map-side combine on the content
-    // hash, never a collect_list that would balloon on a hot duplicate key
+    // hash, never a collect_list that would balloon on a hot duplicate key.
+    // Materialized once (round 7, the q76/normalizedDedupVerdicts
+    // rationale): the group aggregate and the loser join-back both consume
+    // this table — without the checkpoint each ran its own corpus text
+    // scan + md5 pass (q54's before-plan carried both). 40 bytes/row
+    // (id + hex md5); at crawl scale the same pattern persists the key
+    // table next to the verdicts. Lazy (eager = false): the first
+    // consuming action materializes it in-line, so no extra blocking job
+    // sits on the funnel's critical path.
     val keyed = base.select(col("doc_id"), md5(col("text")).as("k"))
+      .localCheckpoint(eager = false)
     val keepPerKey = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("keep"))
     val exactLosers = keyed.join(keepPerKey, Seq("k"))
       .filter(col("doc_id") =!= col("keep"))
