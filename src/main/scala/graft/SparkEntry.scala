@@ -1044,7 +1044,7 @@ object SparkEntry {
       // join probe side both consume it.
       val keyed = docs.select(col("doc_id"), col("text"),
         expr("graft_fnv1a64(text)").as("h"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val baseKeys = keyed.filter(col("doc_id") % 2 === 0)
         .select(col("h").as("bh"), col("text").as("btext")).distinct()
       val exact = keyed

@@ -61,7 +61,7 @@ object Dedup {
     val keyed = df.select(col(idCol).as("doc_id"),
       md5(graft.ops.TextOps.ccnetNormalize(col(textCol)).cast("binary"))
         .as("norm_md5"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val groups = keyed.groupBy(col("norm_md5"))
       .agg(min(col("doc_id")).as("representative"),
         count(lit(1)).as("group_size"))
@@ -109,7 +109,7 @@ object Dedup {
     // cost the driver bench surfaced on q45/q54/q62/q68)
     val dirE0 = pairs.select(
       col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // vertices snapshot BEFORE the self-pair filter: a vertex appearing
     // only in (v, v) rows still belongs to the pair graph and must get a
     // label (its own id), per the every-vertex contract. NOT checkpointed
@@ -124,12 +124,12 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
 
     var iter = 0
     var done = edges.isEmpty
     while (!done && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       iter += 1
       // the star fixpoint is detected STRUCTURALLY on the round's own
       // output (a star forest: one edge per src, no src is another edge's
@@ -308,7 +308,7 @@ object Dedup {
     df.select(col(idCol).as("id"),
         shingleFingerprints(split(col(textCol), " "), shingleK).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   /** (id, band, bucket) LSH band-key table over a [[shingleTable]],
     * MATERIALIZED once: the candidate self-join reads it per side, and
@@ -322,7 +322,7 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("bk", explode(bandKeys(col("sig"), numBands, bandSize)))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
   }
 
   /** Distinct candidate pairs from a band table: self-join on
@@ -476,7 +476,7 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .withColumn("simhash", expr("graft_simhash64(coalesce(text, ''))"))
       .select(col("id"), col("simhash"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val blocked = sims.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -534,7 +534,7 @@ object Dedup {
       (groupCols.map(col) :+ col(idCol).as("id") :+
         shingleFingerprints(toks, shingleK).as("sh")): _*)
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val prefixLen = size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + 1
     val joinKeys = groupCols :+ "tok"
@@ -601,7 +601,7 @@ object Dedup {
     def shingled(df: DataFrame) = df.select(col("doc_id"),
       shingleFingerprints(split(col("text"), " "), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def banded(df: DataFrame) = df
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("bk", explode(bandKeys(col("sig"), numBands,
@@ -758,7 +758,7 @@ object Dedup {
     // it from the final plan).
     val removal =
       duplicatedSpanSegments(base, k, minTokens, minCount, keepFirst)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
 
     val affected = removal.select(col("doc_id")).distinct()
     val removalTok = removal.select(col("doc_id"),
@@ -886,7 +886,7 @@ object Dedup {
     // measured upstream-per-side trap); materializing the sketch once
     // makes every consumer read the (small) sketch, not the corpus.
     winnowedOverlapPairsFromSketch(
-      winnowedFingerprints(df, idCol, textCol, k, w).localCheckpoint(),
+      winnowedFingerprints(df, idCol, textCol, k, w).localCheckpoint(eager = false),
       minShared, maxDocFreq)
 
   /** Pair detection over an already-computed sketch table
@@ -908,7 +908,7 @@ object Dedup {
     // materialized once (round 7): the self-join consumes this per side —
     // without the checkpoint each side re-ran the distinct + the
     // stop-fingerprint screen. Only genuinely shared sketch rows (small).
-    val f2 = fp.join(shared, Seq("fingerprint")).localCheckpoint()
+    val f2 = fp.join(shared, Seq("fingerprint")).localCheckpoint(eager = false)
     f2.as("a").join(f2.as("b"),
         col("a.fingerprint") === col("b.fingerprint") &&
           col("a.doc_id") < col("b.doc_id"))

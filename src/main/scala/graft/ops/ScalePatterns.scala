@@ -187,7 +187,7 @@ object ScalePatterns {
     val hist = df.select(col(valueCol).cast("long").as("_v"))
       .groupBy(col("_v")).agg(count(lit(1)).as("_n"))
       .withColumn("_c", shiftright(col("_v"), coarseShift))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val coarse = hist.groupBy(col("_c")).agg(sum(col("_n")).as("_cn"))
     val wCoarse = Window.orderBy(col("_c"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -303,7 +303,7 @@ object Similarity {
     val banded = base
       .withColumn("bk", explode(array(bandStructs: _*)))
       .select(col("grp"), col("id"), col("bk.band"), col("bk.bucket"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val l = banded.select(col("grp"), col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("grp"), col("band"), col("bucket"), col("id").as("id_b"))
@@ -404,7 +404,7 @@ object Similarity {
     // the checkpoint each consumer re-runs the corpus scan, the
     // nlist-centroid cosine transform and the rank window.
     val ranked = assigned.withColumn("rn", row_number().over(w))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val earlier = ranked.select(col("cluster"), col("rn").as("rn_a"),
       col("v").as("v_a"))
     val later = ranked.select(col("cluster"), col("rn").as("rn_b"),

@@ -142,7 +142,7 @@ object TextOps {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
         filter(split(col("token"), ""), x => x =!= "").as("syms"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 1
     var exhausted = false
@@ -166,7 +166,7 @@ object TextOps {
         merges += ((step, l, r, f))
         vocab = vocab.select(col("cnt"),
           applyMerge(col("syms"), l, r).as("syms"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         step += 1
       }
     }
@@ -637,7 +637,7 @@ object TextOps {
       .agg(
         sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // x·10⁶ div d is computed by base-1000 long division (two ·1000
     // steps, carrying remainders) instead of the literal multiply: a
     // naive pos * 1000000 silently wraps Long past ~9.2e12 occurrences —
@@ -760,7 +760,7 @@ object TextOps {
       .select(col("bucket"),
         coalesce(col("tc"), lit(0L)).as("tc"),
         coalesce(col("rc"), lit(0L)).as("rc"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val totals = full.agg(sum(col("tc")).as("t"), sum(col("rc")).as("r"))
     full.crossJoin(broadcast(totals))
       .select(col("bucket"),
@@ -856,7 +856,7 @@ object TextOps {
     // pair-count broadcast are two consumers of the trained table — without
     // the checkpoint each re-ran the training corpus pass. Capped at ≤ B²
     // rows by construction.
-    val pc = pairCounts.localCheckpoint()
+    val pc = pairCounts.localCheckpoint(eager = false)
     val ctxTotals = pc.groupBy(col("ctx"))
       .agg(sum(col("pair_n")).as("ctx_n"))
     df.select(col(idCol).as("doc_id"),
@@ -893,7 +893,7 @@ object TextOps {
     // table a production CCNet partition would write anyway.
     ScalePatterns.valueQuantileBuckets(
       bigramLmScores(df, idCol, textCol, pairCounts, buckets)
-        .localCheckpoint(),
+        .localCheckpoint(eager = false),
       "avg_cost_q20", labels)
 
   /** BM25 top-k retrieval over the corpus for a LITERAL query term set —
@@ -958,7 +958,7 @@ object TextOps {
       .select(col("doc_id"), col("dl"),
         col("e.term").as("term"), col("e.tf").as("tf"))
       .filter(col("tf") > 0L)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // corpus stats: N docs, T total words, avgdl in Q20 (base-1024 split).
     // Materialized (one row): consumed by both the idf and the scorer —
     // without the checkpoint each re-ran the corpus dl pass.
@@ -969,7 +969,7 @@ object TextOps {
       .select(col("n"),
         (expr("(t * 1024 DIV n) * 1024") +
           expr("((t * 1024 % n) * 1024) DIV n")).as("avgdl_q20"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val idf = base.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // base has one row per (doc, term)
       .crossJoin(broadcast(stats.select(col("n"))))
@@ -1031,7 +1031,7 @@ object TextOps {
       col(sourceCol).as("source"),
       stopwords.map(wordOccurrences(text, _)).reduce(_ + _).as("hits"),
       size(filter(split(text, " "), w => w =!= "")).cast("long").as("words"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def ppm(h: String, w: String) = // floor(h·10^6/w), base-1000 split
       expr(s"($h * 1000 DIV $w) * 1000") +
         expr(s"(($h * 1000 % $w) * 1000) DIV $w")
@@ -1039,7 +1039,7 @@ object TextOps {
     val bySrc = base.groupBy(col("source"))
       .agg(sum(col("hits")).as("h"),
         greatest(sum(col("words")), lit(1L)).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val rates = bySrc.select(col("source"), ppm("h", "w").as("src_ppm"))
     val global = bySrc
       .agg(sum(col("h")).as("h"), greatest(sum(col("w")), lit(1L)).as("w"))
