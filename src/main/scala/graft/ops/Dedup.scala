@@ -302,13 +302,24 @@ object Dedup {
     * against, and the dominant cost of the round-5 composition queries.
     * At true crawl scale the same pattern persists the sketch to a table
     * (it is small: sorted distinct 64-bit fingerprints per doc); the
-    * checkpoint is the in-session equivalent and spills to disk. */
+    * checkpoint is the in-session equivalent and spills to disk.
+    *
+    * The non-empty filter runs AFTER the checkpoint boundary (round 7):
+    * placed before it, Catalyst's filter pushdown inlines the whole
+    * shingle expression into the predicate and pushes it below the
+    * caller's repartition onto the unsplittable single-row-group scan —
+    * the entire tokenize+shingle+hash pipeline then runs PER ROW ON ONE
+    * CORE in the pushed Filter (measured 1.5–2 s serial per consumer
+    * query at sf0.1) and runs AGAIN in the parallel projection above the
+    * exchange. The LogicalRDD boundary stops the pushdown; the filter
+    * over the materialized table is a cheap array-length test. Same rows
+    * either way — the filter is row-local and deterministic. */
   private[graft] def shingleTable(df: DataFrame, idCol: String,
       textCol: String, shingleK: Int): DataFrame =
     df.select(col(idCol).as("id"),
         shingleFingerprints(split(col(textCol), " "), shingleK).as("shingles"))
-      .filter(size(col("shingles")) > 0)
       .localCheckpoint(eager = false)
+      .filter(size(col("shingles")) > 0)
 
   /** (id, band, bucket) LSH band-key table over a [[shingleTable]],
     * MATERIALIZED once: the candidate self-join reads it per side, and
@@ -533,8 +544,10 @@ object Dedup {
     val base = df.select(
       (groupCols.map(col) :+ col(idCol).as("id") :+
         shingleFingerprints(toks, shingleK).as("sh")): _*)
-      .filter(size(col("sh")) > 0)
+      // filter AFTER the checkpoint boundary — see shingleTable: pushdown
+      // would inline the shingle expression serially into the scan stage
       .localCheckpoint(eager = false)
+      .filter(size(col("sh")) > 0)
     val prefixLen = size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + 1
     val joinKeys = groupCols :+ "tok"
@@ -600,8 +613,9 @@ object Dedup {
     // the same pattern persists the base sketch to a stored table)
     def shingled(df: DataFrame) = df.select(col("doc_id"),
       shingleFingerprints(split(col("text"), " "), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
+      // filter AFTER the checkpoint boundary — see shingleTable
       .localCheckpoint(eager = false)
+      .filter(size(col("sh")) > 0)
     def banded(df: DataFrame) = df
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("bk", explode(bandKeys(col("sig"), numBands,

@@ -134,12 +134,21 @@ object Similarity {
     val centsLit: Column = typedlit(cents.map(_.toSeq).toSeq)
     def scoresFor(v: Column): Column = transform(centsLit, ct => cosine(v, ct))
 
+    // the cluster id is wrapped non-null (coalesce with 0, which matches
+    // no 1-based query cluster — identical join result for a null vector):
+    // a NULLABLE join key makes the optimizer infer isnotnull(cluster)
+    // and push the ENTIRE inlined centroid-scoring expression into a
+    // Filter at the scan — which is single-row-group, so the nlist×dim
+    // cosine transform ran serially per row there, then AGAIN in the
+    // parallel projection (round 7; the shingleTable pushdown trap's
+    // join-constraint variant)
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("scores", scoresFor(col("cv")))
       .withColumn("cluster",
-        array_position(col("scores"), array_max(col("scores"))))
+        coalesce(array_position(col("scores"), array_max(col("scores"))),
+          lit(0L)))
       .drop("scores")
 
     val q = queries
